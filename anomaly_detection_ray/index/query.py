@@ -1,0 +1,254 @@
+"""BM25 top-k + Boolean query engine over built index segments.
+
+Serves the query surface the reference plugin pushes down to
+OpenSearch/Lucene (SURVEY.md §2.A): BM25 top-k (north rule), conjunctive
+posting-list intersection (A2), term filters (A3), with global stats
+(N, avgdl, df) from the manifest so scores are identical regardless of
+how the corpus was sliced/partitioned (the DFS-stats model).
+
+Two scoring paths, both producing identical top-k (tested against each
+other and against the brute-force oracle):
+
+- ``prune=False``: exact vectorized scoring — decode every posting of
+  every query term, one ``np.add.at`` accumulation. The throughput
+  baseline.
+- ``prune=True``: block-max interval pruning. The doc axis is cut at
+  all block boundaries into elementary intervals; each interval's upper
+  bound is the sum of overlapping blocks' ``idf·tf_norm(max_tf,
+  min_dl)``. Intervals are scored exactly in descending-UB order and
+  scoring stops once the next UB is strictly below the current kth
+  score — every skipped doc is provably ≤ θ (Ding & Suel's block-max
+  idea at block granularity, vectorized instead of per-doc pointer
+  chasing).
+
+An engine instance holds the term-stats dictionary and a pyarrow
+dataset over the postings files (loaded once — use as an actor-pool
+member for serving). Chunk reads go through Parquet predicate pushdown
+on the ``term`` column; rows are term-sorted so row-group stats prune.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from glob import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..functions.analyzer import Analyzer
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_norm
+from .build import MANIFEST_NAME
+from .segments import decode_block, decode_chunk_row
+
+
+def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Top-k by (score desc, doc_id asc) without fully sorting all docs."""
+    n = scores.size
+    if n == 0:
+        return []
+    if n > 4 * k:
+        kth_val = -np.partition(-scores, k - 1)[k - 1]
+        # keep everything ≥ kth score so doc-id tie-break at the boundary is exact
+        sel = np.flatnonzero(scores >= kth_val)
+        doc_ids, scores = doc_ids[sel], scores[sel]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return [(int(doc_ids[i]), float(scores[i])) for i in order]
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.index_dir = index_dir
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
+        files = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "postings", "part-*.parquet")))
+        self._postings = pads.dataset(files, format="parquet")
+        stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
+        self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_numpy()))
+        docmap = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "docmap", "*.parquet")))
+        self._docmap = pads.dataset(docmap, format="parquet") if docmap else None
+
+    # ---------- postings access ----------
+
+    def df(self, term: str) -> int:
+        return int(self._df.get(term, 0))
+
+    def chunks_for(self, terms: list[str]) -> pa.Table:
+        if not terms:
+            return self._postings.schema.empty_table()
+        return self._postings.to_table(filter=pc.field("term").isin(terms))
+
+    def _term_rows(self, chunks: pa.Table) -> dict[str, list[dict]]:
+        by_term: dict[str, list[dict]] = {}
+        for row in chunks.to_pylist():
+            by_term.setdefault(row["term"], []).append(row)
+        return by_term
+
+    # ---------- BM25 ----------
+
+    def query_terms(self, query: str) -> list[str]:
+        return sorted(set(self.analyzer.tokens(query)))
+
+    def bm25_topk(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+        terms = self.query_terms(query)
+        chunks = self.chunks_for(terms)
+        if chunks.num_rows == 0:
+            return []
+        if prune:
+            return self._score_pruned(chunks, k)
+        return self._score_exact(chunks, k)
+
+    def _score_exact(self, chunks: pa.Table, k: int) -> list[tuple[int, float]]:
+        all_docs, all_imp = [], []
+        for row in chunks.to_pylist():
+            w = float(bm25_idf(self.df(row["term"]), self.n_docs))
+            docs, tfs, dls = decode_chunk_row(row)
+            all_docs.append(docs)
+            all_imp.append(w * tf_norm(tfs, dls, self.avgdl))
+        docs = np.concatenate(all_docs)
+        imps = np.concatenate(all_imp)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, imps)
+        return _topk_with_ties(uniq, scores, k)
+
+    def _score_pruned(self, chunks: pa.Table, k: int) -> list[tuple[int, float]]:
+        # flatten every block of every chunk row: (first, last, ub, row_idx, block_idx)
+        rows = chunks.to_pylist()
+        firsts, lasts, ubs, rowis, blkis = [], [], [], [], []
+        for ri, row in enumerate(rows):
+            w = float(bm25_idf(self.df(row["term"]), self.n_docs))
+            bf = np.asarray(row["block_first"], dtype=np.int64)
+            bl = np.asarray(row["block_last"], dtype=np.int64)
+            ub = w * tf_norm(
+                np.asarray(row["block_max_tf"], dtype=np.float64),
+                np.asarray(row["block_min_dl"], dtype=np.float64),
+                self.avgdl,
+            )
+            firsts.append(bf)
+            lasts.append(bl)
+            ubs.append(ub)
+            rowis.append(np.full(bf.size, ri))
+            blkis.append(np.arange(bf.size))
+        bfirst = np.concatenate(firsts)
+        blast = np.concatenate(lasts)
+        bub = np.concatenate(ubs)
+        brow = np.concatenate(rowis)
+        bblk = np.concatenate(blkis)
+
+        # elementary intervals over doc axis from all block boundaries
+        bounds = np.unique(np.concatenate([bfirst, blast + 1]))
+        lo_idx = np.searchsorted(bounds, bfirst, side="right") - 1
+        hi_idx = np.searchsorted(bounds, blast, side="right") - 1
+        # interval UB via difference array over interval indices
+        diff = np.zeros(bounds.size + 1, dtype=np.float64)
+        np.add.at(diff, lo_idx, bub)
+        np.add.at(diff, hi_idx + 1, -bub)
+        iub = np.cumsum(diff[:-1])  # UB per elementary interval [bounds[i], bounds[i+1])
+
+        live = np.flatnonzero(iub > 0)
+        order = live[np.argsort(-iub[live], kind="stable")]
+
+        # per-block decoded score cache
+        block_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+        def block_scores(ri: int, bi: int) -> tuple[np.ndarray, np.ndarray]:
+            key = (ri, bi)
+            hit = block_cache.get(key)
+            if hit is None:
+                row = rows[ri]
+                w = float(bm25_idf(self.df(row["term"]), self.n_docs))
+                docs, tfs, dls = decode_block(row, bi)
+                hit = (docs, w * tf_norm(tfs, dls, self.avgdl))
+                block_cache[key] = hit
+            return hit
+
+        # blocks grouped by interval coverage: for an interval i, active
+        # blocks are those with lo_idx ≤ i ≤ hi_idx.
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of current top-k
+        theta = -np.inf
+        scored_docs: list[np.ndarray] = []
+        scored_vals: list[np.ndarray] = []
+        # sort blocks by lo for interval → block lookup via interval tree-ish sweep
+        active_by_interval: dict[int, list[int]] = {}
+        for b in range(bfirst.size):
+            for i in range(lo_idx[b], hi_idx[b] + 1):
+                active_by_interval.setdefault(i, []).append(b)
+
+        seen_intervals = set()
+        for i in order:
+            if iub[i] < theta:
+                break
+            if i in seen_intervals:
+                continue
+            seen_intervals.add(i)
+            lo, hi = bounds[i], bounds[i + 1] if i + 1 < bounds.size else bounds[i] + 1
+            docs_parts, val_parts = [], []
+            for b in active_by_interval.get(i, ()):
+                docs, vals = block_scores(int(brow[b]), int(bblk[b]))
+                s = np.searchsorted(docs, lo, side="left")
+                e = np.searchsorted(docs, hi, side="left")
+                if e > s:
+                    docs_parts.append(docs[s:e])
+                    val_parts.append(vals[s:e])
+            if not docs_parts:
+                continue
+            d = np.concatenate(docs_parts)
+            v = np.concatenate(val_parts)
+            uniq, inv = np.unique(d, return_inverse=True)
+            sc = np.zeros(uniq.size)
+            np.add.at(sc, inv, v)
+            scored_docs.append(uniq)
+            scored_vals.append(sc)
+            for dd, ss in zip(uniq, sc):
+                item = (float(ss), -int(dd))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            if len(heap) == k:
+                theta = heap[0][0]
+
+        if not scored_docs:
+            return []
+        docs = np.concatenate(scored_docs)
+        vals = np.concatenate(scored_vals)
+        return _topk_with_ties(docs, vals, k)
+
+    # ---------- Boolean ----------
+
+    def conjunctive(self, query: str) -> np.ndarray:
+        """Sorted doc_ids containing ALL query terms (filter context,
+        SURVEY.md §2.A2 — ``ParseUtils.java:321,370-376``)."""
+        terms = self.query_terms(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        result: np.ndarray | None = None
+        # rarest-first intersection
+        for t in sorted(terms, key=self.df):
+            if self.df(t) == 0:
+                return np.empty(0, dtype=np.int64)
+            rows = self.chunks_for([t]).to_pylist()
+            docs = np.sort(np.concatenate([decode_chunk_row(r)[0] for r in rows]))
+            result = docs if result is None else result[np.isin(result, docs, assume_unique=True)]
+            if result.size == 0:
+                break
+        return result if result is not None else np.empty(0, dtype=np.int64)
+
+    def term_docs(self, term: str) -> np.ndarray:
+        rows = self.chunks_for([term]).to_pylist()
+        if not rows:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate([decode_chunk_row(r)[0] for r in rows]))
+
+    def docmap(self) -> pads.Dataset:
+        if self._docmap is None:
+            raise FileNotFoundError("index has no docmap")
+        return self._docmap

@@ -1,0 +1,148 @@
+"""On-disk segment format for posting lists.
+
+A built index directory looks like:
+
+    index_dir/
+      manifest.json                 # global stats: n_docs, avgdl, slices, file sha256 lineage
+      stats.parquet                 # term → df, cttf   (global term dictionary stats)
+      segments/slice-{s:04d}/
+        _slice_manifest.json        # per-slice input fingerprint → resume without recompute
+        postings/part-{kh:05d}.parquet
+        docmap/part-*.parquet       # doc_id → repo/path/commit/lang/content_sha256/dl
+
+Each postings row is one *chunk*: the posting list of one term restricted
+to one doc-id bucket (``bucket = doc_id >> bucket_shift``), doc-ordered,
+delta + LEB128-varint compressed, with block-max skip metadata every
+``block_size`` postings (classic block-max layout, Ding & Suel, "Faster
+top-k document retrieval using block-max indexes", SIGIR'11):
+
+    term:string, bucket:int64, first_doc:int64, last_doc:int64,
+    df_chunk:int32, tf_sum:int64,
+    docs:binary (delta-varint), tfs:binary (varint), dls:binary (varint),
+    block_last:list<int64>, block_max_tf:list<int32>, block_min_dl:list<int32>
+
+``dls`` (per-posting document length) rides with the postings so BM25
+scoring needs no doc-side join; the block upper bound
+``tf_norm(max_tf, min_dl)`` is a valid impact bound because tf_norm is
+monotone increasing in tf and decreasing in dl.
+
+Rows within a part file are sorted by (term, bucket, first_doc) so
+Parquet row-group statistics prune term lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.varint import decode_varint, delta_decode, delta_encode, encode_varint
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("bucket", pa.int64()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("df_chunk", pa.int32()),
+        ("tf_sum", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_doc_off", pa.list_(pa.int32())),
+        ("block_tf_off", pa.list_(pa.int32())),
+        ("block_dl_off", pa.list_(pa.int32())),
+    ]
+)
+
+DEFAULT_BLOCK_SIZE = 128
+
+
+def encode_chunk(
+    term: str,
+    bucket: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> dict:
+    """Encode one doc-ordered (term, bucket) posting chunk into a row dict.
+
+    Delta encoding restarts at every block boundary (first doc of a
+    block is stored raw), so a single block can be decoded without
+    touching the preceding bytes — that is what makes block-max skipping
+    an actual skip and not a decode-then-discard. ``block_*_off`` are
+    byte offsets of each block's start in the three streams.
+    """
+    n = doc_ids.size
+    nblocks = -(-n // block_size)
+    starts = np.arange(nblocks) * block_size
+    ends = np.minimum(starts + block_size, n)
+    doc_parts, tf_parts, dl_parts = [], [], []
+    doc_off = np.zeros(nblocks, dtype=np.int32)
+    tf_off = np.zeros(nblocks, dtype=np.int32)
+    dl_off = np.zeros(nblocks, dtype=np.int32)
+    pos_d = pos_t = pos_l = 0
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        doc_off[i], tf_off[i], dl_off[i] = pos_d, pos_t, pos_l
+        db = encode_varint(delta_encode(doc_ids[s:e]))
+        tb = encode_varint(tfs[s:e])
+        lb = encode_varint(dls[s:e])
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        dl_parts.append(lb)
+        pos_d += len(db)
+        pos_t += len(tb)
+        pos_l += len(lb)
+    return {
+        "term": term,
+        "bucket": int(bucket),
+        "first_doc": int(doc_ids[0]),
+        "last_doc": int(doc_ids[-1]),
+        "df_chunk": int(n),
+        "tf_sum": int(tfs.sum()),
+        "docs": b"".join(doc_parts),
+        "tfs": b"".join(tf_parts),
+        "dls": b"".join(dl_parts),
+        "block_first": doc_ids[starts].astype(np.int64).tolist(),
+        "block_last": doc_ids[ends - 1].astype(np.int64).tolist(),
+        "block_max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32).tolist(),
+        "block_min_dl": np.minimum.reduceat(dls, starts).astype(np.int32).tolist(),
+        "block_doc_off": doc_off.tolist(),
+        "block_tf_off": tf_off.tolist(),
+        "block_dl_off": dl_off.tolist(),
+    }
+
+
+def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block ``i`` of a chunk row dict (columns as python values)."""
+    nb = len(row["block_doc_off"])
+
+    def sl(stream: bytes, offs: list[int]) -> bytes:
+        end = offs[i + 1] if i + 1 < nb else len(stream)
+        return stream[offs[i] : end]
+
+    docs = delta_decode(decode_varint(sl(row["docs"], row["block_doc_off"]))).astype(np.int64)
+    tfs = decode_varint(sl(row["tfs"], row["block_tf_off"])).astype(np.int64)
+    dls = decode_varint(sl(row["dls"], row["block_dl_off"])).astype(np.int64)
+    return docs, tfs, dls
+
+
+def decode_chunk_row(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full chunk row dict → (doc_ids, tfs, dls)."""
+    nb = len(row["block_doc_off"])
+    if nb <= 1:
+        return (
+            delta_decode(decode_varint(row["docs"])).astype(np.int64),
+            decode_varint(row["tfs"]).astype(np.int64),
+            decode_varint(row["dls"]).astype(np.int64),
+        )
+    parts = [decode_block(row, i) for i in range(nb)]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )

@@ -1,0 +1,129 @@
+"""Phase-1 SPIMI stage: tokenize + in-batch combine → posting chunks.
+
+The map-side combiner of the index build (SURVEY.md §7.1 M1/M2). Runs
+as a ``map_batches`` actor pool (analyzer compiled once per actor in
+``__init__``). Each input batch of corpus rows produces one output row
+per distinct ``(term, doc_bucket)`` in the batch — a compressed partial
+posting chunk — NOT one row per (term, doc) triple. This is the partial
+pre-aggregation that keeps the ``groupby(term)`` shuffle small: a
+stopword-like hot term ('import', 'return') contributes one chunk per
+batch instead of one row per occurrence.
+
+Also emits the per-doc metadata pass (:class:`DocMap`) used for the
+docmap sink and the content-sha256 lineage invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.analyzer import Analyzer
+from ..index.segments import POSTINGS_SCHEMA, encode_chunk
+
+
+class TokenizeCombine:
+    """corpus batch (doc_id, <text_col>) → posting-chunk rows.
+
+    Replaces the Lucene analysis + in-memory inversion the reference
+    assumes from OpenSearch (SPIMI: Manning et al. IIR ch. 4).
+    """
+
+    def __init__(
+        self,
+        text_col: str = "content",
+        id_col: str = "doc_id",
+        mode: str = "code",
+        bucket_shift: int = 17,
+        block_size: int = 128,
+        stopwords=None,
+    ):
+        self.analyzer = Analyzer(mode=mode, stopwords=stopwords)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bucket_shift = bucket_shift
+        self.block_size = block_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.id_col].to_numpy().astype(np.int64)
+        term_freqs = self.analyzer.term_freqs
+
+        terms: list[str] = []
+        dids: list[int] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        for did, text in zip(doc_ids, texts):
+            c: Counter = term_freqs(text if text is not None else "")
+            if not c:
+                continue
+            dl = sum(c.values())
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+            dids.extend([did] * len(c))
+            dls.extend([dl] * len(c))
+        if not terms:
+            return POSTINGS_SCHEMA.empty_table()
+
+        term_arr = np.asarray(terms, dtype=object)
+        did_arr = np.asarray(dids, dtype=np.int64)
+        tf_arr = np.asarray(tfs, dtype=np.int64)
+        dl_arr = np.asarray(dls, dtype=np.int64)
+        bucket_arr = did_arr >> self.bucket_shift
+
+        uniq, codes = np.unique(term_arr, return_inverse=True)
+        order = np.lexsort((did_arr, bucket_arr, codes))
+        codes, did_arr = codes[order], did_arr[order]
+        tf_arr, dl_arr, bucket_arr = tf_arr[order], dl_arr[order], bucket_arr[order]
+
+        # run boundaries where (term code, bucket) changes
+        change = np.empty(codes.size, dtype=bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        change[1:] |= bucket_arr[1:] != bucket_arr[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], codes.size)
+
+        rows = [
+            encode_chunk(
+                str(uniq[codes[s]]),
+                int(bucket_arr[s]),
+                did_arr[s:e],
+                tf_arr[s:e],
+                dl_arr[s:e],
+                self.block_size,
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+
+
+class DocMap:
+    """corpus batch → docmap rows (doc_id, metadata, dl, content_sha256).
+
+    The sha256 column is the per-row lineage invariant from
+    BASELINE.json's input_hint — the built index's docmap must carry the
+    exact content hash of the source rows.
+    """
+
+    def __init__(self, text_col: str = "content", id_col: str = "doc_id",
+                 keep_cols=("repo", "path", "commit", "lang")):
+        # NOTE: no tokenization here — doc lengths live inside the
+        # posting chunks (segments.py), so the docmap pass is a cheap
+        # hash-and-project and the corpus text is analyzed exactly once.
+        self.text_col = text_col
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sha = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+        cols = {self.id_col: batch[self.id_col]}
+        for c in self.keep_cols:
+            if c in batch.column_names:
+                cols[c] = batch[c]
+        cols["content_sha256"] = pa.array(sha)
+        return pa.table(cols)

@@ -1,0 +1,115 @@
+"""Index build + query engine vs the brute-force oracle (SURVEY.md §7.1 M2/M3).
+
+Mirrors the reference's test strategy (§5): golden parity on a tiny
+hand-checkable corpus + rank-identical top-k with score tolerance 1e-9
+(the role `SingleStreamModelPerfIT` / mocked SearchResponses play for
+the plugin, with our M0 oracle standing in for OpenSearch)."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.index.build import build_index
+from anomaly_detection_ray.index.oracle import BruteForceIndex
+from anomaly_detection_ray.index.query import QueryEngine
+from anomaly_detection_ray.index.segments import decode_chunk_row, encode_chunk
+
+
+def test_chunk_roundtrip_blocks():
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(100_000, size=1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, 1000).astype(np.int64)
+    dls = rng.integers(10, 500, 1000).astype(np.int64)
+    row = encode_chunk("t", 0, docs, tfs, dls, block_size=128)
+    rd_, rt, rl = decode_chunk_row(row)
+    assert np.array_equal(rd_, docs) and np.array_equal(rt, tfs) and np.array_equal(rl, dls)
+    assert row["block_last"][-1] == docs[-1]
+    assert row["df_chunk"] == 1000
+    assert len(row["block_first"]) == 8
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index(
+        tiny_corpus["paths"], out, slices=2, num_partitions=8, batch_size=64, mode="code"
+    )
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+    return out, manifest, oracle
+
+
+def test_manifest_global_stats(built, tiny_corpus):
+    _, manifest, oracle = built
+    assert manifest["n_docs"] == 200 == oracle.n_docs
+    assert manifest["avgdl"] == pytest.approx(oracle.avgdl)
+    assert manifest["n_terms"] == len(oracle.postings)
+    assert len(manifest["slices"]) == 2
+    for s in manifest["slices"]:
+        for p in s["partitions"]:
+            assert len(p["sha256"]) == 64
+
+
+def test_postings_parity(built):
+    out, _, oracle = built
+    eng = QueryEngine(out)
+    # df of every term matches the oracle exactly
+    for term, plist in oracle.postings.items():
+        assert eng.df(term) == len(plist), term
+    # full postings of a few terms (hot + rare) match doc-by-doc
+    for term in ["import", "return", "merge", "parse", "v3"]:
+        if term not in oracle.postings:
+            continue
+        docs = eng.term_docs(term)
+        assert list(docs) == sorted(oracle.postings[term]), term
+
+
+def test_bm25_rank_identical(built, tiny_corpus):
+    out, _, oracle = built
+    eng = QueryEngine(out)
+    queries = tiny_corpus["queries"]["query"].to_pylist()
+    n_nonempty = 0
+    for q in queries:
+        expected = oracle.bm25_topk(q, k=10)
+        for prune in (False, True):
+            got = eng.bm25_topk(q, k=10, prune=prune)
+            assert [d for d, _ in got] == [d for d, _ in expected], (q, prune)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == pytest.approx(es, abs=1e-9), (q, prune)
+        n_nonempty += bool(expected)
+    assert n_nonempty > 10  # the query set actually exercises scoring
+
+
+def test_conjunctive_parity(built, tiny_corpus):
+    out, _, oracle = built
+    eng = QueryEngine(out)
+    for q in tiny_corpus["queries"]["query"].to_pylist():
+        assert list(eng.conjunctive(q)) == oracle.conjunctive(q), q
+
+
+def test_lineage_sha256_invariant(built, tiny_corpus):
+    """Per-row invariant from BASELINE.json input_hint: the docmap's
+    content_sha256 equals sha256 of the source rows' content."""
+    import hashlib
+
+    out, _, _ = built
+    eng = QueryEngine(out)
+    dm = eng.docmap().to_table().to_pandas().set_index("doc_id").sort_index()
+    src = tiny_corpus["table"].to_pandas().set_index("doc_id").sort_index()
+    assert len(dm) == len(src)
+    expect = src["content"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+    assert (dm["content_sha256"] == expect).all()
+
+
+def test_resume_skips_completed_slices(built, tiny_corpus):
+    out, first, _ = built
+    manifest2 = build_index(
+        tiny_corpus["paths"], out, slices=2, num_partitions=8, batch_size=64, mode="code"
+    )
+    assert all(s["resumed"] for s in manifest2["slices"])
+    # identical lineage after resume
+    a = [p["sha256"] for s in first["slices"] for p in s["partitions"]]
+    b = [p["sha256"] for s in manifest2["slices"] for p in s["partitions"]]
+    assert a == b
