@@ -1,0 +1,92 @@
+"""End-to-end anomaly-detection pipelines — SURVEY.md §3 redesigns.
+
+The reference's realtime-HC interval tick (§3.1), historical batch run
+(§3.2) and deterministic preview (§3.3) all collapse into one Ray Data
+pipeline shape:
+
+    events → window_aggregate (groupby entity+window, §2.A)
+           → normalize features (B1 NaN semantics)
+           → model_id projection (B8: murmur3 entity hash, reference recipe)
+           → groupby(model_id).map_groups(ScoreGroups)   # C1–C4 stateful scoring
+           → results (flat anomaly-result schema)
+
+Transport hops, rate-limited queues, the hash ring, afterKey pagination
+and piece scheduling all disappear — Ray's streaming executor provides
+pipelining, placement and backpressure (SURVEY.md §4 table).
+
+``detect(..., checkpoint_dir=...)`` gives realtime semantics (models
+continue across runs); without it each run is a self-contained
+historical/preview pass (cold start inside the run, deterministic for a
+fixed config.seed).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import DetectorConfig
+from ..functions.hashing import entity_model_id
+from ..stages.scorer import ScoreGroups
+from ..stages.window import normalize_features, window_aggregate
+
+
+def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
+    cats = list(config.category_fields)
+    if not cats:
+        mid = pa.array([config.config_id] * batch.num_rows)
+        return batch.append_column("model_id", mid)
+    # vectorize over unique entity combos: compute the murmur3 id once per
+    # combo, then gather (batches repeat few entities many times)
+    import numpy as np
+
+    cols = [batch[c].to_pylist() for c in cats]
+    combos = list(zip(*cols)) if cols else []
+    uniq: dict[tuple, str] = {}
+    for combo in combos:
+        if combo not in uniq:
+            uniq[combo] = entity_model_id(config.config_id, dict(zip(cats, map(str, combo))))
+    mid = np.asarray([uniq[c] for c in combos], dtype=object)
+    return batch.append_column("model_id", pa.array(mid))
+
+
+def detect(
+    events_ds,
+    config: DetectorConfig,
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    time_range_ms: tuple[int, int] | None = None,
+    concurrency: int | None = None,
+):
+    """events Dataset → anomaly results Dataset (one row per entity-window)."""
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    feats = config.feature_names()
+    agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=time_range_ms)
+    agg = agg.map_batches(
+        lambda b: _add_model_id(normalize_features(b, feats), config),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    results = agg.groupby("model_id").map_groups(
+        ScoreGroups,
+        fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return results
+
+
+def top_anomaly_results(results_ds, config: DetectorConfig, k: int = 10, by: str = "anomaly_grade"):
+    """§2.A13: group results by entity, order by max grade/score, top-k
+    (``SearchTopAnomalyResultTransportAction.java:74-160``)."""
+    from ray.data.aggregate import Max
+
+    keys = list(config.category_fields) or ["model_id"]
+    return (
+        results_ds.groupby(keys)
+        .aggregate(Max(by, alias_name=f"max_{by}"))
+        .sort(f"max_{by}", descending=True)
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Windowed feature aggregation — the query surface of SURVEY.md §2.A6–A8/A11.
+
+Replaces the composite/date_histogram/date_range aggregations the
+reference pushes down to OpenSearch (``ParseUtils.java:338-395,767-824``,
+``CompositeRetriever.java:154-183``) with one Ray Data ``groupby``:
+
+    events → map_batches(window projection, vectorized arithmetic)
+           → groupby(category fields + window_end).aggregate(features)
+
+Window identity matches the reference exactly: fixed tumbling windows of
+``interval``, ``[window_start, window_end)`` with the end exclusive
+(``ParseUtils.java:314-319``), ``window_delay`` shifting the queried
+range, NOT the bucketing (``ResultProcessor.java:424-435``). The
+afterKey/page-size pagination protocol disappears — Ray's streaming
+executor is the pagination.
+
+Feature value semantics follow ``AbstractRetriever.java:140-158``:
+missing aggregate → NaN, ±Inf → NaN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DetectorConfig, FeatureSpec
+
+_BUILTIN_AGGS = {"min", "max", "sum", "avg", "value_count", "cardinality", "percentile"}
+
+
+def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Table:
+    """Vectorized tumbling-window assignment (B2 time alignment:
+    ``dataStart -= dataStart % interval``, ``ADBatchTaskRunner.java:989-991``)."""
+    ts = batch[ts_col]
+    if pa.types.is_timestamp(ts.type):
+        # timestamp → int64 yields the type's native unit; normalize to ms
+        if ts.type.unit == "us":
+            ts_ms = pc.divide(pc.cast(ts, pa.int64()), 1000)
+        elif ts.type.unit == "ns":
+            ts_ms = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
+        else:
+            ts_ms = pc.cast(ts, pa.int64())
+    else:
+        ts_ms = pc.cast(ts, pa.int64())
+    ts_np = ts_ms.to_numpy() if hasattr(ts_ms, "to_numpy") else ts_ms.combine_chunks().to_numpy()
+    start_np = ts_np - ts_np % np.int64(interval_ms)
+    batch = batch.append_column("window_start_ms", pa.array(start_np))
+    return batch.append_column("window_end_ms", pa.array(start_np + np.int64(interval_ms)))
+
+
+def _agg_for(spec: FeatureSpec):
+    from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Sum, Unique
+
+    if spec.agg == "min":
+        return Min(spec.column, alias_name=spec.name)
+    if spec.agg == "max":
+        return Max(spec.column, alias_name=spec.name)
+    if spec.agg == "sum":
+        return Sum(spec.column, alias_name=spec.name)
+    if spec.agg == "avg":
+        return Mean(spec.column, alias_name=spec.name)
+    if spec.agg == "value_count":
+        return Count(spec.column, ignore_nulls=True, alias_name=spec.name)
+    if spec.agg == "cardinality":
+        # exact distinct via Unique + post-count (profile caps it at 10k in
+        # the reference — ProfileRunner.java:271; we keep it exact)
+        return Unique(spec.column, alias_name=f"__uniq_{spec.name}")
+    if spec.agg == "percentile":
+        return Quantile(spec.column, q=spec.percentile, alias_name=spec.name)
+    raise ValueError(f"unsupported aggregation {spec.agg!r}")
+
+
+def window_aggregate(
+    ds,
+    config: DetectorConfig,
+    ts_col: str = "ts",
+    time_range_ms: tuple[int, int] | None = None,
+):
+    """events Dataset → one row per (entities…, window) with feature columns."""
+    interval_ms = config.interval_s * 1000
+    needed = {ts_col, *config.category_fields, *(f.column for f in config.features)}
+    ds = ds.select_columns([c for c in ds.schema().names if c in needed])
+    ds = ds.map_batches(
+        lambda b: add_window_columns(b, ts_col, interval_ms),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if time_range_ms is not None:
+        lo, hi = time_range_ms
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.greater_equal(b["window_start_ms"], lo), pc.less(b["window_end_ms"], hi + 1))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    keys = list(config.category_fields) + ["window_start_ms", "window_end_ms"]
+    aggs = [_agg_for(f) for f in config.features]
+    out = ds.groupby(keys).aggregate(*aggs)
+    card_specs = [f for f in config.features if f.agg == "cardinality"]
+    if card_specs:
+        def finish_cardinality(batch: pa.Table) -> pa.Table:
+            for f in card_specs:
+                lens = pc.cast(pc.list_value_length(batch[f"__uniq_{f.name}"]), pa.int64())
+                batch = batch.drop_columns([f"__uniq_{f.name}"]).append_column(f.name, lens)
+            return batch
+
+        out = out.map_batches(finish_cardinality, batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
+def normalize_features(batch: pa.Table, feature_names: list[str]) -> pa.Table:
+    """B1 semantics: ±Inf → NaN, null → NaN, cast to float64
+    (``AbstractRetriever.java:140-158``)."""
+    for name in feature_names:
+        col = pc.cast(batch[name], pa.float64())
+        arr = col.to_numpy(zero_copy_only=False).copy()
+        arr[~np.isfinite(arr)] = np.nan
+        batch = batch.set_column(batch.column_names.index(name), name, pa.array(arr))
+    return batch
+
+
+def date_range_aggregate(ds, config: DetectorConfig, ranges_ms: list[tuple[int, int]], ts_col: str = "ts"):
+    """A7: N explicit [from, to) buckets + per-feature sub-aggs
+    (``ParseUtils.java:338-395``; used for cold-start samples). Empty
+    ranges are materialized with NaN features by the caller's left join
+    — here only non-empty buckets return rows (same as the engine)."""
+    import pyarrow.compute as pc
+
+    lows = np.asarray([r[0] for r in ranges_ms], dtype=np.int64)
+    highs = np.asarray([r[1] for r in ranges_ms], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = add_window_columns(batch, ts_col, 1)  # ts_ms only; reuse cast logic
+        ts_ms = b["window_start_ms"].to_numpy()
+        idx = np.searchsorted(lows, ts_ms, side="right") - 1
+        ok = (idx >= 0) & (ts_ms < highs[np.clip(idx, 0, len(highs) - 1)])
+        tbl = batch.append_column("range_idx", pa.array(np.where(ok, idx, -1).astype(np.int64)))
+        return tbl.filter(pc.greater_equal(tbl["range_idx"], 0))
+
+    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    keys = list(config.category_fields) + ["range_idx"]
+    return ds.groupby(keys).aggregate(*[_agg_for(f) for f in config.features])

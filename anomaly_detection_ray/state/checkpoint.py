@@ -1,0 +1,60 @@
+"""Model checkpointing — the analogue of ``ADCheckpointDao.java:60-591``.
+
+Models are pickled per model-id under ``checkpoint_dir`` with a JSON
+manifest (sha256, n_points, last_window_end — the lineage the north
+rule asks for). A scoring pass restores each model it touches and
+re-saves after processing, so a second pipeline run over later windows
+continues streams instead of retraining (C6 semantics); restoring and
+reprocessing the same windows is idempotent because out-of-order
+samples are dropped (§2.F ordering rule).
+
+Model ids can contain characters unsafe for filenames, so files are
+keyed by sha256(model_id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+from ..functions.hashing import sha256_hex
+from .model import TRCFModel
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, model_id: str) -> str:
+        return os.path.join(self.root, sha256_hex(model_id)[:32] + ".pkl")
+
+    def load(self, model_id: str) -> TRCFModel | None:
+        p = self._path(model_id)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            state = pickle.load(f)
+        if state.get("model_id") != model_id:
+            return None  # hash-prefix collision — treat as cold start
+        return TRCFModel.from_state(state)
+
+    def save(self, model: TRCFModel) -> dict:
+        p = self._path(model.model_id)
+        state = model.to_state()
+        blob = pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, p)
+        meta = {
+            "model_id": model.model_id,
+            "sha256": sha256_hex(blob),
+            "n_points": model.n_points,
+            "last_window_end": model.last_window_end,
+            "bytes": len(blob),
+        }
+        with open(p + ".json", "w") as f:
+            json.dump(meta, f)
+        return meta

@@ -1,0 +1,265 @@
+"""Layer-B tests: RCF, thresholder, imputation, end-to-end detection.
+
+Quality floors mirror the reference's e2e assertion
+(`SingleStreamModelPerfIT.java:47-53`: precision ≥ 0.4, window recall
+≥ 0.7 on labeled synthetic data) plus exact determinism (preview's
+randomSeed(0) promise)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+from anomaly_detection_ray.functions.imputation import (
+    batch_shingle,
+    fill_missing,
+    linear_uniform_impute,
+    shingle_fill_nearest,
+)
+from anomaly_detection_ray.state.checkpoint import CheckpointStore
+from anomaly_detection_ray.state.model import TRCFModel
+from anomaly_detection_ray.state.rcf import RCForest, RandomCutTree
+from anomaly_detection_ray.state.threshold import ThresholdModel
+
+
+# ---------- imputation (goldens vs LinearUniformImputer.java) ----------
+
+def test_linear_uniform_impute_matches_reference_semantics():
+    # n=1 → constant fill
+    assert np.allclose(linear_uniform_impute([[2.0]], 4), [[2.0]] * 4)
+    # stretch 2→5: endpoints pinned, linear between
+    out = linear_uniform_impute([[0.0], [4.0]], 5)
+    assert np.allclose(out.ravel(), [0, 1, 2, 3, 4])
+    # integer-sensitive rounding (IntegerSensitiveLinearUniformImputerTests)
+    out = linear_uniform_impute([[0.0], [3.0]], 4, integer_sensitive=True)
+    assert np.array_equal(out.ravel(), np.rint(np.asarray([0, 1, 2, 3.0])))
+    # multi-feature stretch 3→5
+    out = linear_uniform_impute([[0.0, 10.0], [2.0, 20.0], [4.0, 30.0]], 5)
+    assert np.allclose(out[:, 0], [0, 1, 2, 3, 4])
+    assert np.allclose(out[:, 1], [10, 15, 20, 25, 30])
+
+
+def test_fill_missing_policies():
+    v = np.array([[1.0], [np.nan], [3.0]])
+    assert np.allclose(fill_missing(v, "zero")[1], 0.0)
+    assert np.allclose(fill_missing(v, "fixed", 9.0)[1], 9.0)
+    assert np.allclose(fill_missing(v, "previous")[1], 1.0)
+    assert np.allclose(fill_missing(v, "linear")[1], 2.0)
+
+
+def test_batch_shingle_shape():
+    pts = np.arange(10, dtype=float).reshape(5, 2)
+    sh = batch_shingle(pts, 3)
+    assert sh.shape == (3, 6)
+    assert np.allclose(sh[0], [0, 1, 2, 3, 4, 5])
+
+
+def test_shingle_fill_nearest():
+    w = [np.array([1.0]), None, np.array([3.0]), np.array([4.0])]
+    filled = shingle_fill_nearest(w, max_missing_rate=0.26, max_neighbor_distance=2)
+    assert filled is not None and filled[1] == 3.0  # tie dist=1 → ceiling neighbor
+    # too many missing → None
+    assert shingle_fill_nearest([None, None, np.array([1.0]), None]) is None
+
+
+# ---------- RCF ----------
+
+def test_tree_counts_and_forget():
+    rng = np.random.default_rng(0)
+    t = RandomCutTree(np.random.default_rng(1))
+    pts = rng.normal(size=(50, 3))
+    for i, p in enumerate(pts):
+        t.insert(p, i)
+        assert t.root.count == i + 1
+    for i in range(25):
+        t.forget(i)
+    assert t.root.count == 25
+    # duplicates absorb and release correctly
+    t2 = RandomCutTree(np.random.default_rng(2))
+    for i in range(5):
+        t2.insert(np.array([1.0, 1.0]), i)
+    assert t2.root.count == 5 and t2.root.is_leaf
+    for i in range(4):
+        t2.forget(i)
+    assert t2.root.count == 1
+
+
+def test_forest_scores_spike_higher():
+    rng = np.random.default_rng(3)
+    f = RCForest(num_trees=20, sample_size=128, seed=7)
+    normal_scores, spike_score = [], None
+    for i in range(300):
+        x = np.array([np.cos(i / 8.0), np.sin(i / 8.0)])
+        normal_scores.append(f.score_and_update(x))
+    spike_score = f.score_and_update(np.array([25.0, -25.0]))
+    assert spike_score > 3 * np.mean(normal_scores[-50:])
+
+
+def test_forest_deterministic():
+    pts = np.random.default_rng(5).normal(size=(100, 2))
+    s1 = [RCForest(10, 64, seed=1).score_and_update for _ in range(1)][0]
+    f1, f2 = RCForest(10, 64, seed=1), RCForest(10, 64, seed=1)
+    a = [f1.score_and_update(p) for p in pts]
+    b = [f2.score_and_update(p) for p in pts]
+    assert a == b
+
+
+# ---------- thresholder ----------
+
+def test_threshold_grade_semantics():
+    m = ThresholdModel(min_score=0.4, p=0.995)
+    for s in np.linspace(0.5, 1.0, 1000):
+        m.update(s)
+    assert m.grade(0.3) == 0.0          # below MIN_SCORE
+    assert m.grade(0.6) == 0.0          # low rank
+    assert m.grade(2.0) == pytest.approx(1.0)  # above everything
+    assert 0.0 < m.grade(0.9999) <= 1.0 or m.grade(0.9999) == 0.0
+    assert m.confidence() == 0.99
+
+
+def test_threshold_downsample_deterministic():
+    m1, m2 = ThresholdModel(max_size=100), ThresholdModel(max_size=100)
+    for s in np.linspace(0, 1, 1000):
+        m1.update(s)
+        m2.update(s)
+    assert m1.rank(0.5) == m2.rank(0.5)
+    m1._flush()
+    assert m1._sorted.size <= 200
+
+
+# ---------- model + checkpoint ----------
+
+def _run_stream(model, n=120, spike_at=(100,), seed=11):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        v = 100 + 50 * np.cos(2 * np.pi * i / 24) + rng.uniform(-2, 2)
+        if i in spike_at:
+            v *= 5
+        r = model.process(np.array([v]), (i + 1) * 600_000)
+        out.append(r)
+    return out
+
+
+def test_model_detects_spike_and_orders():
+    cfg = DetectorConfig(config_id="d1", interval_s=600, shingle_size=8,
+                         features=(FeatureSpec("f0", "value", "avg"),), num_trees=20, sample_size=128)
+    m = TRCFModel(cfg, "d1_model")
+    out = _run_stream(m, 120, spike_at=(100,))
+    scores = [r["anomaly_score"] for r in out]
+    assert max(scores[:31]) == 0.0  # warm-up (first output_after−1 points) emits zero scores
+    assert scores[100] == max(scores)
+    # out-of-order drop
+    assert m.process(np.array([1.0]), 600_000) is None
+    assert m.n_dropped_ooo == 1
+
+
+def test_model_gap_reset_and_impute():
+    cfg = DetectorConfig(config_id="d1", features=(FeatureSpec("f0", "value", "avg"),),
+                         num_trees=5, sample_size=32)
+    m = TRCFModel(cfg, "x")
+    m.process(np.array([1.0]), 600_000)
+    m.process(np.array([1.0]), 600_000 * 5)  # gap of 3 → imputed internally
+    assert m.n_points == 1 + 3 + 1
+    m.process(np.array([1.0]), 600_000 * 20_000)  # giant gap → reset
+    assert m.n_points == 1
+
+
+def test_checkpoint_roundtrip_identical_scoring(tmp_path):
+    """FIXTURES.md F5 checkpoint_roundtrip: serialize → restore →
+    identical scores on the next windows (analogue of the reference's
+    golden checkpoint BWC tests)."""
+    cfg = DetectorConfig(config_id="d1", features=(FeatureSpec("f0", "value", "avg"),),
+                         num_trees=10, sample_size=64)
+    m = TRCFModel(cfg, "m1")
+    _run_stream(m, 80)
+    store = CheckpointStore(str(tmp_path))
+    meta = store.save(m)
+    assert meta["n_points"] == 80 and len(meta["sha256"]) == 64
+    m2 = store.load("m1")
+    cont1 = [m.process(np.array([500.0 + i]), (81 + i) * 600_000) for i in range(10)]
+    cont2 = [m2.process(np.array([500.0 + i]), (81 + i) * 600_000) for i in range(10)]
+    assert [r["anomaly_score"] for r in cont1] == [r["anomaly_score"] for r in cont2]
+
+
+# ---------- end-to-end detector pipeline ----------
+
+@pytest.fixture(scope="module")
+def stream_table():
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    return generate_interval_stream(
+        n_entities=8, n_windows=300, interval_s=600, seed=42,
+        anomaly_prob=0.01, spike_factor=5.0, events_per_window=2,
+    )
+
+
+def _detector_cfg():
+    return DetectorConfig(
+        config_id="det-e2e",
+        interval_s=600,
+        shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",),
+        num_trees=20,
+        sample_size=128,
+    )
+
+
+def test_detect_end_to_end_quality(ray_session, stream_table):
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = _detector_cfg()
+    ds = rd.from_arrow(stream_table)
+    res = detect(ds, cfg, ts_col="ts", concurrency=2).to_pandas()
+    assert {"model_id", "anomaly_score", "anomaly_grade", "window_end_ms"} <= set(res.columns)
+
+    truth = stream_table.to_pandas()
+    ts_ms = truth["ts"].astype("datetime64[ms]").astype("int64")
+    truth["window_end_ms"] = ts_ms // 600_000 * 600_000 + 600_000
+    label = truth.groupby(["entity", "window_end_ms"])["is_anomaly_truth"].any().reset_index()
+    spikes = label[label["is_anomaly_truth"]]
+    assert len(spikes) > 0
+    res = res[res["anomaly_score"] > 0]  # past warm-up
+    flagged = res[res["anomaly_grade"] > 0]
+
+    # window-tolerant evaluation, like the reference's labeled anomaly
+    # WINDOWS (`SingleStreamModelPerfIT.java:107-135`): a flag is a true
+    # positive if within `shingle_size` windows after a labeled spike
+    # (post-spike shingles legitimately contain the anomaly); a spike is
+    # recalled if any flag lands within 2 windows of it.
+    w = 600_000
+    tol = cfg.shingle_size * w
+
+    def near(row, within):
+        s = spikes[spikes["entity"] == row["entity"]]
+        return bool(((row["window_end_ms"] - s["window_end_ms"]).between(0, within)).any())
+
+    tp = flagged.apply(lambda r: near(r, tol), axis=1)
+    precision = tp.mean() if len(flagged) else 0.0
+    recalled = spikes.apply(
+        lambda s: bool(
+            (
+                (flagged["entity"] == s["entity"])
+                & (flagged["window_end_ms"] - s["window_end_ms"]).between(0, 2 * w)
+            ).any()
+        ),
+        axis=1,
+    )
+    recall = recalled.mean()
+    assert precision >= 0.4, f"precision {precision}"
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_detect_deterministic(ray_session, stream_table):
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = _detector_cfg()
+    sort_cols = ["model_id", "window_end_ms"]
+    a = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    b = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
