@@ -1,0 +1,113 @@
+"""Shingling, MinHash, SimHash, winnowing fingerprints — dedup primitives.
+
+Public algorithms: MinHash (Broder 1997), banded LSH (Leskovec/Rajaraman/
+Ullman, *Mining of Massive Datasets* ch. 3), SimHash (Charikar 2002),
+winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003). All deterministic:
+hash family derived from a fixed seed via splitmix-style mixing; no RNG
+at call time. Vectorized over numpy; intended to run inside
+``map_batches`` with per-actor precomputed hash parameters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic vectorized 64-bit mixing."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_U64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_U64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(_U64)
+    return x ^ (x >> np.uint64(31))
+
+
+def token_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """Distinct k-token shingles, joined with single spaces (the exact
+    semantic the SQL oracle mirrors with list_slice + array_to_string)."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return sorted({" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)})
+
+
+def hash_shingles(shingles: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes of shingle strings (FNV-1a, vectorized
+    over bytes via python loop per shingle — shingle counts are small)."""
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _U64)
+        out[i] = h
+    return out
+
+
+class MinHasher:
+    """n_hashes universal-hash minhash signatures over shingle hash sets."""
+
+    def __init__(self, n_hashes: int = 128, seed: int = 42):
+        base = _mix64(np.arange(2 * n_hashes, dtype=np.uint64) + np.uint64(seed * 0x9E37))
+        self.a = (base[:n_hashes] % np.uint64(_MERSENNE - 1)) + np.uint64(1)
+        self.b = base[n_hashes:] % np.uint64(_MERSENNE)
+        self.n_hashes = n_hashes
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if shingle_hashes.size == 0:
+            return np.full(self.n_hashes, _U64, dtype=np.uint64)
+        x = (shingle_hashes % np.uint64(_MERSENNE)).astype(np.uint64)
+        # (a*x + b) mod p, vectorized (n_hashes, n_shingles) via object→u128-safe path
+        prod = (self.a[:, None].astype(object) * x[None, :].astype(object) + self.b[:, None].astype(object)) % _MERSENNE
+        return np.min(np.asarray(prod, dtype=np.uint64), axis=1)
+
+    def band_keys(self, signature: np.ndarray, n_bands: int) -> np.ndarray:
+        """LSH band hashes: (n_bands,) uint64, band i = mix of rows in band."""
+        rows = self.n_hashes // n_bands
+        sig = signature[: n_bands * rows].reshape(n_bands, rows)
+        acc = np.zeros(n_bands, dtype=np.uint64)
+        for j in range(rows):
+            acc = _mix64(acc ^ sig[:, j])
+        return acc
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash(tokens: list[str], n_bits: int = 64) -> int:
+    """Charikar SimHash over token multiset, 64-bit."""
+    if not tokens:
+        return 0
+    hashes = hash_shingles(tokens)
+    bits = ((hashes[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(n_bits):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def winnow_fingerprints(tokens: list[str], k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints: k-gram rolling hashes, minimum per
+    window, rightmost-min tie-break (Schleimer et al. 2003, Fig. 5)."""
+    grams = [" ".join(tokens[i : i + k]) for i in range(max(0, len(tokens) - k + 1))]
+    if not grams:
+        return []
+    hs = hash_shingles(grams).astype(np.uint64)
+    if hs.size <= window:
+        return [int(hs.min())]
+    picks = []
+    for i in range(hs.size - window + 1):
+        w = hs[i : i + window]
+        j = int(np.flatnonzero(w == w.min())[-1]) + i  # rightmost minimum
+        if not picks or picks[-1] != j:
+            picks.append(j)
+    return sorted({int(hs[j]) for j in picks})

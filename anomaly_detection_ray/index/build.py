@@ -185,12 +185,10 @@ def build_slice(
     docmap_dir = os.path.join(slice_dir, "docmap")
     os.makedirs(postings_dir, exist_ok=True)
 
-    if concurrency is None:
-        import ray
+    from ..util import pool
 
-        # size the tokenize actor pool to the session, leaving headroom
-        # for the read and shuffle stages so nothing starves
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    # autoscaling pool: leaves headroom for the read and shuffle stages
+    concurrency = pool(concurrency)
 
     corpus = rd.read_parquet(files, columns=[id_col, text_col])
     n_docs = corpus.count()

@@ -58,10 +58,9 @@ def detect(
     concurrency: int | None = None,
 ):
     """events Dataset → anomaly results Dataset (one row per entity-window)."""
-    if concurrency is None:
-        import ray
+    from ..util import pool
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    concurrency = pool(concurrency)
     feats = config.feature_names()
     agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=time_range_ms)
     agg = agg.map_batches(

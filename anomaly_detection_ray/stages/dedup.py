@@ -1,0 +1,307 @@
+"""Deduplication stages for large-scale training-data pipelines.
+
+Five flavors, each a Ray-Data-first composition (no driver-side loops):
+
+- **exact**: sha256(text) → groupby(hash) → min doc_id + dup count.
+  The hash column keeps the shuffle payload small (never shuffles the
+  text itself); 256-bit hashes make collisions a non-issue.
+- **n-gram Jaccard (exact)**: distinct k-token shingles → explode
+  (shingle, doc) → groupby(shingle) pair generation → groupby(pair)
+  intersection counts → Jaccard via |A∩B| / (|A|+|B|−|A∩B|). Exact and
+  SQL-expressible; pair generation is capped per-shingle by
+  ``max_shingle_df`` (a frequency-stop: a shingle shared by thousands
+  of docs carries no dedup signal but quadratic pair cost — the cap is
+  part of the operator's declared semantics and mirrored in the oracle).
+- **MinHash + LSH**: per-batch signatures → explode (band, band_hash,
+  doc) → groupby bucket → candidate pairs → exact-Jaccard verify.
+  The scale path for near-dup at 10^12 docs (probabilistic recall).
+- **SimHash**: 64-bit sketch per doc; near-dup = hamming ≤ r within
+  LSH buckets on bit-chunks.
+- **embedding cosine**: see stages/ann.py (block matmul).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.analyzer import Analyzer
+from ..util import pool
+from ..functions.minhash import MinHasher, hash_shingles, simhash, token_shingles
+
+
+
+
+# ---------------- exact ----------------
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ one row per distinct text: (doc_id = min id, n_dups)."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.sha256((t or "").encode()).hexdigest() for t in batch[text_col].to_pylist()]
+        return batch.select([id_col]).append_column("text_sha", pa.array(h))
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_sha")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+        .select_columns([id_col, "n_dups"])
+    )
+
+
+# ---------------- n-gram Jaccard (exact) ----------------
+
+class _ShingleExplode:
+    def __init__(self, text_col: str, id_col: str, k: int, mode: str = "simple"):
+        self.analyzer = Analyzer(mode)
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, shingles = [], []
+        for did, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            sh = token_shingles(self.analyzer.tokens(t or ""), self.k)
+            shingles.extend(sh)
+            ids.extend([did] * len(sh))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "shingle": pa.array(shingles)})
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+    concurrency: int | None = None,
+):
+    """→ (doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with
+    df ≤ max_shingle_df, with exact Jaccard ≥ threshold over ALL
+    distinct shingles of both docs."""
+    concurrency = pool(concurrency)
+    sh = ds.map_batches(
+        _ShingleExplode,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    # per-doc distinct-shingle counts (|A|) — small table
+    from ray.data.aggregate import Count
+
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
+    sizes_pd = sizes.to_pandas()
+    import ray
+
+    sizes_ref = ray.put(dict(zip(sizes_pd["doc_id"], sizes_pd["n_shingles"])))
+
+    # pair generation per shingle group (frequency-stopped)
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size < 2 or ids.size > max_shingle_df:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    pairs = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        szs = ray.get(sizes_ref)
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        i = batch["inter"].to_numpy().astype(np.float64)
+        na = np.asarray([szs[x] for x in a], dtype=np.float64)
+        nb = np.asarray([szs[x] for x in b], dtype=np.float64)
+        jac = i / (na + nb - i)
+        out = batch.append_column("jaccard", pa.array(jac))
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], threshold)).select(
+            ["doc_a", "doc_b", "jaccard"]
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------- MinHash + LSH ----------------
+
+class _MinHashBands:
+    def __init__(self, text_col: str, id_col: str, k: int, n_hashes: int, n_bands: int, seed: int):
+        self.analyzer = Analyzer("simple")
+        self.hasher = MinHasher(n_hashes, seed)
+        self.text_col, self.id_col, self.k, self.n_bands = text_col, id_col, k, n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for did, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            sh = hash_shingles(token_shingles(self.analyzer.tokens(t or ""), self.k))
+            sig = self.hasher.signature(sh)
+            bk = self.hasher.band_keys(sig, self.n_bands)
+            ids.extend([did] * self.n_bands)
+            bands.extend(range(self.n_bands))
+            keys.extend(bk.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_key": pa.array(np.asarray(keys, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+
+def minhash_near_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    concurrency: int | None = None,
+):
+    """LSH candidates → exact-Jaccard verification → (doc_a, doc_b, jaccard).
+
+    Verification recomputes true Jaccard on candidate docs' shingle sets
+    (broadcast of the candidate texts — the candidate set is small by
+    construction; at 10^12-doc scale this verify joins back through a
+    bucketed groupby instead)."""
+    concurrency = pool(concurrency)
+    bands = ds.map_batches(
+        _MinHashBands,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, k=k, n_hashes=n_hashes, n_bands=n_bands, seed=seed
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2 or ids.size > 200:  # degenerate bucket guard
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand_pd = (
+        bands.groupby(["band", "band_key"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .to_pandas()  # candidate pairs are small by construction (LSH buckets)
+    )
+    if len(cand_pd):
+        cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    if len(cand_pd) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
+
+    import pyarrow.compute as pc
+
+    needed = pa.array(sorted(set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])), type=pa.int64())
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]).filter(pc.is_in(b[id_col], value_set=needed)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    an = Analyzer("simple")
+    shingle_sets = {
+        int(r[id_col]): set(token_shingles(an.tokens(r[text_col] or ""), k))
+        for _, r in texts.iterrows()
+    }
+    ja = []
+    for _, r in cand_pd.iterrows():
+        a_s, b_s = shingle_sets[int(r["doc_a"])], shingle_sets[int(r["doc_b"])]
+        u = len(a_s | b_s)
+        ja.append(len(a_s & b_s) / u if u else 1.0)
+    cand_pd["jaccard"] = ja
+    out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard"]], preserve_index=False)
+
+
+# ---------------- SimHash ----------------
+
+class _SimHash:
+    def __init__(self, text_col: str, id_col: str):
+        self.analyzer = Analyzer("simple")
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [
+            simhash(self.analyzer.tokens(t or ""))
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "simhash": pa.array(np.asarray(hs, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+
+def simhash_sketch(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None):
+    return ds.map_batches(
+        _SimHash,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+                           concurrency: int | None = None):
+    """Near-dups by SimHash: bucket on each of 4 16-bit chunks (any pair
+    within hamming ≤ 3 of 64 bits shares ≥1 identical chunk when ≤3 bits
+    differ across 4 chunks — pigeonhole), verify hamming inside buckets."""
+    sk = simhash_sketch(ds, text_col, id_col, concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        out_id, out_c, out_k = [], [], []
+        for c in range(4):
+            chunk = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_id.append(ids)
+            out_c.append(np.full(ids.size, c))
+            out_k.append(chunk)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "chunk": pa.array(np.concatenate(out_c), type=pa.int32()),
+                "chunk_key": pa.array(np.concatenate(out_k)),
+                "simhash": pa.array(np.tile(batch["simhash"].to_numpy(), 4)),
+            }
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2 or ids.size > 500:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        x = hs[a] ^ hs[b]
+        ham = np.zeros(x.size, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][m], "doc_b": ids[b][m], "hamming": ham[m]})
+
+    pairs = (
+        sk.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["chunk", "chunk_key"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .to_pandas()  # bucket-verified pairs are small; dedup driver-side
+    )
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    else:
+        pairs = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+        )
+    return pa.Table.from_pandas(pairs.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}), preserve_index=False)

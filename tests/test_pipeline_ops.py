@@ -1,0 +1,218 @@
+"""Training-data-pipeline ops: dedup family, ANN, text analysis, multimodal."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from anomaly_detection_ray.functions.minhash import (
+    MinHasher,
+    hamming64,
+    hash_shingles,
+    jaccard,
+    simhash,
+    token_shingles,
+    winnow_fingerprints,
+)
+from anomaly_detection_ray.functions.textstats import lang_id, token_stats
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+# ---------- pure functions ----------
+
+def test_token_shingles_and_jaccard():
+    t = ["a", "b", "c", "d"]
+    assert token_shingles(t, 3) == ["a b c", "b c d"]
+    assert token_shingles(["a"], 3) == ["a"]
+    assert jaccard({1, 2}, {2, 3}) == pytest.approx(1 / 3)
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(256, seed=1)
+    a = hash_shingles([f"tok{i}" for i in range(100)])
+    b = hash_shingles([f"tok{i}" for i in range(80)])  # true J = 80/100
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - 0.8) < 0.1
+    # deterministic across instances
+    assert np.array_equal(MinHasher(256, seed=1).signature(a), sa)
+
+
+def test_simhash_properties():
+    a = simhash(["the", "quick", "brown", "fox"] * 10)
+    b = simhash(["the", "quick", "brown", "fox"] * 10 + ["jumps"])
+    c = simhash(["completely", "different", "tokens", "here"] * 10)
+    assert hamming64(a, b) < hamming64(a, c)
+    assert a == simhash(["the", "quick", "brown", "fox"] * 10)
+
+
+def test_winnow_fingerprints_deterministic_and_local():
+    t1 = ("alpha beta gamma delta epsilon zeta eta theta " * 5).split()
+    fp1 = winnow_fingerprints(t1)
+    assert fp1 == winnow_fingerprints(list(t1))
+    # shared long run ⇒ shared fingerprints
+    t2 = ["prefix", "words"] + t1
+    assert len(set(fp1) & set(winnow_fingerprints(t2))) > 0
+
+
+def test_textstats_and_langid():
+    st = token_stats(["The cat and the dog", ""])
+    assert st["n_tokens"][0] == 5 and st["n_tokens"][1] == 0
+    assert st["stopword_ratio"][0] == pytest.approx(3 / 5)  # the, and, the
+    assert lang_id(["the cat and the dog is here", "el perro es una mascota", ""]) == ["en", "es", "und"]
+
+
+# ---------- Ray stages vs duckdb oracles ----------
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(DOCS)
+
+
+def test_exact_dedup_matches_sql(docs_ds):
+    from anomaly_detection_ray.stages.dedup import exact_dedup
+
+    got = exact_dedup(docs_ds, "text", "doc_id").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        duckdb.sql(
+            f"SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM '{DOCS}' GROUP BY text ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Hand-built corpus with known near-dups."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [base, base + " extra", "totally different words entirely now", base],
+        }
+    )
+    got = (
+        ngram_jaccard_pairs(rd.from_arrow(docs), threshold=0.5, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 3) in pairs and (0, 1) in pairs and (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+    exact = got[(got["doc_a"] == 0) & (got["doc_b"] == 3)]["jaccard"].iloc[0]
+    assert exact == pytest.approx(1.0)
+
+
+def test_minhash_near_dup_finds_planted(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import minhash_near_dup_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    rng = np.random.default_rng(0)
+    texts = [" ".join(rng.permutation(words).tolist()) for _ in range(20)]
+    texts.append(texts[0])  # exact dup of doc 0 → J=1
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    got = minhash_near_dup_pairs(rd.from_arrow(docs), threshold=0.8, concurrency=2)
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    assert (0, 20) in pairs
+
+
+def test_simhash_near_dup(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [base, base, " ".join(f"other{i}" for i in range(60))],  # 0≡1 exact dup
+        }
+    )
+    got = simhash_near_dup_pairs(rd.from_arrow(docs), max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_cosine_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.ann import cosine_topk
+
+    ds = rd.read_parquet(EMB)
+    tbl = ds.to_pandas()
+    mat = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    got = cosine_topk(ds, q[None, :], k=10, concurrency=2)
+    # numpy oracle
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    order = np.lexsort((tbl["vec_id"].to_numpy(), -sims))[:10]
+    assert got["vec_id"].tolist() == tbl["vec_id"].to_numpy()[order].tolist()
+    assert np.allclose(got["cosine"].to_numpy(), sims[order], atol=1e-12)
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.ann import cosine_topk, ivf_cosine_topk, train_centroids
+
+    ds = rd.read_parquet(EMB)
+    tbl = ds.to_pandas()
+    mat = np.vstack(tbl["embedding"].to_numpy()).astype(np.float64)
+    cent = train_centroids(mat[:200], n_cells=8, seed=3)
+    q = mat[5][None, :]
+    bf = cosine_topk(ds, q, k=10, concurrency=2)
+    ivf_all = ivf_cosine_topk(ds, q, cent, nprobe=8, k=10, concurrency=2)
+    assert bf["vec_id"].tolist() == ivf_all["vec_id"].tolist()
+    # partial probe returns a subset ranking but still k rows
+    ivf_p = ivf_cosine_topk(ds, q, cent, nprobe=2, k=10, concurrency=2)
+    assert len(ivf_p) == 10
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(30, 8))
+    base[7] = base[3] + 1e-6  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), type=pa.int64()),
+            "embedding": pa.array([list(r) for r in base], type=pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_near_dup_pairs(rd.from_arrow(tbl), threshold=0.999, concurrency=2).to_pandas()
+    assert (3, 7) in set(zip(got["vec_a"], got["vec_b"]))
+
+
+def test_multimodal_decode_stub(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.multimodal import DecodeStub, decode_features, synthesize_media_table
+
+    media = synthesize_media_table(32, seed=9)
+    out = decode_features(rd.from_arrow(media), fake=True, batch_size=8, concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic: same payload → same features
+    out2 = decode_features(rd.from_arrow(media), fake=True, batch_size=8, concurrency=2).to_pandas()
+    a = out.sort_values("media_id")["features"].map(tuple).tolist()
+    b = out2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)
