@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (registry in ``anomaly_detection_ray/pipelines/queries.py``);
+``oracle_sql()`` holds the DuckDB-equivalent SQL for each
+SQL-expressible one (same column names, same rounding). Non-SQL ops
+(RCF scoring, MinHash/SimHash/winnowing sketches, media decode,
+imputation) are registered without an oracle → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,231 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.functions.textstats import LANG_PROFILES, QUALITY_STOPWORDS
+from anomaly_detection_ray.pipelines.queries import (
+    BM25_QUERY,
+    CONJ_TERMS,
+    DAY_MS,
+    EPOCH_2024,
+    IVF_QUERY_VEC_ID,
+    REGISTRY,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (SPIMI
+    + salted merge + manifests) and run the BM25 top-k query — the
+    north-rule pipeline end to end."""
+    from anomaly_detection_ray.pipelines.queries import q_bm25_topk
+
+    return q_bm25_topk(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return dict(REGISTRY)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _bm25_sql() -> str:
+    terms = sorted(set(Analyzer("simple").tokens(BM25_QUERY)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT sum(dl) FROM dl) AS total),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({inlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN ({inlist}) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total * 1.0 / s.n_docs))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, rank, score_r FROM (
+  SELECT doc_id, round(score, 6) AS score_r,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n  ".join(
+        f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
+        for lang, words in LANG_PROFILES
+    )
+    langs = [lang for lang, _ in LANG_PROFILES]
+    greatest = f"greatest({', '.join(langs)})"
+    case = " ".join(f"WHEN {lang} = {greatest} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id, CASE WHEN {greatest} = 0 THEN 'und' {case} END AS lang_pred
+FROM h ORDER BY doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    return """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents WHERE doc_id % 10 = 0),
+idx AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+                                   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE list_transform(generate_series(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM idx),
+dfq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b USING (shingle) JOIN dfq USING (shingle)
+         WHERE dfq.c <= 50 AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.01
+ORDER BY doc_a, doc_b
+"""
+
+
+def _ann_sql(query_vec_id: int) -> str:
+    # NOTE: duckdb's list_cosine_similarity computes in float32 even for
+    # DOUBLE[] inputs (≈1e-7 noise → flips 6-dp rounding); spell the dot
+    # product out in double precision instead.
+    return f"""
+WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+q AS (SELECT i, v FROM x WHERE vec_id = {query_vec_id}),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM x GROUP BY vec_id),
+dots AS (SELECT x.vec_id, sum(x.v * q.v) AS d FROM x JOIN q ON x.i = q.i GROUP BY x.vec_id),
+s AS (SELECT d.vec_id, d.d / (norms.n * (SELECT n FROM qn)) AS c
+      FROM dots d JOIN norms ON norms.vec_id = d.vec_id)
+SELECT rank, vec_id, cosine_r FROM (
+  SELECT vec_id, round(c, 6) AS cosine_r,
+         row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rank FROM s) t
+WHERE rank <= 10 ORDER BY rank
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    conj_a, conj_b = CONJ_TERMS
+    stop_list = ", ".join(repr(w) for w in sorted(QUALITY_STOPWORDS))
+    r0l, r0h = EPOCH_2024, EPOCH_2024 + DAY_MS
+    r1l, r1h = EPOCH_2024 + DAY_MS, EPOCH_2024 + 2 * DAY_MS
+    r2l, r2h = EPOCH_2024 + 2 * DAY_MS, EPOCH_2024 + 4 * DAY_MS
+    return {
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "min_max_time": """
+SELECT CAST(epoch_ms(min(ts)) AS BIGINT) AS min_ts_ms,
+       CAST(epoch_ms(max(ts)) AS BIGINT) AS max_ts_ms
+FROM events
+""",
+        "feature_agg_interval": """
+WITH e AS (SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) // 600000 * 600000 AS window_start_ms, value FROM events)
+SELECT event_type, window_start_ms, window_start_ms + 600000 AS window_end_ms,
+       round(min(value), 6) AS f_min, round(max(value), 6) AS f_max,
+       round(sum(value), 6) AS f_sum, round(avg(value), 6) AS f_avg,
+       count(value) AS f_count
+FROM e GROUP BY event_type, window_start_ms ORDER BY event_type, window_start_ms
+""",
+        "date_range_agg": f"""
+WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS t, value FROM events),
+b AS (SELECT CASE WHEN t >= {r0l} AND t < {r0h} THEN 0
+                  WHEN t >= {r1l} AND t < {r1h} THEN 1
+                  WHEN t >= {r2l} AND t < {r2h} THEN 2
+                  ELSE -1 END AS range_idx, value FROM e)
+SELECT range_idx, round(avg(value), 6) AS f_avg, count(value) AS f_count
+FROM b WHERE range_idx >= 0 GROUP BY range_idx ORDER BY range_idx
+""",
+        "top_entities": """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+""",
+        "entity_cardinality": """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        "value_percentile": """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50 FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        "interval_suggest": """
+WITH s AS (SELECT DISTINCT CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
+d AS (SELECT t - lag(t) OVER (ORDER BY t) AS g FROM s)
+SELECT round(median(g), 1) AS median_gap_ms FROM d WHERE g IS NOT NULL
+""",
+        "shingle_density": """
+WITH w AS (SELECT DISTINCT event_type, CAST(epoch_ms(ts) AS BIGINT) // 600000 * 600000 AS ws FROM events),
+c AS (SELECT event_type,
+             count(*) OVER (PARTITION BY event_type ORDER BY ws
+                            RANGE BETWEEN 4200000 PRECEDING AND CURRENT ROW) AS cnt
+      FROM w)
+SELECT event_type, count(CASE WHEN cnt = 8 THEN 1 END) AS n_full_shingles
+FROM c GROUP BY event_type ORDER BY event_type
+""",
+        "bm25_topk": _bm25_sql(),
+        "term_filter_conjunctive": f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')
+ORDER BY doc_id
+""",
+        "term_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
+""",
+        "doc_token_stats": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END, 6) AS mean_token_len,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains([{stop_list}], x))) * 1.0 / len(toks) END, 6) AS stopword_ratio
+FROM t ORDER BY doc_id
+""",
+        "lang_id": _lang_id_sql(),
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+GROUP BY text ORDER BY doc_id
+""",
+        "ngram_jaccard_dup": _jaccard_sql(),
+        "ann_cosine_topk": _ann_sql(0),
+        "ann_ivf_topk": _ann_sql(IVF_QUERY_VEC_ID),
+        "embedding_near_dup": """
+WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM x GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS d
+         FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+c AS (SELECT va AS vec_a, vb AS vec_b, d / (na.n * nb.n) AS cos
+      FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine_r FROM c
+WHERE cos >= 0.4 ORDER BY vec_a, vec_b
+""",
+        # minhash_near_dup, simhash_sketch, winnow_fingerprints,
+        # detect_anomalies, top_anomaly_results, impute_linear,
+        # media_decode: non-SQL-expressible → rows-only checks.
+    }

@@ -163,7 +163,7 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embeddi
         lambda b: b.select([id_col, vec_col]), batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     ids_all = full[id_col].to_numpy()
-    mat_all = _normalize(np.vstack(full[vec_col].to_numpy()))
+    mat_all = _normalize(np.vstack(full[vec_col].to_numpy()).astype(np.float64))
     mref = ray.put((ids_all, mat_all))
 
     class Pairs:

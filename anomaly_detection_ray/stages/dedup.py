@@ -69,6 +69,45 @@ class _ShingleExplode:
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "shingle": pa.array(shingles)})
 
 
+def _verify_pairs_exact(ds, cand_pd: pd.DataFrame, text_col: str, id_col: str, k: int,
+                        threshold: float) -> pa.Table:
+    """Exact-Jaccard verification of candidate pairs over the docs' FULL
+    distinct-shingle sets. Fetches only the candidate docs' texts
+    (vectorized is_in filter — the candidate set is small by
+    construction; at 10^12-doc scale this verify joins back through a
+    bucketed groupby instead of a driver-side fetch)."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())}
+    )
+    if len(cand_pd) == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    needed = pa.array(sorted(set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])), type=pa.int64())
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]).filter(pc.is_in(b[id_col], value_set=needed)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    an = Analyzer("simple")
+    shingle_sets = {
+        int(r[id_col]): set(token_shingles(an.tokens(r[text_col] or ""), k))
+        for _, r in texts.iterrows()
+    }
+    ja = []
+    for _, r in cand_pd.iterrows():
+        a_s, b_s = shingle_sets[int(r["doc_a"])], shingle_sets[int(r["doc_b"])]
+        u = len(a_s | b_s)
+        ja.append(len(a_s & b_s) / u if u else 1.0)
+    cand_pd = cand_pd.copy()
+    cand_pd["jaccard"] = ja
+    out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
+    if len(out) == 0:
+        return empty
+    out = out.astype({"doc_a": "int64", "doc_b": "int64"})
+    return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard"]], preserve_index=False)
+
+
 def ngram_jaccard_pairs(
     ds,
     text_col: str = "text",
@@ -78,9 +117,10 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 50,
     concurrency: int | None = None,
 ):
-    """→ (doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with
-    df ≤ max_shingle_df, with exact Jaccard ≥ threshold over ALL
-    distinct shingles of both docs."""
+    """→ (doc_a, doc_b, jaccard): candidate pairs share ≥1 shingle with
+    df ≤ max_shingle_df (the frequency-stop — hot shingles carry no
+    dedup signal but quadratic pair cost), then exact Jaccard over the
+    docs' FULL distinct-shingle sets, kept when ≥ threshold."""
     concurrency = pool(concurrency)
     sh = ds.map_batches(
         _ShingleExplode,
@@ -90,16 +130,7 @@ def ngram_jaccard_pairs(
         concurrency=concurrency,
     )
 
-    # per-doc distinct-shingle counts (|A|) — small table
-    from ray.data.aggregate import Count
-
-    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
-    sizes_pd = sizes.to_pandas()
-    import ray
-
-    sizes_ref = ray.put(dict(zip(sizes_pd["doc_id"], sizes_pd["n_shingles"])))
-
-    # pair generation per shingle group (frequency-stopped)
+    # candidate generation per shingle group (frequency-stopped)
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
         if ids.size < 2 or ids.size > max_shingle_df:
@@ -107,25 +138,10 @@ def ngram_jaccard_pairs(
         a, b = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
-    pairs = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        szs = ray.get(sizes_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
-        i = batch["inter"].to_numpy().astype(np.float64)
-        na = np.asarray([szs[x] for x in a], dtype=np.float64)
-        nb = np.asarray([szs[x] for x in b], dtype=np.float64)
-        jac = i / (na + nb - i)
-        out = batch.append_column("jaccard", pa.array(jac))
-        import pyarrow.compute as pc
-
-        return out.filter(pc.greater_equal(out["jaccard"], threshold)).select(
-            ["doc_a", "doc_b", "jaccard"]
-        )
-
-    return inter.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    cand_pd = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas").to_pandas()
+    if len(cand_pd):
+        cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _verify_pairs_exact(ds, cand_pd, text_col, id_col, k, threshold)
 
 
 # ---------------- MinHash + LSH ----------------
@@ -196,30 +212,7 @@ def minhash_near_dup_pairs(
     )
     if len(cand_pd):
         cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    if len(cand_pd) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard": pa.array([], pa.float64())})
-
-    import pyarrow.compute as pc
-
-    needed = pa.array(sorted(set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])), type=pa.int64())
-    texts = ds.map_batches(
-        lambda b: b.select([id_col, text_col]).filter(pc.is_in(b[id_col], value_set=needed)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    an = Analyzer("simple")
-    shingle_sets = {
-        int(r[id_col]): set(token_shingles(an.tokens(r[text_col] or ""), k))
-        for _, r in texts.iterrows()
-    }
-    ja = []
-    for _, r in cand_pd.iterrows():
-        a_s, b_s = shingle_sets[int(r["doc_a"])], shingle_sets[int(r["doc_b"])]
-        u = len(a_s | b_s)
-        ja.append(len(a_s & b_s) / u if u else 1.0)
-    cand_pd["jaccard"] = ja
-    out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
-    return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard"]], preserve_index=False)
+    return _verify_pairs_exact(ds, cand_pd, text_col, id_col, k, threshold)
 
 
 # ---------------- SimHash ----------------
