@@ -39,6 +39,13 @@ _WORD_RUN = re.compile(r"[A-Za-z0-9_]+")
 # camelCase boundaries: lower|digit → Upper, and Upper → Upper+lower
 # (acronym end): "parseHTTPResponse" → parse | HTTP | Response
 _CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+# Single-pass code tokenizer (THE code-mode spec; the run-extract +
+# snake-split + camel-split formulation is equivalent on real
+# identifiers): pieces are acronyms with optional trailing digits
+# (``HTTP``, ``KT3``) not running into a Titlecase word, Titlecase
+# words (``Response``, ``C9``), or lower/digit runs (``utf8``).
+# '_' and punctuation separate naturally.
+_CODE_TOKEN = re.compile(r"[A-Z]{2,}[0-9]*(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
 
 
 class Analyzer:
@@ -58,14 +65,7 @@ class Analyzer:
         if self.mode == "simple":
             toks = _SIMPLE_TOKEN.findall(text.lower())
         else:
-            toks = []
-            for run in _WORD_RUN.findall(text):
-                for part in run.split("_"):
-                    if not part:
-                        continue
-                    for piece in _CAMEL.split(part):
-                        if piece:
-                            toks.append(piece.lower())
+            toks = [t.lower() for t in _CODE_TOKEN.findall(text)]
         if self.stopwords:
             sw = self.stopwords
             toks = [t for t in toks if t not in sw]
@@ -76,6 +76,14 @@ class Analyzer:
         return [tk(t) for t in texts]
 
     def term_freqs(self, text: str) -> Counter:
+        if self.mode == "code" and not self.stopwords:
+            # count raw tokens first, lowercase only the distinct ones —
+            # O(unique) lowering instead of O(tokens) (index-build hot path)
+            raw = Counter(_CODE_TOKEN.findall(text))
+            out: Counter = Counter()
+            for tok, n in raw.items():
+                out[tok.lower()] += n
+            return out
         return Counter(self.tokens(text))
 
 

@@ -33,33 +33,31 @@ def token_shingles(tokens: list[str], k: int = 3) -> list[str]:
 
 
 def hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of shingle strings (FNV-1a, vectorized
-    over bytes via python loop per shingle — shingle counts are small)."""
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _U64)
-        out[i] = h
-    return out
+    """Deterministic vectorized 64-bit hashes of shingle strings
+    (pandas' fixed-key SipHash — stable across processes/nodes)."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False).astype(np.uint64)
 
 
 class MinHasher:
-    """n_hashes universal-hash minhash signatures over shingle hash sets."""
+    """n_hashes minhash signatures over shingle hash sets.
+
+    Hash family: h_i(x) = splitmix64(x ⊕ seed_i) — each seed acts as an
+    independent pseudorandom permutation of the 64-bit space (wrapping
+    uint64 arithmetic, fully vectorized; no bigint modmul)."""
 
     def __init__(self, n_hashes: int = 128, seed: int = 42):
-        base = _mix64(np.arange(2 * n_hashes, dtype=np.uint64) + np.uint64(seed * 0x9E37))
-        self.a = (base[:n_hashes] % np.uint64(_MERSENNE - 1)) + np.uint64(1)
-        self.b = base[n_hashes:] % np.uint64(_MERSENNE)
+        self.seeds = _mix64(np.arange(n_hashes, dtype=np.uint64) + np.uint64(seed * 0x9E37 + 1))
         self.n_hashes = n_hashes
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
         if shingle_hashes.size == 0:
             return np.full(self.n_hashes, _U64, dtype=np.uint64)
-        x = (shingle_hashes % np.uint64(_MERSENNE)).astype(np.uint64)
-        # (a*x + b) mod p, vectorized (n_hashes, n_shingles) via object→u128-safe path
-        prod = (self.a[:, None].astype(object) * x[None, :].astype(object) + self.b[:, None].astype(object)) % _MERSENNE
-        return np.min(np.asarray(prod, dtype=np.uint64), axis=1)
+        x = shingle_hashes.astype(np.uint64)[None, :] ^ self.seeds[:, None]
+        return _mix64(x).min(axis=1)
 
     def band_keys(self, signature: np.ndarray, n_bands: int) -> np.ndarray:
         """LSH band hashes: (n_bands,) uint64, band i = mix of rows in band."""

@@ -16,6 +16,32 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7 bits-per-byte, rounded up
 
 
+def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return per-value byte counts so callers can
+    slice the stream into sub-ranges (one encode call per batch instead
+    of one per posting run — the index-build hot path)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbytes = np.maximum(1, -(-nbits // 7))
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        sel = nbytes > j
+        chunk = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[sel] > j + 1).astype(np.uint8) << 7
+        out[offsets[sel] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), nbytes
+
+
 def encode_varint(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative integers."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

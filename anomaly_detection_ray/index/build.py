@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import hash_strings, sha256_file
 from ..stages.tokenize import DocMap, TokenizeCombine
-from .segments import DEFAULT_BLOCK_SIZE, POSTINGS_SCHEMA, decode_chunk_row, encode_chunk
+from .segments import DEFAULT_BLOCK_SIZE
 
 MANIFEST_NAME = "manifest.json"
 
@@ -87,34 +87,69 @@ def merge_partition(
             meta["resumed"] = True
             return pa.Table.from_pylist([_manifest_row(meta)])
 
-    group = group.sort_by([("term", "ascending"), ("bucket", "ascending"), ("first_doc", "ascending")])
-    terms = group["term"].to_pylist()
-    buckets = group["bucket"].to_numpy()
-    rows_py = group.select(
-        ["docs", "tfs", "dls", "block_doc_off", "block_tf_off", "block_dl_off"]
-    ).to_pylist()
+    # ---- fully vectorized merge: phase-1 chunks are single-block rows,
+    # so all three varint streams of the whole partition decode in ONE
+    # pass each; groupwise cumsum rebuilds absolute doc ids; a single
+    # lexsort orders every posting by (term, bucket, doc); the bulk
+    # encoder writes the final doc-ordered rows. No per-posting Python.
+    import pyarrow.compute as pc
 
-    out_rows = []
-    i, n = 0, len(terms)
-    while i < n:
-        j = i
-        while j < n and terms[j] == terms[i] and buckets[j] == buckets[i]:
-            j += 1
-        parts = [decode_chunk_row(rows_py[x]) for x in range(i, j)]
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        if docs.size > 1 and (np.diff(docs) == 0).any():
-            raise ValueError(f"duplicate doc_id in postings for term {terms[i]!r}")
-        out_rows.append(encode_chunk(terms[i], int(buckets[i]), docs, tfs, dls, block_size))
-        i = j
+    if pc.max(pc.list_value_length(group["block_doc_off"])).as_py() > 1:
+        raise ValueError("merge_partition expects single-block phase-1 chunks")
+    terms_arr = np.asarray(group["term"].to_pylist(), dtype=object)
+    ucodes, codes = np.unique(terms_arr, return_inverse=True)
+    buckets_arr = group["bucket"].to_numpy()
+    df_chunk = group["df_chunk"].to_numpy().astype(np.int64)
+    row_starts = np.concatenate(([0], np.cumsum(df_chunk)))[:-1]
 
-    tbl = pa.Table.from_pylist(out_rows, schema=POSTINGS_SCHEMA)
+    from ..functions.varint import decode_varint
+
+    def cat(col: str) -> np.ndarray:
+        return decode_varint(b"".join(group[col].to_pylist()))
+
+    deltas = cat("docs")
+    tfs_all = cat("tfs").astype(np.int64)
+    dls_all = cat("dls").astype(np.int64)
+    if deltas.size != int(df_chunk.sum()):
+        raise ValueError("posting stream length mismatch — corrupt phase-1 chunk")
+    # groupwise cumsum: absolute doc = running delta sum reset per chunk row
+    c = np.cumsum(deltas)
+    base = np.repeat(c[row_starts] - deltas[row_starts], df_chunk)
+    docs_all = (c - base).astype(np.int64)
+
+    code_all = np.repeat(codes, df_chunk)
+    bucket_all = np.repeat(buckets_arr, df_chunk)
+    order = np.lexsort((docs_all, bucket_all, code_all))
+    docs_all, tfs_all, dls_all = docs_all[order], tfs_all[order], dls_all[order]
+    code_all, bucket_all = code_all[order], bucket_all[order]
+
+    change = np.empty(code_all.size, dtype=bool)
+    change[0] = True
+    np.not_equal(code_all[1:], code_all[:-1], out=change[1:])
+    change[1:] |= bucket_all[1:] != bucket_all[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], code_all.size)
+    same = np.zeros(code_all.size, dtype=bool)
+    same[1:] = (docs_all[1:] == docs_all[:-1]) & ~change[1:]
+    if same.any():
+        raise ValueError("duplicate doc_id in postings — corrupt input")
+
+    from .segments import encode_rows_batched
+
+    tbl = encode_rows_batched(
+        ucodes[code_all[starts]].astype(object),
+        bucket_all[starts],
+        docs_all,
+        tfs_all,
+        dls_all,
+        starts,
+        ends,
+        block_size,
+    )
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(tbl, tmp, row_group_size=4096)
     os.replace(tmp, path)
+    terms = terms_arr  # for the manifest fields below
 
     meta = {
         "kh": kh,
@@ -185,13 +220,17 @@ def build_slice(
     docmap_dir = os.path.join(slice_dir, "docmap")
     os.makedirs(postings_dir, exist_ok=True)
 
-    from ..util import pool
+    if concurrency is None:
+        import ray
 
-    # autoscaling pool: leaves headroom for the read and shuffle stages
-    concurrency = pool(concurrency)
+        # fixed-size pool sized to the session (autoscaling ramps too
+        # slowly for a build-shaped burst), minus headroom for the read
+        # and shuffle stages
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
 
+    # doc count from parquet footers — no Ray execution needed
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
     corpus = rd.read_parquet(files, columns=[id_col, text_col])
-    n_docs = corpus.count()
 
     tok_kwargs = dict(
         text_col=text_col, id_col=id_col, mode=mode, bucket_shift=bucket_shift, block_size=block_size
@@ -209,26 +248,36 @@ def build_slice(
         zero_copy_batch=True,
     )
 
-    manifest_rows = (
-        chunks.groupby("kh")
-        .map_groups(
-            partial(merge_partition, out_dir=postings_dir, block_size=block_size),
-            batch_format="pyarrow",
+    def run_postings():
+        return (
+            chunks.groupby("kh")
+            .map_groups(
+                partial(merge_partition, out_dir=postings_dir, block_size=block_size),
+                batch_format="pyarrow",
+            )
+            .take_all()
         )
-        .take_all()
-    )
 
-    # docmap + lineage pass (projection only — content analyzed once, above)
-    meta_cols = [id_col, text_col] + [c for c in keep_cols]
-    avail = set(pq.read_schema(files[0]).names)
-    meta_cols = [c for c in meta_cols if c in avail]
-    rd.read_parquet(files, columns=meta_cols).map_batches(
-        DocMap,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, keep_cols=keep_cols),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    ).write_parquet(docmap_dir)
+    def run_docmap():
+        # docmap + lineage pass (projection only — content analyzed once)
+        meta_cols = [id_col, text_col] + [c for c in keep_cols]
+        avail = set(pq.read_schema(files[0]).names)
+        cols = [c for c in meta_cols if c in avail]
+        docmap = DocMap(text_col=text_col, id_col=id_col, keep_cols=keep_cols)
+        rd.read_parquet(files, columns=cols).map_batches(
+            docmap,  # stateless → plain task pool, no actor startup cost
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(docmap_dir)
+
+    # the two sinks share no state → overlap their executions
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_postings = ex.submit(run_postings)
+        fut_docmap = ex.submit(run_docmap)
+        manifest_rows = fut_postings.result()
+        fut_docmap.result()
 
     total_tokens = int(sum(r["tf_sum"] for r in manifest_rows))
     manifest = {
@@ -273,12 +322,25 @@ def build_index(
         for i, m in enumerate(slice_manifests)
         for p in m["partitions"]
     )
-    stats = (
-        rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
-        .groupby("term")
-        .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
-    )
-    stats_tbl = stats.to_pandas()
+    total_bytes = sum(os.path.getsize(f) for f in posting_files)
+    if total_bytes < 512 * 1024 * 1024:
+        # small index → driver-side aggregation is instant; the Ray
+        # groupby below is the path for indexes that don't fit one node
+        import pandas as pd
+
+        stats_tbl = (
+            pa.concat_tables(pq.read_table(f, columns=["term", "df_chunk", "tf_sum"]) for f in posting_files)
+            .to_pandas()
+            .groupby("term", as_index=False)
+            .agg(df=("df_chunk", "sum"), cttf=("tf_sum", "sum"))
+        )
+    else:
+        stats = (
+            rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
+            .groupby("term")
+            .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
+        )
+        stats_tbl = stats.to_pandas()
     stats_tbl = stats_tbl.sort_values("term").reset_index(drop=True)
     stats_path = os.path.join(out_dir, "stats.parquet")
     pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), stats_path)

@@ -69,7 +69,19 @@ class QueryEngine:
         self.avgdl = float(self.manifest["avgdl"])
         self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
         files = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "postings", "part-*.parquet")))
-        self._postings = pads.dataset(files, format="parquet")
+        self._files = files
+        self._datasets = [pads.dataset(f, format="parquet") for f in files]
+        # Term dictionary: term → [(file_idx, row_idx)] built once from the
+        # term columns (the in-memory dictionary a serving actor holds; the
+        # chunk payloads stay on disk and are fetched row-wise via take()).
+        self._term_locs: dict[str, list[tuple[int, int]]] = {}
+        for fi, f in enumerate(files):
+            import pyarrow.parquet as pq
+
+            terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+            locs = self._term_locs
+            for ri, t in enumerate(terms):
+                locs.setdefault(t, []).append((fi, ri))
         stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
         self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_numpy()))
         docmap = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "docmap", "*.parquet")))
@@ -81,9 +93,14 @@ class QueryEngine:
         return int(self._df.get(term, 0))
 
     def chunks_for(self, terms: list[str]) -> pa.Table:
-        if not terms:
-            return self._postings.schema.empty_table()
-        return self._postings.to_table(filter=pc.field("term").isin(terms))
+        by_file: dict[int, list[int]] = {}
+        for t in terms:
+            for fi, ri in self._term_locs.get(t, ()):
+                by_file.setdefault(fi, []).append(ri)
+        if not by_file:
+            return self._datasets[0].schema.empty_table() if self._datasets else pa.table({})
+        parts = [self._datasets[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
+        return pa.concat_tables(parts)
 
     def _term_rows(self, chunks: pa.Table) -> dict[str, list[dict]]:
         by_term: dict[str, list[dict]] = {}

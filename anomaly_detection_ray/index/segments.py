@@ -117,6 +117,76 @@ def encode_chunk(
     }
 
 
+def encode_rows_batched(
+    terms: np.ndarray,
+    buckets: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> pa.Table:
+    """Vectorized bulk encoder: one POSTINGS_SCHEMA row per run
+    ``[starts[r], ends[r])`` of the (doc-ordered) posting arrays.
+    All runs share three varint streams (one encode call per column);
+    per-run/per-block byte ranges come from size cumsums; list columns
+    are built zero-copy with ``ListArray.from_arrays``. This is the
+    phase-2 merge hot path — no per-posting Python."""
+    from ..functions.varint import encode_varint_with_sizes
+
+    R = starts.size
+    run_lens = ends - starts
+    nblocks = -(-run_lens // block_size)
+    total_blocks = int(nblocks.sum())
+    first_block_of_run = np.concatenate(([0], np.cumsum(nblocks)))
+    run_of_block = np.repeat(np.arange(R), nblocks)
+    blk_in_run = np.arange(total_blocks) - first_block_of_run[run_of_block]
+    bstarts = starts[run_of_block] + blk_in_run * block_size
+    bends = np.minimum(bstarts + block_size, ends[run_of_block])
+
+    deltas = np.empty_like(docs, dtype=np.uint64)
+    d64 = docs.astype(np.uint64)
+    deltas[1:] = d64[1:] - d64[:-1]
+    deltas[bstarts] = d64[bstarts]  # delta restarts at every block start
+    doc_stream, doc_sz = encode_varint_with_sizes(deltas)
+    tf_stream, tf_sz = encode_varint_with_sizes(tfs.astype(np.uint64))
+    dl_stream, dl_sz = encode_varint_with_sizes(dls.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_sz)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_sz)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_sz)))
+
+    list_offsets = pa.array(first_block_of_run, type=pa.int32())
+    blk_rel_doc = (doc_off[bstarts] - doc_off[starts[run_of_block]]).astype(np.int32)
+    blk_rel_tf = (tf_off[bstarts] - tf_off[starts[run_of_block]]).astype(np.int32)
+    blk_rel_dl = (dl_off[bstarts] - dl_off[starts[run_of_block]]).astype(np.int32)
+
+    def lst(values: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(list_offsets, pa.array(values, type=typ))
+
+    return pa.table(
+        {
+            "term": pa.array(terms),
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "first_doc": pa.array(docs[starts], type=pa.int64()),
+            "last_doc": pa.array(docs[ends - 1], type=pa.int64()),
+            "df_chunk": pa.array(run_lens.astype(np.int32)),
+            "tf_sum": pa.array(np.add.reduceat(tfs, starts), type=pa.int64()),
+            "docs": pa.array([doc_stream[doc_off[s] : doc_off[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+            "tfs": pa.array([tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+            "dls": pa.array([dl_stream[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)], type=pa.binary()),
+            "block_first": lst(d64[bstarts].astype(np.int64), pa.int64()),
+            "block_last": lst(d64[bends - 1].astype(np.int64), pa.int64()),
+            "block_max_tf": lst(np.maximum.reduceat(tfs, bstarts).astype(np.int32), pa.int32()),
+            "block_min_dl": lst(np.minimum.reduceat(dls, bstarts).astype(np.int32), pa.int32()),
+            "block_doc_off": lst(blk_rel_doc, pa.int32()),
+            "block_tf_off": lst(blk_rel_tf, pa.int32()),
+            "block_dl_off": lst(blk_rel_dl, pa.int32()),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
 def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode block ``i`` of a chunk row dict (columns as python values)."""
     nb = len(row["block_doc_off"])

@@ -103,40 +103,57 @@ def q_term_stats(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------- aggregation surface (Layer A queries)
 
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
-    """D1/A6: the classic wide groupby-aggregate (pricing summary)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """D1/A6: the classic wide groupby-aggregate (pricing summary).
+
+    Partial-aggregation pattern: each batch collapses to ≤ |groups| rows
+    inside ``map_batches`` (the combiner), so the shuffle moves a few
+    hundred partial rows instead of the whole fact table — the 'push
+    aggregation partial' rule for low-cardinality groupbys at scale."""
+    from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     cutoff = pd.Timestamp("1998-09-02")
-    ds = ds.map_batches(
-        lambda b: b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
 
-    def add_disc(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "sum_qty": b["l_quantity"].to_numpy(),
+                "sum_base_price": b["l_extendedprice"].to_numpy(),
+                "sum_disc_price": b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            sum_disc_price=("sum_disc_price", "sum"),
+            count_order=("sum_qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(add_disc, batch_format="pyarrow", zero_copy_batch=True)
     out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
     out["count_order"] = out["count_order"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+               "avg_qty", "avg_price", "count_order"]]
     return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6, "avg_price": 6})
 
 

@@ -138,3 +138,79 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 4) ->
         pq.write_table(table.slice(int(chunk[0]), len(chunk)), p)
         paths.append(p)
     return paths
+
+
+def generate_corpus_fast(
+    n_docs: int,
+    seed: int = 42,
+    lines_per_doc: tuple[int, int] = (60, 140),
+    line_pool: int = 10_000,
+    tokens_per_line: int = 12,
+) -> pa.Table:
+    """Vectorized large-corpus generator (bench scale): a seeded pool of
+    ``line_pool`` source-code-like lines (zipf-weighted identifiers,
+    camelCase/snake_case compounds, hot stopword-like tokens), each doc a
+    seeded sample of lines. Token statistics stay skewed (hot terms ~20%
+    of mass) while generation is O(pool + n_docs) instead of O(tokens)."""
+    rng = np.random.default_rng(seed)
+    # vocabulary ~4k identifiers
+    vocab = list(_HOT)
+    for a in _STEMS:
+        for b in _STEMS[: len(_STEMS) // 2]:
+            vocab.append(a + b.capitalize())
+            vocab.append(a + "_" + b)
+    vocab += [f"v{i}" for i in range(1000)]
+    vocab = np.asarray(vocab, dtype=object)
+    w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.85
+    w /= w.sum()
+    # line pool
+    tok_idx = rng.choice(len(vocab), size=(line_pool, tokens_per_line), p=w)
+    lines = np.asarray([" ".join(vocab[row]) for row in tok_idx], dtype=object)
+
+    n_lines = rng.integers(lines_per_doc[0], lines_per_doc[1], n_docs)
+    n_repos = max(1, n_docs // 200)
+    repo_idx = rng.integers(0, n_repos, n_docs)
+    lang_idx = rng.choice(len(LANGS), size=n_docs, p=[0.35, 0.25, 0.15, 0.15, 0.10])
+
+    contents, shas = [], []
+    repos, paths, commits, langs = [], [], [], []
+    for i in range(n_docs):
+        pick = rng.integers(0, line_pool, n_lines[i])
+        content = "\n".join(lines[pick])
+        contents.append(content)
+        shas.append(hashlib.sha256(content.encode()).hexdigest())
+        lang = LANGS[lang_idx[i]]
+        repo = f"org{repo_idx[i] % 7}/repo{repo_idx[i]:05d}"
+        path = f"src/pkg{i % 13}/Mod{i}.{_EXT[lang]}"
+        repos.append(repo)
+        paths.append(path)
+        commits.append(hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest())
+        langs.append(lang)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "repo": pa.array(repos),
+            "path": pa.array(paths),
+            "commit": pa.array(commits),
+            "lang": pa.array(langs),
+            "content": pa.array(contents),
+            "content_sha256": pa.array(shas),
+        }
+    )
+
+
+def write_corpus_fast(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 16) -> list[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    per = -(-n_docs // n_files)
+    for i in range(n_files):
+        lo = i * per
+        hi = min(n_docs, lo + per)
+        if hi <= lo:
+            break
+        tbl = generate_corpus_fast(hi - lo, seed=seed + i)
+        tbl = tbl.set_column(0, "doc_id", pa.array(np.arange(lo, hi, dtype=np.int64)))
+        p = os.path.join(out_dir, f"corpus-{i:04d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths

@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.analyzer import Analyzer
-from ..index.segments import POSTINGS_SCHEMA, encode_chunk
+from ..functions.varint import encode_varint_with_sizes
+from ..index.segments import POSTINGS_SCHEMA
 
 
 class TokenizeCombine:
@@ -87,18 +88,54 @@ class TokenizeCombine:
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], codes.size)
 
-        rows = [
-            encode_chunk(
-                str(uniq[codes[s]]),
-                int(bucket_arr[s]),
-                did_arr[s:e],
-                tf_arr[s:e],
-                dl_arr[s:e],
-                self.block_size,
-            )
-            for s, e in zip(starts, ends)
-        ]
-        return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+        # Phase-1 chunks are SINGLE-BLOCK (block metadata is rebuilt by
+        # the phase-2 merge), so all runs encode in ONE vectorized pass:
+        # per-run delta restart, one varint stream per column, runs
+        # sliced out by byte offsets.
+        deltas = np.empty_like(did_arr)
+        deltas[1:] = did_arr[1:] - did_arr[:-1]
+        deltas[starts] = did_arr[starts]  # delta restarts at run start
+        doc_stream, doc_sz = encode_varint_with_sizes(deltas.astype(np.uint64))
+        tf_stream, tf_sz = encode_varint_with_sizes(tf_arr.astype(np.uint64))
+        dl_stream, dl_sz = encode_varint_with_sizes(dl_arr.astype(np.uint64))
+        doc_off = np.concatenate(([0], np.cumsum(doc_sz)))
+        tf_off = np.concatenate(([0], np.cumsum(tf_sz)))
+        dl_off = np.concatenate(([0], np.cumsum(dl_sz)))
+
+        n_runs = starts.size
+        firsts = did_arr[starts]
+        lasts = did_arr[ends - 1]
+        tf_sums = np.add.reduceat(tf_arr, starts)
+        max_tfs = np.maximum.reduceat(tf_arr, starts)
+        min_dls = np.minimum.reduceat(dl_arr, starts)
+        zero32 = pa.array([[0]] * n_runs, type=pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "term": pa.array([str(uniq[codes[s]]) for s in starts]),
+                "bucket": pa.array(bucket_arr[starts], type=pa.int64()),
+                "first_doc": pa.array(firsts, type=pa.int64()),
+                "last_doc": pa.array(lasts, type=pa.int64()),
+                "df_chunk": pa.array((ends - starts).astype(np.int32)),
+                "tf_sum": pa.array(tf_sums, type=pa.int64()),
+                "docs": pa.array(
+                    [doc_stream[doc_off[s] : doc_off[e]] for s, e in zip(starts, ends)], type=pa.binary()
+                ),
+                "tfs": pa.array(
+                    [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(starts, ends)], type=pa.binary()
+                ),
+                "dls": pa.array(
+                    [dl_stream[dl_off[s] : dl_off[e]] for s, e in zip(starts, ends)], type=pa.binary()
+                ),
+                "block_first": pa.array([[int(x)] for x in firsts], type=pa.list_(pa.int64())),
+                "block_last": pa.array([[int(x)] for x in lasts], type=pa.list_(pa.int64())),
+                "block_max_tf": pa.array([[int(x)] for x in max_tfs], type=pa.list_(pa.int32())),
+                "block_min_dl": pa.array([[int(x)] for x in min_dls], type=pa.list_(pa.int32())),
+                "block_doc_off": zero32,
+                "block_tf_off": zero32,
+                "block_dl_off": zero32,
+            },
+            schema=POSTINGS_SCHEMA,
+        )
 
 
 class DocMap:

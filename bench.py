@@ -1,0 +1,197 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+    python bench.py              # full suite over $GRAFT_SF_DIR (default sf0.1)
+    python bench.py --scaling    # headline pipeline at 8 vs 32 CPUs (fresh
+                                 # processes), prints throughputs + efficiency
+
+Headline = the north-rule pipeline: SPIMI inverted-index build over a
+source-code-shaped corpus + a BM25 top-k query batch. The corpus is the
+driver's ``documents`` table re-shaped to the input_hint schema
+``(repo, path, commit, lang, content)`` — deterministic, no external
+data — plus a larger generated corpus for build throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("ADR_BENCH_CORPUS_DOCS", "150000"))
+BENCH_TMP = "/tmp/adr_bench"
+
+
+def corpus_path() -> str:
+    """Deterministic synthetic corpus in the input_hint shape (cached)."""
+    import hashlib
+
+    out = os.path.join(BENCH_TMP, f"corpus_{CORPUS_DOCS}")
+    if not os.path.exists(os.path.join(out, "corpus-0015.parquet")):
+        from anomaly_detection_ray.sources.corpus import write_corpus_fast
+
+        write_corpus_fast(out, n_docs=CORPUS_DOCS, seed=42, n_files=16)
+    return out
+
+
+def bench_suite() -> dict:
+    import glob
+
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.index.build import build_index
+    from anomaly_detection_ray.index.query import QueryEngine
+    from anomaly_detection_ray.pipelines import queries as Q
+    from anomaly_detection_ray.sources.corpus import generate_queries
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        with open(f, "rb") as fh:
+            fh.read()
+
+    # ---- north-rule headline: corpus index build + BM25 batch ----
+    cpath = corpus_path()
+    idx_dir = os.path.join(BENCH_TMP, f"corpus_index_{NUM_CPUS}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfiles = sorted(glob.glob(os.path.join(cpath, "*.parquet")))
+    manifest = timed(
+        "corpus_index_build",
+        lambda: build_index(cfiles, idx_dir, slices=2, num_partitions=32, mode="code",
+                            batch_size=1024, bucket_shift=12),
+    )
+    extra["corpus_docs"] = manifest["n_docs"]
+    extra["corpus_index_docs_per_sec"] = round(manifest["n_docs"] / timings["corpus_index_build"], 1)
+
+    qset = generate_queries(100, seed=43)["query"].to_pylist()
+    eng = QueryEngine(idx_dir)
+
+    def run_queries():
+        lat = []
+        for q in qset:
+            t0 = time.perf_counter()
+            eng.bm25_topk(q, k=10, prune=True)
+            lat.append(time.perf_counter() - t0)
+        return np.asarray(lat)
+
+    lat = timed("bm25_100_queries", run_queries)
+    extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 2)
+    extra["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 2)
+
+    # ---- driver-table pipelines ----
+    docs_idx = os.path.join(Q.CACHE_ROOT, f"index_docs_{os.path.basename(os.path.normpath(SF_DIR))}")
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    timed("docs_index_build", lambda: Q.index_for(SF_DIR, rebuild=True))
+    timed("tpch_q1", lambda: Q.q_tpch_q1(SF_DIR))
+    timed("feature_agg_interval", lambda: Q.q_feature_agg_interval(SF_DIR))
+    timed("top_entities", lambda: Q.q_top_entities(SF_DIR))
+    timed("dedup_exact", lambda: Q.q_dedup_exact(SF_DIR))
+    timed("ann_cosine_topk", lambda: Q.q_ann_cosine_topk(SF_DIR))
+    timed("minhash_near_dup", lambda: Q.q_minhash_near_dup(SF_DIR))
+    timed("detect_anomalies", lambda: Q.q_detect_anomalies(SF_DIR))
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "adr_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extra": extra,
+    }
+
+
+def headline_only() -> dict:
+    """Just the north-rule pipeline (for --scaling runs)."""
+    import glob
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from anomaly_detection_ray.index.build import build_index
+
+    cpath = corpus_path()
+    idx_dir = os.path.join(BENCH_TMP, f"scaling_index_{NUM_CPUS}_{os.getpid()}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfiles = sorted(glob.glob(os.path.join(cpath, "*.parquet")))
+    t0 = time.perf_counter()
+    manifest = build_index(cfiles, idx_dir, slices=1, num_partitions=32, mode="code",
+                           batch_size=1024, bucket_shift=12)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "corpus_index_build",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "queries": {"corpus_index_build": round(dt, 3)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extra": {"docs_per_sec": round(manifest["n_docs"] / dt, 1), "n_docs": manifest["n_docs"]},
+    }
+
+
+def scaling() -> dict:
+    corpus_path()  # generate once, outside the timed runs
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"corpus_index_build_{lo}cpu": t_lo, f"corpus_index_build_{hi}cpu": t_hi},
+        "sf": SF_DIR,
+        "num_cpus": hi,
+        "extra": {
+            "docs_per_sec_lo": r_lo["extra"]["docs_per_sec"],
+            "docs_per_sec_hi": r_hi["extra"]["docs_per_sec"],
+            "cpus": [lo, hi],
+        },
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    elif "--headline" in sys.argv:
+        print(json.dumps(headline_only()))
+    else:
+        print(json.dumps(bench_suite()))
