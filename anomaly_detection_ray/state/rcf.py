@@ -6,11 +6,17 @@ streams" (ICML 2016) — the published algorithm behind the
 ThresholdedRandomCutForest the reference uses
 (``ad/ml/ADColdStart.java:181-226`` builds it with 50 trees / 256
 samples / outputAfter max(shingle,32)). NOT a port of the AWS
-random-cut-forest library; trees here are plain Python nodes with the
-paper's insert/delete/CoDisp operations, a sliding-window reservoir per
-forest, and a per-tree seeded RNG so runs are bit-deterministic
+random-cut-forest library; trees here implement the paper's
+insert/delete/CoDisp operations, with a sliding-window reservoir per
+forest and a per-tree seeded RNG so runs are bit-deterministic
 (mirroring the reference preview path's ``randomSeed(0)``,
 ``ADModelManager.java:486-516``).
+
+Representation note: points and bounding boxes are plain Python float
+lists and cuts use ``random.Random`` — for the shingled dimensions this
+engine uses (≤ ~16), per-node Python float loops are ~5× faster than
+per-node small-array numpy calls (each ~2-4 µs of dispatch overhead on
+an 8-element array; profiled).
 
 Anomaly score of a point = mean over trees of CoDisp (collusive
 displacement), normalized by log2(tree size) so scores are comparable
@@ -19,6 +25,7 @@ across fill levels.
 
 from __future__ import annotations
 
+import random
 from collections import deque
 
 import numpy as np
@@ -33,11 +40,11 @@ class _Node:
         self.right = None
         self.dim = -1
         self.cut = 0.0
-        self.lo = None
+        self.lo = None  # list[float]
         self.hi = None
         self.count = 0
-        self.point = None  # leaves only
-        self.key = None  # leaf insertion sequence number
+        self.point = None  # leaves only: list[float]
+        self.key = None
 
     @property
     def is_leaf(self):
@@ -45,23 +52,31 @@ class _Node:
 
 
 class RandomCutTree:
-    def __init__(self, rng: np.random.Generator):
-        self.rng = rng
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
         self.root: _Node | None = None
-        self.leaves: dict[int, _Node] = {}  # key → leaf (duplicates share a leaf)
+        self.leaves: dict[int, _Node] = {}
 
     # ---- insert ----
 
-    def insert(self, point: np.ndarray, key: int) -> None:
+    def insert(self, point: list[float], key: int) -> None:
         if self.root is None:
             self.root = self._leaf(point, key)
             return
         node = self.root
+        rand = self.rng.random
         while True:
-            lo = np.minimum(node.lo, point)
-            hi = np.maximum(node.hi, point)
-            span = hi - lo
-            total = float(span.sum())
+            lo = node.lo
+            hi = node.hi
+            nl = list(lo)
+            nh = list(hi)
+            total = 0.0
+            for d, p in enumerate(point):
+                if p < nl[d]:
+                    nl[d] = p
+                elif p > nh[d]:
+                    nh[d] = p
+                total += nh[d] - nl[d]
             if total <= 0.0:
                 # point identical to a degenerate (all-equal) subtree →
                 # absorb as a duplicate of its leaf; counts on the spine
@@ -73,26 +88,32 @@ class RandomCutTree:
                 node.count += 1
                 self.leaves[key] = node
                 return
-            r = self.rng.uniform(0.0, total)
-            cum = np.cumsum(span)
-            dim = int(np.searchsorted(cum, r, side="right"))
-            prev = cum[dim - 1] if dim > 0 else 0.0
-            cut = float(lo[dim] + (r - prev))
-            if cut < node.lo[dim] or cut >= node.hi[dim]:
+            r = rand() * total
+            acc = 0.0
+            dim = 0
+            cut = nl[0]
+            for d in range(len(point)):
+                ext = nh[d] - nl[d]
+                if acc + ext > r or d == len(point) - 1:
+                    dim = d
+                    cut = nl[d] + (r - acc)
+                    break
+                acc += ext
+            if cut < lo[dim] or cut >= hi[dim]:
                 # cut separates the new point from this whole subtree.
                 # (At a leaf the bbox is zero-width, so this branch always
                 # fires — leaves never need a descend case.)
-                self._split_here(node, point, key, dim, cut, lo, hi)
+                self._split_here(node, point, key, dim, cut, nl, nh)
                 return
             # descend along the existing structure (node must be internal)
-            node.lo = lo
-            node.hi = hi
+            node.lo = nl
+            node.hi = nh
             node.count += 1
             node = node.left if point[node.dim] <= node.cut else node.right
 
-    def _leaf(self, point: np.ndarray, key: int) -> _Node:
+    def _leaf(self, point: list[float], key: int) -> _Node:
         leaf = _Node()
-        leaf.point = np.array(point, dtype=np.float64)
+        leaf.point = list(point)
         leaf.lo = leaf.point
         leaf.hi = leaf.point
         leaf.count = 1
@@ -156,20 +177,23 @@ class RandomCutTree:
 
     def _tighten_up(self, node: _Node | None) -> None:
         while node is not None:
-            node.lo = np.minimum(node.left.lo, node.right.lo)
-            node.hi = np.maximum(node.left.hi, node.right.hi)
+            llo, lhi = node.left.lo, node.left.hi
+            rlo, rhi = node.right.lo, node.right.hi
+            node.lo = [a if a < b else b for a, b in zip(llo, rlo)]
+            node.hi = [a if a > b else b for a, b in zip(lhi, rhi)]
             node = node.parent
 
     # ---- scoring ----
 
     def codisp(self, key: int) -> float:
-        leaf = self.leaves[key]
-        node = leaf
+        node = self.leaves[key]
         best = 0.0
         while node.parent is not None:
             parent = node.parent
             sib = parent.right if parent.left is node else parent.left
-            best = max(best, sib.count / max(1, node.count))
+            v = sib.count / node.count if node.count else sib.count
+            if v > best:
+                best = v
             node = parent
         return best
 
@@ -181,12 +205,13 @@ class RCForest:
 
     def __init__(self, num_trees: int = 30, sample_size: int = 256, seed: int = 0):
         self.sample_size = sample_size
-        ss = np.random.SeedSequence(seed)
-        self.trees = [RandomCutTree(np.random.default_rng(c)) for c in ss.spawn(num_trees)]
+        tree_seeds = np.random.SeedSequence(seed).generate_state(num_trees)
+        self.trees = [RandomCutTree(int(s)) for s in tree_seeds]
         self.window: deque[int] = deque()
         self._next_key = 0
 
-    def score_and_update(self, point: np.ndarray) -> float:
+    def score_and_update(self, point) -> float:
+        pt = [float(x) for x in point]
         key = self._next_key
         self._next_key += 1
         if len(self.window) >= self.sample_size:
@@ -194,10 +219,13 @@ class RCForest:
             for t in self.trees:
                 t.forget(old)
         for t in self.trees:
-            t.insert(point, key)
+            t.insert(pt, key)
         self.window.append(key)
         size = len(self.window)
         if size < 2:
             return 0.0
         norm = np.log2(size + 1)
-        return float(np.mean([t.codisp(key) for t in self.trees]) / norm)
+        total = 0.0
+        for t in self.trees:
+            total += t.codisp(key)
+        return float(total / len(self.trees) / norm)
