@@ -207,14 +207,16 @@ def hash_exchange_merge(chunks_ds, num_partitions: int, out_dir: str, block_size
     split = ray.remote(num_returns=num_partitions)(_split_table_by_kh)
     merge = ray.remote(_merge_remote)
 
-    block_refs = chunks_ds.to_arrow_refs()
     part_refs: list[list] = [[] for _ in range(num_partitions)]
-    for ref in block_refs:
-        outs = split.remote(ref, num_partitions)
-        if num_partitions == 1:
-            outs = [outs]
-        for p, r in enumerate(outs):
-            part_refs[p].append(r)
+    # stream map-side splits as tokenize blocks materialize — no barrier
+    # between the map stage and the split stage
+    for bundle in chunks_ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            outs = split.remote(ref, num_partitions)
+            if num_partitions == 1:
+                outs = [outs]
+            for p, r in enumerate(outs):
+                part_refs[p].append(r)
     manifests = [merge.remote(p, out_dir, block_size, *part_refs[p]) for p in range(num_partitions)]
     return [m for m in ray.get(manifests) if m is not None]
 
@@ -278,17 +280,22 @@ def build_slice(
 
     # doc count from parquet footers — no Ray execution needed
     n_docs = sum(pq.read_metadata(f).num_rows for f in files)
-    corpus = rd.read_parquet(files, columns=[id_col, text_col])
+    # split the read well beyond the file count so every tokenize actor
+    # stays busy (a block per file would cap parallelism at len(files))
+    n_blocks = max(len(files), int(concurrency) * 6)
+    corpus = rd.read_parquet(files, columns=[id_col, text_col], override_num_blocks=n_blocks)
 
-    tok_kwargs = dict(
+    # tokenize runs as a plain TASK pool: the combiner's only state is a
+    # couple of compiled regexes (cheap to pickle), and tasks schedule
+    # elastically with no actor-pool startup ramp — measurably better
+    # utilization than a fixed actor pool for a build-shaped burst.
+    tokenizer = TokenizeCombine(
         text_col=text_col, id_col=id_col, mode=mode, bucket_shift=bucket_shift, block_size=block_size
     )
     chunks = corpus.map_batches(
-        TokenizeCombine,
-        fn_constructor_kwargs=tok_kwargs,
+        tokenizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         zero_copy_batch=True,
     ).map_batches(
         partial(_add_partition_key, num_partitions=num_partitions),
@@ -305,20 +312,25 @@ def build_slice(
         avail = set(pq.read_schema(files[0]).names)
         cols = [c for c in meta_cols if c in avail]
         docmap = DocMap(text_col=text_col, id_col=id_col, keep_cols=keep_cols)
-        rd.read_parquet(files, columns=cols).map_batches(
+        rd.read_parquet(files, columns=cols, override_num_blocks=n_blocks).map_batches(
             docmap,  # stateless → plain task pool, no actor startup cost
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).write_parquet(docmap_dir)
 
-    # the two sinks share no state → overlap their executions
-    from concurrent.futures import ThreadPoolExecutor
+    # sequential executions: two concurrent streaming executors contend
+    # for the same CPUs and finish later than back-to-back runs (measured)
+    import time as _time
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        fut_postings = ex.submit(run_postings)
-        fut_docmap = ex.submit(run_docmap)
-        manifest_rows = fut_postings.result()
-        fut_docmap.result()
+    timings: dict[str, float] = {}
+    t_start = _time.perf_counter()
+    t0 = _time.perf_counter()
+    manifest_rows = run_postings()
+    timings["postings_sec"] = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
+    run_docmap()
+    timings["docmap_sec"] = round(_time.perf_counter() - t0, 2)
+    timings["slice_total_sec"] = round(_time.perf_counter() - t_start, 2)
 
     total_tokens = int(sum(r["tf_sum"] for r in manifest_rows))
     manifest = {
@@ -331,6 +343,7 @@ def build_slice(
         "block_size": block_size,
         "analyzer_mode": mode,
         "partitions": sorted(manifest_rows, key=lambda r: r["kh"]),
+        "timings": timings,
         "resumed": False,
     }
     with open(manifest_path, "w") as f:

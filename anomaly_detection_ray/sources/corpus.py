@@ -211,6 +211,11 @@ def write_corpus_fast(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 
         tbl = generate_corpus_fast(hi - lo, seed=seed + i)
         tbl = tbl.set_column(0, "doc_id", pa.array(np.arange(lo, hi, dtype=np.int64)))
         p = os.path.join(out_dir, f"corpus-{i:04d}.parquet")
-        pq.write_table(tbl, p)
+        # small row groups: the row group is the unit a range-split read
+        # task must decode, so one giant group per file makes
+        # override_num_blocks amplify decode work N× (measured 525
+        # core-s of read for a 2.2 GB corpus). 2048-row groups align
+        # splits with decode units.
+        pq.write_table(tbl, p, row_group_size=2048)
         paths.append(p)
     return paths
