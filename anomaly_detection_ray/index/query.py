@@ -61,7 +61,9 @@ def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tup
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, preload_bytes: int = 2 << 30):
+        import pyarrow.parquet as pq
+
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
         self.index_dir = index_dir
@@ -70,16 +72,25 @@ class QueryEngine:
         self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
         files = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "postings", "part-*.parquet")))
         self._files = files
-        self._datasets = [pads.dataset(f, format="parquet") for f in files]
-        # Term dictionary: term → [(file_idx, row_idx)] built once from the
-        # term columns (the in-memory dictionary a serving actor holds; the
-        # chunk payloads stay on disk and are fetched row-wise via take()).
+        # A serving engine instance (one per query actor) holds the term
+        # dictionary in memory always, and — when the index fits
+        # ``preload_bytes`` — the posting tables too (Lucene keeps them
+        # mmapped; per-query parquet take() across many part files costs
+        # hundreds of ms). Larger indexes fall back to on-disk take().
+        total = sum(os.path.getsize(f) for f in files)
+        self._preloaded = total <= preload_bytes
+        self._tables: list[pa.Table] | None = [] if self._preloaded else None
+        self._datasets = None if self._preloaded else [pads.dataset(f, format="parquet") for f in files]
+        # Term dictionary: term → [(file_idx, row_idx)]
         self._term_locs: dict[str, list[tuple[int, int]]] = {}
+        locs = self._term_locs
         for fi, f in enumerate(files):
-            import pyarrow.parquet as pq
-
-            terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
-            locs = self._term_locs
+            if self._preloaded:
+                tbl = pq.read_table(f)
+                self._tables.append(tbl)
+                terms = tbl["term"].to_pylist()
+            else:
+                terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
             for ri, t in enumerate(terms):
                 locs.setdefault(t, []).append((fi, ri))
         stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
@@ -93,13 +104,18 @@ class QueryEngine:
         return int(self._df.get(term, 0))
 
     def chunks_for(self, terms: list[str]) -> pa.Table:
+        from .segments import POSTINGS_SCHEMA
+
         by_file: dict[int, list[int]] = {}
         for t in terms:
             for fi, ri in self._term_locs.get(t, ()):
                 by_file.setdefault(fi, []).append(ri)
         if not by_file:
-            return self._datasets[0].schema.empty_table() if self._datasets else pa.table({})
-        parts = [self._datasets[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
+            return POSTINGS_SCHEMA.empty_table()
+        if self._preloaded:
+            parts = [self._tables[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
+        else:
+            parts = [self._datasets[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
         return pa.concat_tables(parts)
 
     def _term_rows(self, chunks: pa.Table) -> dict[str, list[dict]]:
@@ -123,14 +139,19 @@ class QueryEngine:
         return self._score_exact(chunks, k)
 
     def _score_exact(self, chunks: pa.Table, k: int) -> list[tuple[int, float]]:
-        all_docs, all_imp = [], []
-        for row in chunks.to_pylist():
-            w = float(bm25_idf(self.df(row["term"]), self.n_docs))
-            docs, tfs, dls = decode_chunk_row(row)
-            all_docs.append(docs)
-            all_imp.append(w * tf_norm(tfs, dls, self.avgdl))
-        docs = np.concatenate(all_docs)
-        imps = np.concatenate(all_imp)
+        from .segments import decode_chunks_bulk
+
+        rows = chunks.to_pylist()
+        docs, tfs, dls, off = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+        idfs = np.asarray([float(bm25_idf(self.df(r["term"]), self.n_docs)) for r in rows])
+        w = np.repeat(idfs, np.diff(off))
+        imps = w * tf_norm(tfs, dls, self.avgdl)
+        max_doc = int(docs.max()) if docs.size else 0
+        if max_doc < 4 * self.n_docs:
+            # dense doc-id space → bincount accumulation (no sort)
+            scores = np.bincount(docs, weights=imps, minlength=max_doc + 1)
+            hit = np.flatnonzero(np.bincount(docs, minlength=max_doc + 1))
+            return _topk_with_ties(hit, scores[hit], k)
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, imps)
@@ -252,18 +273,20 @@ class QueryEngine:
         for t in sorted(terms, key=self.df):
             if self.df(t) == 0:
                 return np.empty(0, dtype=np.int64)
-            rows = self.chunks_for([t]).to_pylist()
-            docs = np.sort(np.concatenate([decode_chunk_row(r)[0] for r in rows]))
+            docs = self.term_docs(t)
             result = docs if result is None else result[np.isin(result, docs, assume_unique=True)]
             if result.size == 0:
                 break
         return result if result is not None else np.empty(0, dtype=np.int64)
 
     def term_docs(self, term: str) -> np.ndarray:
+        from .segments import decode_chunks_bulk
+
         rows = self.chunks_for([term]).to_pylist()
         if not rows:
             return np.empty(0, dtype=np.int64)
-        return np.sort(np.concatenate([decode_chunk_row(r)[0] for r in rows]))
+        docs, _, _, _ = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+        return np.sort(docs)
 
     def docmap(self) -> pads.Dataset:
         if self._docmap is None:

@@ -201,6 +201,38 @@ def decode_block(row: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return docs, tfs, dls
 
 
+def decode_chunks_bulk(rows: list[dict], block_size: int = DEFAULT_BLOCK_SIZE):
+    """Decode MANY chunk rows with three ``decode_varint`` calls total.
+
+    Streams are concatenated; delta-restart positions are every
+    ``block_size`` values within each row (plus each row start), so
+    absolute doc ids come from one global cumsum with vectorized resets.
+    Returns ``(docs, tfs, dls, row_value_offsets)`` where row r spans
+    ``[off[r], off[r+1])``. This is the query-side hot path — the
+    per-block ``decode_block`` calls cost ~30 µs each and a dense term
+    can have thousands of blocks."""
+    from ..functions.varint import decode_varint
+
+    dfs = np.asarray([r["df_chunk"] for r in rows], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(dfs)))
+    deltas = decode_varint(b"".join(r["docs"] for r in rows))
+    tfs = decode_varint(b"".join(r["tfs"] for r in rows)).astype(np.int64)
+    dls = decode_varint(b"".join(r["dls"] for r in rows)).astype(np.int64)
+    if deltas.size != off[-1]:
+        raise ValueError("posting stream length mismatch")
+    # reset positions: row_start + k·block_size for each row
+    nblocks = -(-dfs // block_size)
+    first_block = np.concatenate(([0], np.cumsum(nblocks)))
+    row_of_block = np.repeat(np.arange(dfs.size), nblocks)
+    blk_in_row = np.arange(int(nblocks.sum())) - first_block[row_of_block]
+    resets = off[row_of_block] + blk_in_row * block_size
+    seg_lens = np.diff(np.append(resets, off[-1]))
+    c = np.cumsum(deltas)
+    base = np.repeat(c[resets] - deltas[resets], seg_lens)
+    docs = (c - base).astype(np.int64)
+    return docs, tfs, dls, off
+
+
 def decode_chunk_row(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full chunk row dict → (doc_ids, tfs, dls)."""
     nb = len(row["block_doc_off"])

@@ -91,7 +91,10 @@ def bench_suite() -> dict:
         lat = []
         for q in qset:
             t0 = time.perf_counter()
-            eng.bm25_topk(q, k=10, prune=True)
+            # exact vectorized scoring: on this dense synthetic vocab every
+            # query term matches ~all docs, so block-max pruning can't skip
+            # anything (it stays tested + rank-identical for skewed corpora)
+            eng.bm25_topk(q, k=10, prune=False)
             lat.append(time.perf_counter() - t0)
         return np.asarray(lat)
 
