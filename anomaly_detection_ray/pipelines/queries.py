@@ -489,6 +489,31 @@ def q_impute_linear(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start_ms"]).reset_index(drop=True)
 
 
+def q_correlate_anomalies(sf_dir: str) -> pd.DataFrame:
+    """D9: cluster detected anomalies across entities into correlated
+    incident windows (AnomalyCorrelation.java semantics) — rows-only."""
+    from ..stages.correlation import correlate_clusters
+
+    res = q_detect_anomalies(sf_dir)
+    flagged = res[res["anomaly_grade"] > 0]
+    if len(flagged) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in
+             [("model_id", "object"), ("config_id", "object"), ("start_ms", "int64"),
+              ("end_ms", "int64"), ("cluster_id", "int64"),
+              ("window_start_ms", "int64"), ("window_end_ms", "int64")]}
+        )
+    anoms = pd.DataFrame(
+        {
+            "model_id": flagged["model_id"],
+            "config_id": "events-detector",
+            "start_ms": flagged["window_start_ms"].astype("int64"),
+            "end_ms": flagged["window_end_ms"].astype("int64"),
+        }
+    )
+    return correlate_clusters(anoms, use_ray=True)
+
+
 def q_media_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing (stubbed codec) — deterministic rows-only."""
     from ..stages.multimodal import decode_features, synthesize_media_table
@@ -524,6 +549,7 @@ REGISTRY = {
     "embedding_near_dup": q_embedding_near_dup,
     "detect_anomalies": q_detect_anomalies,
     "top_anomaly_results": q_top_anomaly_results,
+    "correlate_anomalies": q_correlate_anomalies,
     "impute_linear": q_impute_linear,
     "media_decode": q_media_decode,
 }
