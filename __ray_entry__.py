@@ -204,6 +204,12 @@ SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')
 ORDER BY doc_id
 """,
+        "filtered_search": f"""
+SELECT doc_id FROM documents
+WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 400
+  AND list_contains({TOKS}, 'data')
+ORDER BY doc_id
+""",
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf

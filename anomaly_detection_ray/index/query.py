@@ -292,3 +292,40 @@ class QueryEngine:
         if self._docmap is None:
             raise FileNotFoundError("index has no docmap")
         return self._docmap
+
+    # ---------- restricted query DSL (SURVEY §2.A4) ----------
+
+    def execute_filter(self, query: dict | None) -> np.ndarray:
+        """bool/term/range/match AST → sorted doc_ids (filter context)."""
+        from .queryast import QueryCompiler
+
+        if getattr(self, "_compiler", None) is None:
+            self._compiler = QueryCompiler(self)
+        return self._compiler.execute(query)
+
+    def bm25_topk_filtered(self, query: str, filter_query: dict | None, k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k restricted to filter_query matches — the composed
+        shape of generateInternalFeatureQuery (ParseUtils.java:314-331):
+        bool(filter_query ∧ ...) wrapping the scored part."""
+        if not filter_query or "match_all" in filter_query:
+            return self.bm25_topk(query, k=k)
+        allowed = self.execute_filter(filter_query)
+        terms = self.query_terms(query)
+        chunks = self.chunks_for(terms)
+        if chunks.num_rows == 0 or allowed.size == 0:
+            return []
+        from .segments import decode_chunks_bulk
+
+        rows = chunks.to_pylist()
+        docs, tfs, dls, off = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+        idfs = np.asarray([float(bm25_idf(self.df(r["term"]), self.n_docs)) for r in rows])
+        w = np.repeat(idfs, np.diff(off))
+        imps = w * tf_norm(tfs, dls, self.avgdl)
+        keep = np.isin(docs, allowed)
+        docs, imps = docs[keep], imps[keep]
+        if docs.size == 0:
+            return []
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, imps)
+        return _topk_with_ties(uniq, scores, k)

@@ -1,0 +1,103 @@
+"""Restricted query DSL — SURVEY.md §2.A4.
+
+The reference accepts an arbitrary ``filter_query`` in OpenSearch query
+DSL (``Config.java:99``) but only ever *generates* bool/term/range
+queries itself (``ParseUtils.java:314-376``). This module implements
+exactly that surface as a JSON-dict AST compiled against a built index:
+
+    {"match_all": {}}
+    {"term":  {"<field>": value}}             # docmap column or indexed term
+    {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
+    {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
+    {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...]}}
+
+Evaluation returns a sorted int64 array of doc_ids. Metadata predicates
+(term/range on docmap columns) evaluate via Arrow compute over the
+docmap; text predicates via posting lists. ``bool`` combines with set
+intersection (must/filter), union (should — matched when no must/filter
+present, OpenSearch filter-context semantics), and difference
+(must_not). Scoring is irrelevant: the plugin uses all of these in
+filter context (``ParseUtils.java:321,370-376``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+
+
+class QueryCompiler:
+    def __init__(self, engine):
+        self.engine = engine
+        self._docmap_tbl = None
+
+    # ---- docmap access ----
+
+    def _docmap(self):
+        if self._docmap_tbl is None:
+            self._docmap_tbl = self.engine.docmap().to_table()
+        return self._docmap_tbl
+
+    def _all_docs(self) -> np.ndarray:
+        return np.sort(self._docmap()["doc_id"].to_numpy())
+
+    def _docmap_filter(self, expr) -> np.ndarray:
+        t = self._docmap()
+        return np.sort(t.filter(expr)["doc_id"].to_numpy())
+
+    def _is_meta_field(self, field: str) -> bool:
+        return field in self._docmap().column_names
+
+    # ---- evaluation ----
+
+    def execute(self, query: dict | None) -> np.ndarray:
+        """query AST → sorted doc_id array (filter-context semantics)."""
+        if not query or "match_all" in query:
+            return self._all_docs()
+        kind, body = next(iter(query.items()))
+        if kind == "term":
+            ((field, value),) = body.items()
+            if self._is_meta_field(field):
+                return self._docmap_filter(pc.equal(pc.field(field), value))
+            return self.engine.term_docs(str(value))
+        if kind == "range":
+            ((field, conds),) = body.items()
+            if not self._is_meta_field(field):
+                raise ValueError(f"range requires a docmap column, got {field!r}")
+            expr = None
+            ops = {"gte": pc.greater_equal, "gt": pc.greater, "lte": pc.less_equal, "lt": pc.less}
+            for op, v in conds.items():
+                e = ops[op](pc.field(field), v)
+                expr = e if expr is None else (expr & e)
+            return self._docmap_filter(expr)
+        if kind == "match":
+            ((_field, text),) = body.items()
+            return np.asarray(self.engine.conjunctive(str(text)), dtype=np.int64)
+        if kind == "bool":
+            return self._execute_bool(body)
+        raise ValueError(f"unsupported query kind {kind!r}")
+
+    def _execute_bool(self, body: dict) -> np.ndarray:
+        result: np.ndarray | None = None
+        for clause in list(body.get("must", ())) + list(body.get("filter", ())):
+            docs = self.execute(clause)
+            result = docs if result is None else np.intersect1d(result, docs, assume_unique=True)
+            if result.size == 0:
+                break
+        shoulds = body.get("should", ())
+        if shoulds:
+            union: np.ndarray | None = None
+            for clause in shoulds:
+                docs = self.execute(clause)
+                union = docs if union is None else np.union1d(union, docs)
+            if result is None:
+                result = union  # pure should → any-match
+            # with must/filter present, should only affects scoring → no-op in filter context
+        if result is None:
+            result = self._all_docs()
+        for clause in body.get("must_not", ()):
+            docs = self.execute(clause)
+            result = np.setdiff1d(result, docs, assume_unique=True)
+            if result.size == 0:
+                break
+        return result

@@ -1,0 +1,104 @@
+"""Forecasting pipeline — the ``forecast/`` side of the reference
+(``ForecastJobProcessor`` / ``ForecastRealTimeInferencer`` /
+``RCFCasterResult``), Ray-Data-first:
+
+    events → window_aggregate (same §2.A surface as detection)
+           → groupby(entity).map_groups(ForecastGroups)
+           → one row per (entity, horizon step): value, lower, upper
+
+Each entity's windows are processed in order through a
+:class:`~..state.forecaster.HoltWintersForecaster`; the emitted rows are
+the forecast made at the entity's LAST observed window (the realtime
+"forecast from now" shape; ``horizon`` windows ahead), mirroring the
+ForecastResult row schema (forecast_value / lower / upper bounds /
+confidence + the forecast window's time range).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DetectorConfig
+from ..stages.window import normalize_features, window_aggregate
+from ..util import pool
+
+
+class ForecastGroups:
+    def __init__(self, value_col: str, interval_ms: int, horizon: int, period: int,
+                 output_after: int = 32, confidence: float = 0.9):
+        self.value_col = value_col
+        self.interval_ms = interval_ms
+        self.horizon = horizon
+        self.period = period
+        self.output_after = output_after
+        self.confidence = confidence
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        from ..state.forecaster import HoltWintersForecaster
+
+        group = group.sort_values("window_end_ms", kind="stable")
+        entity_cols = [c for c in group.columns if c not in
+                       {self.value_col, "window_start_ms", "window_end_ms"}]
+        f = HoltWintersForecaster(
+            horizon=self.horizon, period=self.period,
+            output_after=self.output_after, confidence=self.confidence,
+        )
+        vals = group[self.value_col].to_numpy(dtype=np.float64)
+        last_end = None
+        for v, we in zip(vals, group["window_end_ms"].to_numpy()):
+            if last_end is not None and we <= last_end:
+                continue  # out-of-order drop (§2.F)
+            f.update(0.0 if not np.isfinite(v) else float(v))
+            last_end = int(we)
+            f.forecast()  # keeps per-horizon error quantiles honest
+        fc = f.forecast()
+        if fc is None or last_end is None:
+            return pd.DataFrame()
+        h = np.arange(1, self.horizon + 1, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "horizon_index": h,
+                "forecast_window_start_ms": last_end + (h - 1) * self.interval_ms,
+                "forecast_window_end_ms": last_end + h * self.interval_ms,
+                "forecast_value": np.round(fc["values"], 6),
+                "forecast_lower": np.round(fc["lower"], 6),
+                "forecast_upper": np.round(fc["upper"], 6),
+                "confidence": fc["confidence"],
+            }
+        )
+        for c in entity_cols:
+            out[c] = group[c].iloc[0]
+        return out
+
+
+def forecast(
+    events_ds,
+    config: DetectorConfig,
+    horizon: int = 24,
+    period: int = 0,
+    ts_col: str = "ts",
+    confidence: float = 0.9,
+    concurrency=None,
+):
+    """events Dataset → forecast rows (one per entity × horizon step)."""
+    feats = config.feature_names()
+    if len(feats) != 1:
+        raise ValueError("forecast() expects exactly one feature")
+    agg = window_aggregate(events_ds, config, ts_col=ts_col)
+    agg = agg.map_batches(
+        lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = list(config.category_fields) or None
+    if keys is None:
+        raise ValueError("forecast() needs category fields (one model per entity)")
+    return agg.groupby(keys).map_groups(
+        ForecastGroups,
+        fn_constructor_kwargs=dict(
+            value_col=feats[0], interval_ms=config.interval_s * 1000,
+            horizon=horizon, period=period, output_after=config.model_output_after(),
+            confidence=confidence,
+        ),
+        batch_format="pandas",
+        concurrency=pool(concurrency),
+    )

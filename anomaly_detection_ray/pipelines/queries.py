@@ -90,6 +90,24 @@ def q_term_filter_conjunctive(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+def q_filtered_search(sf_dir: str) -> pd.DataFrame:
+    """A4: restricted filter_query DSL — bool(term lang ∧ range doc_id ∧
+    match text) evaluated against the index + docmap."""
+    eng = index_for(sf_dir)
+    docs = eng.execute_filter(
+        {
+            "bool": {
+                "filter": [
+                    {"term": {"lang": "en"}},
+                    {"range": {"doc_id": {"gte": 100, "lt": 400}}},
+                ],
+                "must": [{"match": {"text": "data"}}],
+            }
+        }
+    )
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 def q_term_stats(sf_dir: str) -> pd.DataFrame:
     """Term dictionary stats (df, cttf) — top 20 by df desc, term asc."""
     import pyarrow.parquet as pq
@@ -514,6 +532,22 @@ def q_correlate_anomalies(sf_dir: str) -> pd.DataFrame:
     return correlate_clusters(anoms, use_ray=True)
 
 
+def q_forecast_events(sf_dir: str) -> pd.DataFrame:
+    """Forecast surface (reference forecast/ package): per-entity
+    Holt-Winters forecast with empirical bounds — rows-only."""
+    from .forecast import forecast
+
+    cfg = DetectorConfig(
+        config_id="fc-events",
+        interval_s=3600,
+        category_fields=("event_type",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = forecast(ds, cfg, horizon=12, period=24).to_pandas()
+    return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
+
+
 def q_media_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing (stubbed codec) — deterministic rows-only."""
     from ..stages.multimodal import decode_features, synthesize_media_table
@@ -536,6 +570,7 @@ REGISTRY = {
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "term_filter_conjunctive": q_term_filter_conjunctive,
+    "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
     "doc_token_stats": q_doc_token_stats,
     "lang_id": q_lang_id,
@@ -550,6 +585,7 @@ REGISTRY = {
     "detect_anomalies": q_detect_anomalies,
     "top_anomaly_results": q_top_anomaly_results,
     "correlate_anomalies": q_correlate_anomalies,
+    "forecast_events": q_forecast_events,
     "impute_linear": q_impute_linear,
     "media_decode": q_media_decode,
 }

@@ -1,0 +1,127 @@
+"""Streaming forecaster — the Layer-B analogue of the reference's
+``forecast/`` side (``forecast/ml/ForecastColdStart.java:113-149`` builds
+an ``RCFCaster`` with a ``forecastHorizon``; results carry per-horizon
+value + lower/upper bounds, ``forecast/ml/RCFCasterResult.java``).
+
+NOT a port of the AWS RCFCaster: the forecasting core here is
+additive Holt-Winters (triple exponential smoothing — level, trend,
+seasonal; Winters 1960, public algorithm) with **empirical residual
+quantiles** per horizon for the lower/upper bounds — the same
+role the caster's calibration plays (bounds widen with horizon as
+observed h-step errors accumulate). Deterministic: no RNG at all.
+
+Stream semantics (ordering, gap fill, warm-up) are shared with the
+anomaly side via the same conventions: strictly ascending windows,
+out-of-order dropped, scores emitted after ``output_after`` points.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+
+class HoltWintersForecaster:
+    """Single-series additive Holt-Winters with per-horizon empirical
+    error bounds.
+
+    ``period`` = seasonal length in windows (0/1 disables seasonality);
+    ``horizon`` = number of future windows per forecast call.
+    """
+
+    def __init__(
+        self,
+        horizon: int = 24,
+        period: int = 0,
+        alpha: float = 0.25,
+        beta: float = 0.05,
+        gamma: float = 0.3,
+        output_after: int = 32,
+        max_error_window: int = 1024,
+        confidence: float = 0.9,
+    ):
+        self.horizon = horizon
+        self.period = period if period and period > 1 else 0
+        self.alpha, self.beta, self.gamma = alpha, beta, gamma
+        self.output_after = output_after
+        self.confidence = confidence
+        self.level: float | None = None
+        self.trend = 0.0
+        self.season = np.zeros(self.period) if self.period else None
+        self._init_buf: list[float] | None = [] if self.period else None
+        self.n_points = 0
+        # per-horizon rolling h-step errors: deque of |actual − forecast_h|
+        self._errors: list[deque] = [deque(maxlen=max_error_window) for _ in range(horizon)]
+        # pending forecasts waiting for their actuals: list of (made_at_n, np.ndarray)
+        self._pending: deque = deque()
+
+    # ---- update ----
+
+    def _season_idx(self, n: int) -> int:
+        return n % self.period if self.period else 0
+
+    def update(self, value: float) -> None:
+        """Feed one in-order window value."""
+        v = float(value)
+        # score pending forecasts whose h-step target is this point
+        for made_at, fc in self._pending:
+            h = self.n_points - made_at  # 1-based horizon step
+            if 1 <= h <= self.horizon:
+                self._errors[h - 1].append(abs(v - fc[h - 1]))
+        while self._pending and self.n_points - self._pending[0][0] >= self.horizon:
+            self._pending.popleft()
+
+        if self.period and self._init_buf is not None:
+            # buffer the first full season: init level = its mean, season =
+            # per-slot deviations (standard HW initialization — without it
+            # the level chases the wave and convergence is slow/biased)
+            self._init_buf.append(v)
+            if len(self._init_buf) == self.period:
+                arr = np.asarray(self._init_buf)
+                self.level = float(arr.mean())
+                self.season = arr - self.level
+                self._init_buf = None
+            self.n_points += 1
+            return
+        if self.level is None:
+            self.level = v
+        else:
+            s = self.season[self._season_idx(self.n_points)] if self.period else 0.0
+            prev_level = self.level
+            self.level = self.alpha * (v - s) + (1 - self.alpha) * (self.level + self.trend)
+            self.trend = self.beta * (self.level - prev_level) + (1 - self.beta) * self.trend
+            if self.period:
+                i = self._season_idx(self.n_points)
+                self.season[i] = self.gamma * (v - self.level) + (1 - self.gamma) * self.season[i]
+        self.n_points += 1
+
+    # ---- forecast ----
+
+    def forecast(self) -> dict | None:
+        """→ dict(values, lower, upper, confidence) arrays of len horizon,
+        or None while warming up (< output_after points)."""
+        if self.level is None or self.n_points < max(2, self.output_after):
+            return None  # warming up (incl. first-season init buffering)
+        h = np.arange(1, self.horizon + 1, dtype=np.float64)
+        vals = self.level + self.trend * h
+        if self.period:
+            idx = (self.n_points + np.arange(self.horizon)) % self.period
+            vals = vals + self.season[idx]
+        q = self.confidence
+        half = np.empty(self.horizon)
+        last = 0.0
+        for i in range(self.horizon):
+            errs = self._errors[i]
+            if len(errs) >= 5:
+                last = float(np.quantile(np.asarray(errs), q))
+            half[i] = last if last > 0 else (abs(self.trend) + 1e-9) * (i + 1)
+        # bounds must not shrink with horizon
+        half = np.maximum.accumulate(half)
+        self._pending.append((self.n_points, vals.copy()))
+        return {
+            "values": vals,
+            "lower": vals - half,
+            "upper": vals + half,
+            "confidence": self.confidence,
+        }

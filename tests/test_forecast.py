@@ -1,0 +1,96 @@
+"""Forecast surface: HoltWinters core + end-to-end pipeline."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+from anomaly_detection_ray.state.forecaster import HoltWintersForecaster
+
+
+def _feed(f, vals):
+    for v in vals:
+        f.update(v)
+        f.forecast()
+
+
+def test_forecasts_trend():
+    f = HoltWintersForecaster(horizon=5, output_after=10)
+    _feed(f, [10 + 2 * i for i in range(200)])  # slope 2
+    fc = f.forecast()
+    expect = 10 + 2 * 199 + 2 * np.arange(1, 6)
+    assert np.allclose(fc["values"], expect, atol=1.0)
+    assert (fc["upper"] >= fc["values"]).all() and (fc["lower"] <= fc["values"]).all()
+
+
+def test_forecasts_seasonal_cosine():
+    period = 24
+    f = HoltWintersForecaster(horizon=period, period=period, output_after=32)
+    series = [100 + 50 * np.cos(2 * np.pi * i / period) for i in range(period * 8)]
+    _feed(f, series)
+    fc = f.forecast()
+    future = np.array([100 + 50 * np.cos(2 * np.pi * (len(series) + h) / period) for h in range(period)])
+    rmse = float(np.sqrt(np.mean((fc["values"] - future) ** 2)))
+    assert rmse < 10.0, rmse  # amplitude 50 → forecast tracks the cycle
+
+
+def test_bounds_cover_noisy_series():
+    rng = np.random.default_rng(3)
+    period = 12
+    f = HoltWintersForecaster(horizon=6, period=period, output_after=32, confidence=0.9)
+    series = [50 + 20 * np.sin(2 * np.pi * i / period) + rng.normal(0, 2) for i in range(400)]
+    # walk through, checking 1-step coverage after warm-up
+    hits = tot = 0
+    for i, v in enumerate(series):
+        fc = f.forecast()
+        if fc is not None and i > 100:
+            tot += 1
+            hits += fc["lower"][0] - 1e-9 <= v <= fc["upper"][0] + 1e-9
+        f.update(v)
+    assert tot > 200
+    assert hits / tot >= 0.8, hits / tot  # 90%-quantile bounds ⇒ ≥80% observed coverage
+
+
+def test_warmup_and_determinism():
+    f = HoltWintersForecaster(horizon=3, output_after=32)
+    for i in range(31):
+        f.update(float(i))
+    assert f.forecast() is None
+    f.update(31.0)
+    assert f.forecast() is not None
+    g1, g2 = HoltWintersForecaster(horizon=4), HoltWintersForecaster(horizon=4)
+    data = list(np.random.default_rng(1).normal(size=100))
+    _feed(g1, data)
+    _feed(g2, data)
+    assert np.array_equal(g1.forecast()["values"], g2.forecast()["values"])
+    assert np.array_equal(g1.forecast()["upper"], g2.forecast()["upper"])
+
+
+def test_forecast_pipeline_end_to_end(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.forecast import forecast
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=4, n_windows=240, interval_s=600, seed=5,
+                                 anomaly_prob=0.0, period=48)
+    cfg = DetectorConfig(
+        config_id="fc",
+        interval_s=600,
+        category_fields=("entity",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    out = forecast(rd.from_arrow(t), cfg, horizon=12, period=48, concurrency=2).to_pandas()
+    assert set(out["entity"]) == {f"entity{e:03d}" for e in range(4)}
+    assert len(out) == 4 * 12
+    g = out[out["entity"] == "entity000"].sort_values("horizon_index")
+    assert (np.diff(g["forecast_window_end_ms"]) == 600_000).all()
+    assert (g["forecast_upper"] >= g["forecast_lower"]).all()
+    # forecast continues the cosine: error well under amplitude
+    truth = t.to_pandas()
+    truth = truth[truth["entity"] == "entity000"]
+    amp = truth["value"].max() - truth["value"].min()
+    last = truth["value"].tail(48).to_numpy()
+    # 48-window period: horizon h aligns with the value 48−h windows back
+    expect = last[np.arange(12) - 48 + 48]  # = last[0:12] one period earlier
+    err = np.abs(g["forecast_value"].to_numpy() - expect).mean()
+    assert err < amp * 0.25, (err, amp)

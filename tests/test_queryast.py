@@ -1,0 +1,79 @@
+"""A4 restricted query DSL: bool/term/range/match vs brute-force checks."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.index.build import build_index
+from anomaly_detection_ray.index.oracle import BruteForceIndex
+from anomaly_detection_ray.index.query import QueryEngine
+
+
+@pytest.fixture(scope="module")
+def eng(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("astindex"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, batch_size=64, mode="code")
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code"))
+    return QueryEngine(out), table.to_pandas(), oracle
+
+
+def test_match_all_and_term_meta(eng):
+    e, df, _ = eng
+    assert list(e.execute_filter({"match_all": {}})) == sorted(df["doc_id"])
+    got = e.execute_filter({"term": {"lang": "python"}})
+    assert list(got) == sorted(df[df["lang"] == "python"]["doc_id"])
+
+
+def test_term_text_and_match(eng):
+    e, df, oracle = eng
+    got = e.execute_filter({"term": {"content": "merge"}})
+    assert list(got) == sorted(oracle.postings.get("merge", {}))
+    got = e.execute_filter({"match": {"content": "merge sort"}})
+    assert list(got) == oracle.conjunctive("merge sort")
+
+
+def test_range_meta(eng):
+    e, df, _ = eng
+    got = e.execute_filter({"range": {"doc_id": {"gte": 50, "lt": 120}}})
+    assert list(got) == sorted(df[(df["doc_id"] >= 50) & (df["doc_id"] < 120)]["doc_id"])
+
+
+def test_bool_combinations(eng):
+    e, df, oracle = eng
+    q = {
+        "bool": {
+            "filter": [
+                {"term": {"lang": "python"}},
+                {"range": {"doc_id": {"lt": 150}}},
+            ],
+            "must": [{"match": {"content": "merge"}}],
+            "must_not": [{"term": {"content": "zzabsent0"}}],
+        }
+    }
+    got = e.execute_filter(q)
+    exp = set(df[(df["lang"] == "python") & (df["doc_id"] < 150)]["doc_id"])
+    exp &= set(oracle.postings.get("merge", {}))
+    assert list(got) == sorted(exp)
+    # pure should = any-match union
+    q2 = {"bool": {"should": [{"term": {"lang": "go"}}, {"term": {"lang": "rust"}}]}}
+    got2 = e.execute_filter(q2)
+    assert list(got2) == sorted(df[df["lang"].isin(["go", "rust"])]["doc_id"])
+    with pytest.raises(ValueError):
+        e.execute_filter({"fuzzy": {"x": 1}})
+
+
+def test_bm25_topk_filtered(eng):
+    e, df, oracle = eng
+    filt = {"term": {"lang": "java"}}
+    allowed = set(df[df["lang"] == "java"]["doc_id"])
+    hits = e.bm25_topk_filtered("merge sort", filt, k=10)
+    assert hits, "filter should leave matches"
+    assert all(d in allowed for d, _ in hits)
+    # scores must equal the unfiltered scores for the same docs
+    full = dict(e.bm25_topk("merge sort", k=10_000, prune=False))
+    for d, s in hits:
+        assert s == pytest.approx(full[d], abs=1e-12)
+    # oracle cross-check of the ranking restricted to allowed docs
+    exp = [(d, s) for d, s in oracle.bm25_topk("merge sort", k=10_000) if d in allowed][:10]
+    assert [d for d, _ in hits] == [d for d, _ in exp]
