@@ -176,6 +176,13 @@ FROM b WHERE range_idx >= 0 GROUP BY range_idx ORDER BY range_idx
 SELECT user_id, count(*) AS cnt FROM events
 GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
 """,
+        "decayed_top_entities": """
+WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) // 600000 AS n FROM events),
+m AS (SELECT max(n) AS nmax FROM e),
+w AS (SELECT user_id, exp(0.125 * (n - (SELECT nmax FROM m))) AS wgt FROM e)
+SELECT user_id, round(ln(sum(wgt)) + 0.125 * (SELECT nmax FROM m), 6) AS priority
+FROM w GROUP BY user_id ORDER BY priority DESC, user_id LIMIT 10
+""",
         "entity_cardinality": """
 SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
 GROUP BY event_type ORDER BY event_type

@@ -245,6 +245,15 @@ def q_top_entities(sf_dir: str) -> pd.DataFrame:
     return out.astype({"user_id": "int64", "cnt": "int64"})
 
 
+def q_decayed_top_entities(sf_dir: str) -> pd.DataFrame:
+    """D3: PriorityTracker-style time-decayed top-k entities."""
+    from ..stages.priority import decayed_top_entities
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    out = decayed_top_entities(ds, "user_id", ts_col="ts", period_ms=600_000, k=10)
+    return out.astype({"user_id": "int64"})
+
+
 def q_entity_cardinality(sf_dir: str) -> pd.DataFrame:
     """A12: distinct-entity count per group."""
     cfg = DetectorConfig(
@@ -532,6 +541,13 @@ def q_correlate_anomalies(sf_dir: str) -> pd.DataFrame:
     return correlate_clusters(anoms, use_ray=True)
 
 
+def q_anomaly_insights(sf_dir: str) -> pd.DataFrame:
+    """D10: human-readable insight rows for correlated clusters."""
+    from ..stages.correlation import generate_insights
+
+    return generate_insights(q_correlate_anomalies(sf_dir), min_cluster_size=2)
+
+
 def q_forecast_events(sf_dir: str) -> pd.DataFrame:
     """Forecast surface (reference forecast/ package): per-entity
     Holt-Winters forecast with empirical bounds — rows-only."""
@@ -564,6 +580,7 @@ REGISTRY = {
     "feature_agg_interval": q_feature_agg_interval,
     "date_range_agg": q_date_range_agg,
     "top_entities": q_top_entities,
+    "decayed_top_entities": q_decayed_top_entities,
     "entity_cardinality": q_entity_cardinality,
     "value_percentile": q_value_percentile,
     "interval_suggest": q_interval_suggest,
@@ -586,6 +603,7 @@ REGISTRY = {
     "top_anomaly_results": q_top_anomaly_results,
     "correlate_anomalies": q_correlate_anomalies,
     "forecast_events": q_forecast_events,
+    "anomaly_insights": q_anomaly_insights,
     "impute_linear": q_impute_linear,
     "media_decode": q_media_decode,
 }

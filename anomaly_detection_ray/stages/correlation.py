@@ -121,6 +121,40 @@ def _sweep_edges(df: pd.DataFrame, delta_ms: float, kappa_ms: float,
     return pd.DataFrame({"a": np.concatenate(ea), "b": np.concatenate(eb)})
 
 
+def generate_insights(clusters: pd.DataFrame, min_cluster_size: int = 2) -> pd.DataFrame:
+    """D10 — ``ad/ml/InsightsGenerator.java:31-233``: summarize correlated
+    clusters into human-readable insight rows (a final ``map_batches``-
+    style projection over the clustering output)."""
+    if len(clusters) == 0:
+        return pd.DataFrame(
+            columns=["cluster_id", "window_start_ms", "window_end_ms", "n_anomalies", "n_models", "n_configs", "summary"]
+        )
+    rows = []
+    for cid, g in clusters.groupby("cluster_id"):
+        if len(g) < min_cluster_size:
+            continue
+        models = sorted(g["model_id"].unique())
+        configs = sorted(g["config_id"].unique())
+        ws, we = int(g["window_start_ms"].min()), int(g["window_end_ms"].max())
+        dur_min = (we - ws) / 60_000
+        head = ", ".join(models[:3]) + ("…" if len(models) > 3 else "")
+        rows.append(
+            {
+                "cluster_id": int(cid),
+                "window_start_ms": ws,
+                "window_end_ms": we,
+                "n_anomalies": int(len(g)),
+                "n_models": len(models),
+                "n_configs": len(configs),
+                "summary": (
+                    f"Correlated incident: {len(g)} anomalies from {len(models)} models "
+                    f"across {len(configs)} detector(s) within {dur_min:.0f} min ({head})"
+                ),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("cluster_id").reset_index(drop=True)
+
+
 class _UnionFind:
     def __init__(self, n: int):
         self.p = list(range(n))

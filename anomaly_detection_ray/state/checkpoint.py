@@ -58,3 +58,27 @@ class CheckpointStore:
         with open(p + ".json", "w") as f:
             json.dump(meta, f)
         return meta
+
+    def gc(self, before_window_end_ms: int) -> int:
+        """E3 retention cleanup (``ad/cluster/diskcleanup/*``, 3-day TTL
+        hourly in the reference): drop checkpoints whose stream hasn't
+        advanced past the cutoff. Returns the number removed."""
+        import glob
+
+        removed = 0
+        for meta_path in glob.glob(os.path.join(self.root, "*.pkl.json")):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            last = meta.get("last_window_end")
+            if last is not None and last < before_window_end_ms:
+                pkl = meta_path[: -len(".json")]
+                for p in (pkl, meta_path):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+                removed += 1
+        return removed

@@ -1,0 +1,112 @@
+"""Realtime continuation (C6 across pipeline runs), checkpoint GC (E3),
+decayed priority (D3), insights (D10)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+from anomaly_detection_ray.stages.correlation import generate_insights
+from anomaly_detection_ray.state.checkpoint import CheckpointStore
+from anomaly_detection_ray.state.model import TRCFModel
+
+
+def _cfg():
+    return DetectorConfig(
+        config_id="rt",
+        interval_s=600,
+        shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",),
+        num_trees=10,
+        sample_size=64,
+    )
+
+
+def test_realtime_continuation_equals_single_run(ray_session, tmp_path):
+    """Two checkpointed pipeline runs over consecutive halves of a stream
+    produce exactly the results of one uncheckpointed run over the whole
+    stream — the realtime interval-tick model (§3.1): each tick continues
+    the models the previous tick saved."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=3, n_windows=120, interval_s=600, seed=9,
+                                 anomaly_prob=0.02)
+    df = t.to_pandas()
+    ts_ms = df["ts"].astype("datetime64[ms]").astype("int64")
+    cut = int(ts_ms.min() + (ts_ms.max() - ts_ms.min()) // 2 // 600_000 * 600_000)
+    first = pa.Table.from_pandas(df[ts_ms < cut], preserve_index=False)
+    second = pa.Table.from_pandas(df[ts_ms >= cut], preserve_index=False)
+
+    cfg = _cfg()
+    ckpt = str(tmp_path / "ckpts")
+    sort_cols = ["model_id", "window_end_ms"]
+    a1 = detect(rd.from_arrow(first), cfg, checkpoint_dir=ckpt, concurrency=2).to_pandas()
+    a2 = detect(rd.from_arrow(second), cfg, checkpoint_dir=ckpt, concurrency=2).to_pandas()
+    split = pd.concat([a1, a2]).sort_values(sort_cols).reset_index(drop=True)
+    full = detect(rd.from_arrow(t), cfg, concurrency=2).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(split, full)
+
+
+def test_checkpoint_gc(tmp_path):
+    cfg = _cfg()
+    store = CheckpointStore(str(tmp_path))
+    old, new = TRCFModel(cfg, "old"), TRCFModel(cfg, "new")
+    old.process(np.array([1.0]), 600_000)
+    new.process(np.array([1.0]), 600_000 * 1000)
+    store.save(old)
+    store.save(new)
+    assert store.gc(before_window_end_ms=600_000 * 500) == 1
+    assert store.load("old") is None
+    assert store.load("new") is not None
+
+
+def test_generate_insights():
+    clusters = pd.DataFrame(
+        {
+            "model_id": ["m1", "m2", "m3", "m9"],
+            "config_id": ["d1", "d2", "d1", "d9"],
+            "start_ms": [0, 60_000, 120_000, 10**9],
+            "end_ms": [600_000, 660_000, 720_000, 10**9 + 600_000],
+            "cluster_id": [0, 0, 0, 3],
+            "window_start_ms": [0, 0, 0, 10**9],
+            "window_end_ms": [720_000, 720_000, 720_000, 10**9 + 600_000],
+        }
+    )
+    ins = generate_insights(clusters)
+    assert len(ins) == 1  # singleton cluster filtered
+    row = ins.iloc[0]
+    assert row["n_anomalies"] == 3 and row["n_models"] == 3 and row["n_configs"] == 2
+    assert "3 anomalies" in row["summary"] and "2 detector" in row["summary"]
+    assert len(generate_insights(clusters.iloc[:0])) == 0
+
+
+def test_decayed_top_entities_recency(ray_session):
+    """An entity with many OLD events ranks below one with fewer RECENT
+    events once decay weights apply (the PriorityTracker property)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.priority import decayed_top_entities
+
+    base = 1_700_000_400_000
+    rows = []
+    # 'olda': 50 events in period 0; 'recent': 5 events in period 100
+    for i in range(50):
+        rows.append(("olda", base + i * 1000))
+    for i in range(5):
+        rows.append(("recent", base + 100 * 600_000 + i * 1000))
+    t = pa.table(
+        {
+            "user": [r[0] for r in rows],
+            "ts": pa.array(np.asarray([r[1] for r in rows], dtype="int64")).cast(pa.timestamp("ms")),
+        }
+    )
+    out = decayed_top_entities(rd.from_arrow(t), "user", ts_col="ts", period_ms=600_000, k=2, landmark_ms=base)
+    assert out.iloc[0]["user"] == "recent"
+    # math check: priority = ln(sum g) shifted; recent: ln(5)+0.125*100
+    assert out.iloc[0]["priority"] == pytest.approx(np.log(5) + 0.125 * 100, abs=1e-4)
+    assert out.iloc[1]["priority"] == pytest.approx(np.log(50), abs=1e-4)
