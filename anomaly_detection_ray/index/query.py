@@ -293,6 +293,52 @@ class QueryEngine:
             raise FileNotFoundError("index has no docmap")
         return self._docmap
 
+    # ---------- distributed scoring (doc-bucket parallel) ----------
+
+    def bm25_topk_distributed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k as a Ray pipeline: the query's posting chunks are
+        grouped by doc BUCKET (the index's doc-range partitioning), each
+        bucket scores its doc range independently in parallel, and the
+        tiny per-bucket top-k lists merge on the driver — the
+        document-sharded execution model OpenSearch itself uses (per-
+        shard top-k + merge), so results are identical to the local path
+        (tested). This is the shape that serves a 10^12-doc index: no
+        single task ever sees more than one bucket's postings."""
+        import ray.data as rd
+
+        terms = self.query_terms(query)
+        chunks = self.chunks_for(terms)
+        if chunks.num_rows == 0:
+            return []
+        dfs = {t: self.df(t) for t in terms}
+        n_docs, avgdl = self.n_docs, self.avgdl
+        block_size = int(self.manifest.get("block_size", 128))
+
+        def score_bucket(group: pa.Table) -> pa.Table:
+            from .segments import decode_chunks_bulk
+
+            rows = group.to_pylist()
+            docs, tfs, dls, off = decode_chunks_bulk(rows, block_size)
+            idfs = np.asarray([float(bm25_idf(dfs[r["term"]], n_docs)) for r in rows])
+            w = np.repeat(idfs, np.diff(off))
+            imps = w * tf_norm(tfs, dls, avgdl)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            scores = np.zeros(uniq.size)
+            np.add.at(scores, inv, imps)
+            top = _topk_with_ties(uniq, scores, k)
+            return pa.table(
+                {"doc_id": pa.array([d for d, _ in top], pa.int64()),
+                 "score": pa.array([s for _, s in top], pa.float64())}
+            )
+
+        parts = (
+            rd.from_arrow(chunks)
+            .groupby("bucket")
+            .map_groups(score_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return _topk_with_ties(parts["doc_id"].to_numpy(), parts["score"].to_numpy(), k)
+
     # ---------- restricted query DSL (SURVEY §2.A4) ----------
 
     def execute_filter(self, query: dict | None) -> np.ndarray:

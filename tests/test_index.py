@@ -113,3 +113,48 @@ def test_resume_skips_completed_slices(built, tiny_corpus):
     a = [p["sha256"] for s in first["slices"] for p in s["partitions"]]
     b = [p["sha256"] for s in manifest2["slices"] for p in s["partitions"]]
     assert a == b
+
+
+def test_bm25_distributed_matches_local(built, tiny_corpus):
+    """Doc-bucket-parallel Ray scoring path ≡ local engine ≡ oracle."""
+    out, _, oracle = built
+    eng = QueryEngine(out)
+    for q in tiny_corpus["queries"]["query"].to_pylist()[:8]:
+        dist = eng.bm25_topk_distributed(q, k=10)
+        local = eng.bm25_topk(q, k=10, prune=False)
+        assert dist == local, q
+
+
+def test_engine_vs_oracle_random_corpora(ray_session, tmp_path_factory):
+    """Property-style: random corpora/queries → rank-identical top-k."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(40)] + ["import", "return"]
+    for trial in range(3):
+        n = int(rng.integers(30, 120))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 60)))
+            for _ in range(n)
+        ]
+        import pyarrow as pa
+
+        d = tmp_path_factory.mktemp(f"prop{trial}")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()), "content": texts}),
+            str(d / "c.parquet"),
+        )
+        out = str(d / "idx")
+        build_index([str(d / "c.parquet")], out, slices=1, num_partitions=4,
+                    batch_size=16, mode="simple", bucket_shift=5, keep_cols=())
+        eng = QueryEngine(out)
+        oracle = BruteForceIndex(range(n), texts, Analyzer("simple"))
+        for _ in range(10):
+            q = " ".join(rng.choice(vocab, size=rng.integers(1, 4)))
+            exp = oracle.bm25_topk(q, k=10)
+            for prune in (False, True):
+                got = eng.bm25_topk(q, k=10, prune=prune)
+                assert [x for x, _ in got] == [x for x, _ in exp], (trial, q, prune)
+                for (_, gs), (_, es) in zip(got, exp):
+                    assert abs(gs - es) < 1e-9
+            assert list(eng.conjunctive(q)) == oracle.conjunctive(q)
