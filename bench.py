@@ -113,6 +113,8 @@ def bench_suite() -> dict:
     timed("ann_cosine_topk", lambda: Q.q_ann_cosine_topk(SF_DIR))
     timed("minhash_near_dup", lambda: Q.q_minhash_near_dup(SF_DIR))
     timed("detect_anomalies", lambda: Q.q_detect_anomalies(SF_DIR))
+    timed("forecast_events", lambda: Q.q_forecast_events(SF_DIR))
+    timed("correlate_anomalies", lambda: Q.q_correlate_anomalies(SF_DIR))
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
