@@ -1,0 +1,160 @@
+"""User-facing detector API — the reference's REST surface (§2.G,
+``ad/rest/*`` — 18 actions) as a thin Python facade, so a user of the
+plugin can run the same operations here:
+
+    api = DetectorAPI(config, events_path)
+    api.validate()        # _validate: interval / shingle-density / window-delay checks
+    api.suggest_interval()# _suggest
+    api.preview()         # _preview: deterministic sampled run (randomSeed(0) analogue)
+    api.run_once(out_dir) # _run: full detection, results written
+    api.profile()         # _profile/_stats: entity counts, model states
+    api.start_job(...)    # realtime tick: checkpointed continuation
+    api.top_anomalies(k)  # _topAnomalies
+
+Create/update/delete of detector configs are plain dataclass / JSON
+operations (configs are not Datasets) and need no engine support.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import DetectorConfig
+from ..stages.window import add_window_columns
+
+WINDOW_DELAY_RATIO = 1.2  # TimeSeriesSettings.java:301
+
+
+class DetectorAPI:
+    def __init__(self, config: DetectorConfig, events_path: str, ts_col: str = "ts"):
+        self.config = config
+        self.events_path = events_path
+        self.ts_col = ts_col
+
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.read_parquet(self.events_path)
+
+    # ---- _suggest (A14) ----
+
+    def suggest_interval(self) -> int:
+        """Median gap between distinct timestamps, in seconds."""
+        ds = self._ds().select_columns([self.ts_col]).map_batches(
+            lambda b: add_window_columns(b, self.ts_col, 1), batch_format="pyarrow", zero_copy_batch=True
+        )
+        ts = np.unique(ds.select_columns(["window_start_ms"]).to_pandas()["window_start_ms"].to_numpy())
+        if ts.size < 2:
+            return self.config.interval_s
+        return max(1, int(round(float(np.median(np.diff(np.sort(ts)))) / 1000.0)))
+
+    # ---- _validate ----
+
+    def validate(self) -> dict:
+        """Shingle-density (B4) + interval sanity + window-delay
+        suggestion (WINDOW_DELAY_RATIO × observed ingest delay is the
+        reference's rule; with batch files we report the suggested
+        interval instead)."""
+        from ..stages.priority import decayed_top_entities  # noqa: F401 (import check)
+
+        issues: list[str] = []
+        suggested = self.suggest_interval()
+        if suggested > self.config.interval_s * 2:
+            issues.append(
+                f"interval {self.config.interval_s}s much finer than median data gap {suggested}s"
+            )
+        # density: fraction of fully-populated shingle windows per entity
+        interval_ms = self.config.interval_s * 1000
+        s = self.config.shingle_size
+        ds = self._ds().map_batches(
+            lambda b: add_window_columns(b, self.ts_col, interval_ms), batch_format="pyarrow", zero_copy_batch=True
+        )
+        cols = list(self.config.category_fields) + ["window_start_ms"]
+        wins = ds.select_columns(cols).to_pandas().drop_duplicates()
+        density = {}
+        for ent, g in wins.groupby(list(self.config.category_fields) or (lambda _: 0)):
+            a = np.sort(g["window_start_ms"].to_numpy())
+            lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
+            full = int(((np.arange(a.size) - lo + 1) == s).sum())
+            density[str(ent)] = full / max(1, a.size)
+        weak = [e for e, d in density.items() if d < 0.25]
+        if weak:
+            issues.append(f"sparse shingles (<25% full windows) for {len(weak)} entities")
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "suggested_interval_s": suggested,
+            "window_delay_s": int(self.config.interval_s * (WINDOW_DELAY_RATIO - 1.0)),
+            "shingle_density": density,
+        }
+
+    # ---- _preview (deterministic, D7 stride sampling + B6 interpolation) ----
+
+    def preview(self, max_entities: int = 5) -> pd.DataFrame:
+        """Deterministic preview: top entities by count, stride-sampled
+        features linearly re-interpolated, scored by a fresh fixed-seed
+        model — the ``AnomalyDetectorRunner`` path (§3.3)."""
+        from ..functions.imputation import linear_uniform_impute
+        from ..state.model import TRCFModel
+        from ..stages.window import window_aggregate
+
+        agg = window_aggregate(self._ds(), self.config, ts_col=self.ts_col).to_pandas()
+        feats = self.config.feature_names()
+        cats = list(self.config.category_fields)
+        if cats:
+            top = agg.groupby(cats).size().sort_values(ascending=False).head(max_entities).index
+            agg = agg[agg.set_index(cats).index.isin(top)]
+        out = []
+        for ent, g in agg.groupby(cats) if cats else [((), agg)]:
+            g = g.sort_values("window_start_ms")
+            sampled = g.iloc[:: max(1, len(g) // 300 * 4 and 4)]  # stride ≈ preview sampling
+            vals = linear_uniform_impute(sampled[feats].to_numpy(), len(g))
+            model = TRCFModel(self.config, f"preview_{ent}")
+            rows = []
+            for i, we in enumerate(g["window_end_ms"].to_numpy()):
+                r = model.process(vals[i], int(we))
+                rows.append((we, r["anomaly_score"], r["anomaly_grade"]))
+            df = pd.DataFrame(rows, columns=["window_end_ms", "anomaly_score", "anomaly_grade"])
+            for c, v in zip(cats, ent if isinstance(ent, tuple) else (ent,)):
+                df[c] = v
+            out.append(df)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    # ---- _run / job tick ----
+
+    def run_once(self, results_dir: str | None = None, checkpoint_dir: str | None = None):
+        from .detector import detect
+        from ..stages.sink import write_results
+
+        res = detect(self._ds(), self.config, ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
+        if results_dir:
+            return write_results(res, results_dir)
+        return res
+
+    def start_job(self, results_dir: str, checkpoint_dir: str):
+        """One realtime tick: continue checkpointed models over whatever
+        new windows the input now holds (idempotent — overlapping windows
+        are dropped as out-of-order)."""
+        return self.run_once(results_dir=results_dir, checkpoint_dir=checkpoint_dir)
+
+    # ---- _profile / _stats / _topAnomalies ----
+
+    def profile(self) -> dict:
+        from ray.data.aggregate import Count
+
+        cats = list(self.config.category_fields)
+        n_entities = self._ds().groupby(cats).aggregate(Count(alias_name="n")).count() if cats else 1
+        return {
+            "config_id": self.config.config_id,
+            "n_entities": int(n_entities),
+            "interval_s": self.config.interval_s,
+            "shingle_size": self.config.shingle_size,
+            "features": self.config.feature_names(),
+        }
+
+    def top_anomalies(self, k: int = 10) -> pd.DataFrame:
+        from .detector import detect, top_anomaly_results
+
+        res = detect(self._ds(), self.config, ts_col=self.ts_col)
+        return top_anomaly_results(res, self.config, k=k).to_pandas()

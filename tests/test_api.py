@@ -1,0 +1,96 @@
+"""DetectorAPI facade (§2.G) + result sink (A16/E2)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+
+
+@pytest.fixture(scope="module")
+def events_file(tmp_path_factory):
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=4, n_windows=150, interval_s=600, seed=17,
+                                 anomaly_prob=0.02, events_per_window=2)
+    p = tmp_path_factory.mktemp("apievents") / "events.parquet"
+    pq.write_table(t, str(p))
+    return str(p)
+
+
+def _cfg():
+    return DetectorConfig(
+        config_id="api-det",
+        interval_s=600,
+        shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",),
+        num_trees=10,
+        sample_size=64,
+    )
+
+
+def test_validate_and_suggest(ray_session, events_file):
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    v = api.validate()
+    assert v["ok"], v["issues"]
+    # events every 300s (2/window) → suggested interval ≈ 300
+    assert 200 <= v["suggested_interval_s"] <= 400
+    assert v["window_delay_s"] in (119, 120)  # int(600·0.2) with float repr
+    assert all(d > 0.5 for d in v["shingle_density"].values())
+
+
+def test_preview_deterministic(ray_session, events_file):
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    a = api.preview(max_entities=2)
+    b = api.preview(max_entities=2)
+    assert len(a) > 0
+    assert np.array_equal(a["anomaly_score"].to_numpy(), b["anomaly_score"].to_numpy())
+
+
+def test_run_once_writes_partitioned_results(ray_session, events_file, tmp_path):
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    out = str(tmp_path / "results")
+    api.run_once(results_dir=out)
+    parts = glob.glob(os.path.join(out, "result_date=*"))
+    assert len(parts) >= 1  # date-partitioned layout
+    total = sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+    assert total > 100
+
+
+def test_sink_keep_anomalies(ray_session, events_file, tmp_path):
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.stages.sink import write_results
+
+    res = detect(rd.read_parquet(events_file), _cfg(), concurrency=2)
+    out = str(tmp_path / "anoms")
+    write_results(res, out, keep="anomalies")
+    tbl = pa.concat_tables(
+        pq.read_table(f) for f in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    ) if glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True) else None
+    if tbl is not None and tbl.num_rows:
+        assert (np.asarray(tbl["anomaly_grade"]) > 0).all()
+    with pytest.raises(ValueError):
+        write_results(res, out, keep="bogus")
+
+
+def test_profile_and_top(ray_session, events_file):
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    p = api.profile()
+    assert p["n_entities"] == 4 and p["features"] == ["value_avg"]
+    top = api.top_anomalies(k=2)
+    assert len(top) == 2 and "max_anomaly_grade" in top.columns
