@@ -564,6 +564,16 @@ def q_forecast_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
 
 
+def q_detector_preview(sf_dir: str) -> pd.DataFrame:
+    """§3.3 deterministic preview (stride sampling D7 + interpolation B6
+    + fixed-seed scoring) via the DetectorAPI facade — rows-only."""
+    from .api import DetectorAPI
+
+    api = DetectorAPI(detector_config(), os.path.join(sf_dir, "events.parquet"))
+    out = api.preview(max_entities=3)
+    return out.sort_values(["event_type", "window_end_ms"]).reset_index(drop=True)
+
+
 def q_media_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing (stubbed codec) — deterministic rows-only."""
     from ..stages.multimodal import decode_features, synthesize_media_table
@@ -604,6 +614,7 @@ REGISTRY = {
     "correlate_anomalies": q_correlate_anomalies,
     "forecast_events": q_forecast_events,
     "anomaly_insights": q_anomaly_insights,
+    "detector_preview": q_detector_preview,
     "impute_linear": q_impute_linear,
     "media_decode": q_media_decode,
 }
