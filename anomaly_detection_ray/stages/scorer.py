@@ -29,6 +29,56 @@ from ..state.model import TRCFModel
 RESULT_COLUMNS = ["anomaly_score", "anomaly_grade", "confidence", "is_anomaly"]
 
 
+def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 7):
+    """B10: project flat result rows into the reference's fixed nested
+    result schema (``src/main/resources/mappings/anomaly-results.json``:
+    ``_meta.schema_version: 7``, ``feature_data: list<struct<feature_id,
+    feature_name, data>>``, entity as list<struct<name, value>>,
+    epoch-millis time fields). The flat layout stays the engine-native
+    one; this is the compatibility projection (the reference's custom-
+    index "flattening" run in reverse)."""
+    import pyarrow as pa
+
+    feats = list(config.feature_names())
+    cats = list(config.category_fields)
+    config_id = config.config_id
+
+    def project(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        fd = [
+            [
+                {"feature_id": f, "feature_name": f, "data": float(b[f][i].as_py())}
+                for f in feats
+            ]
+            for i in range(n)
+        ]
+        ent = [
+            [{"name": c, "value": str(b[c][i].as_py())} for c in cats]
+            for i in range(n)
+        ]
+        return pa.table(
+            {
+                "detector_id": pa.array([config_id] * n),
+                "schema_version": pa.array([schema_version] * n, pa.int32()),
+                "model_id": b["model_id"],
+                "entity": pa.array(ent, type=pa.list_(pa.struct([("name", pa.string()), ("value", pa.string())]))),
+                "feature_data": pa.array(
+                    fd,
+                    type=pa.list_(pa.struct([
+                        ("feature_id", pa.string()), ("feature_name", pa.string()), ("data", pa.float64()),
+                    ])),
+                ),
+                "data_start_time": b["window_start_ms"],
+                "data_end_time": b["window_end_ms"],
+                "anomaly_score": b["anomaly_score"],
+                "anomaly_grade": b["anomaly_grade"],
+                "confidence": b["confidence"],
+            }
+        )
+
+    return results_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class ScoreGroups:
     def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None):
         self.config = config

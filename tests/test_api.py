@@ -94,3 +94,21 @@ def test_profile_and_top(ray_session, events_file):
     assert p["n_entities"] == 4 and p["features"] == ["value_avg"]
     top = api.top_anomalies(k=2)
     assert len(top) == 2 and "max_anomaly_grade" in top.columns
+
+
+def test_nested_result_schema(ray_session, events_file):
+    """B10: nested anomaly-results.json-shaped projection."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.stages.scorer import to_nested_results
+
+    res = detect(rd.read_parquet(events_file), _cfg(), concurrency=2)
+    nested = to_nested_results(res, _cfg()).to_pandas()
+    assert {"detector_id", "schema_version", "feature_data", "entity",
+            "data_start_time", "data_end_time", "anomaly_grade"} <= set(nested.columns)
+    row = nested.iloc[0]
+    assert row["schema_version"] == 7
+    assert row["feature_data"][0]["feature_name"] == "value_avg"
+    assert row["entity"][0]["name"] == "entity"
+    assert row["data_end_time"] - row["data_start_time"] == 600_000
