@@ -181,6 +181,12 @@ def _manifest_row(meta: dict) -> dict:
 
 
 def _split_table_by_kh(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
+    if tbl.num_rows == 0 or "kh" not in tbl.column_names:
+        # empty read blocks pass through the map stages schema-less
+        from .segments import POSTINGS_SCHEMA
+
+        empty = POSTINGS_SCHEMA.empty_table().append_column("kh", pa.array([], pa.int64()))
+        return [empty] * num_partitions
     kh = tbl["kh"].to_numpy()
     order = np.argsort(kh, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))
@@ -377,7 +383,13 @@ def build_index(
         for p in m["partitions"]
     )
     total_bytes = sum(os.path.getsize(f) for f in posting_files)
-    if total_bytes < 512 * 1024 * 1024:
+    if not posting_files:
+        import pandas as pd
+
+        stats_tbl = pd.DataFrame({"term": pd.Series(dtype="object"),
+                                  "df": pd.Series(dtype="int64"),
+                                  "cttf": pd.Series(dtype="int64")})
+    elif total_bytes < 512 * 1024 * 1024:
         # small index → driver-side aggregation is instant; the Ray
         # groupby below is the path for indexes that don't fit one node
         import pandas as pd

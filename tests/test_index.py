@@ -210,3 +210,20 @@ def test_kill_mid_build_resume(ray_session, tiny_corpus, tmp_path_factory):
     assert shas_resumed == shas_full               # byte-identical lineage
     with open(os.path.join(out, "manifest.json")) as f:
         assert json.load(f)["n_docs"] == 200
+
+
+def test_empty_corpus_build_and_query(ray_session, tmp_path):
+    """Degenerate input: zero-doc corpus builds an empty-but-valid index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()), "content": pa.array([], pa.string())}), src
+    )
+    out = str(tmp_path / "idx")
+    m = build_index([src], out, slices=1, num_partitions=4)
+    assert m["n_docs"] == 0 and m["n_terms"] == 0
+    eng = QueryEngine(out)
+    assert eng.bm25_topk("anything") == []
+    assert list(eng.conjunctive("anything")) == []
