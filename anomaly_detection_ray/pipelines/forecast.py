@@ -51,7 +51,7 @@ class ForecastGroups:
                 continue  # out-of-order drop (§2.F)
             f.update(0.0 if not np.isfinite(v) else float(v))
             last_end = int(we)
-            f.forecast()  # keeps per-horizon error quantiles honest
+            f.record_forecast()  # error bookkeeping only; bounds computed once below
         fc = f.forecast()
         if fc is None or last_end is None:
             return pd.DataFrame()

@@ -53,9 +53,14 @@ def pairwise_similarity(
     kappa_ms: float = KAPPA_MS,
     start_dilation1: float | None = None,
     start_dilation2: float | None = None,
+    interval1_ms: float = 0.0,
+    interval2_ms: float = 0.0,
 ) -> tuple[float, float]:
     """(similarity, raw dilated overlap ms) for one anomaly pair —
-    scalar reference implementation (tested against the vectorized path)."""
+    scalar reference implementation (tested against the vectorized path).
+    ``interval{1,2}_ms`` are the detectors' intervals: under strong
+    containment the duration tolerance relaxes to the coarser interval
+    (kappa_eff), matching ``_sweep_edges``."""
     d1 = delta_ms if start_dilation1 is None else start_dilation1
     d2 = delta_ms if start_dilation2 is None else start_dilation2
     a_lo, a_hi = s1 - d1, e1 + delta_ms
@@ -71,7 +76,8 @@ def pairwise_similarity(
     if t <= 0:
         return 0.0, ov
     dur_a, dur_b = e1 - s1, e2 - s2
-    pen = np.exp(-abs(dur_a - dur_b) / kappa_ms)
+    kappa_eff = max(kappa_ms, interval1_ms, interval2_ms) if strong else kappa_ms
+    pen = np.exp(-abs(dur_a - dur_b) / kappa_eff)
     if strong:
         pen = 1.0 if CONTAINMENT_RELAX == 0.0 else pen**CONTAINMENT_RELAX
     return float(t * pen), float(ov)

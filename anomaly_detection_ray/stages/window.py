@@ -35,12 +35,18 @@ def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Tab
     ts = batch[ts_col]
     if pa.types.is_timestamp(ts.type):
         # timestamp → int64 yields the type's native unit; normalize to ms
-        if ts.type.unit == "us":
-            ts_ms = pc.divide(pc.cast(ts, pa.int64()), 1000)
-        elif ts.type.unit == "ns":
-            ts_ms = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
+        unit = ts.type.unit
+        ts64 = pc.cast(ts, pa.int64())
+        if unit == "s":
+            ts_ms = pc.multiply(ts64, pa.scalar(1000, pa.int64()))
+        elif unit == "ms":
+            ts_ms = ts64
+        elif unit == "us":
+            ts_ms = pc.divide(ts64, 1000)
+        elif unit == "ns":
+            ts_ms = pc.divide(ts64, 1_000_000)
         else:
-            ts_ms = pc.cast(ts, pa.int64())
+            raise ValueError(f"unsupported timestamp unit {unit!r} on column {ts_col!r}")
     else:
         ts_ms = pc.cast(ts, pa.int64())
     ts_np = ts_ms.to_numpy() if hasattr(ts_ms, "to_numpy") else ts_ms.combine_chunks().to_numpy()

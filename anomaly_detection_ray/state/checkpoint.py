@@ -55,8 +55,14 @@ class CheckpointStore:
             "last_window_end": model.last_window_end,
             "bytes": len(blob),
         }
-        with open(p + ".json", "w") as f:
+        # manifest write must be atomic too: a crash between the pickle
+        # replace and a plain manifest write would leave a manifest whose
+        # sha256/last_window_end describe the OLD pickle (breaking lineage
+        # and feeding stale cutoffs to gc())
+        meta_tmp = f"{p}.json.tmp.{os.getpid()}"
+        with open(meta_tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(meta_tmp, p + ".json")
         return meta
 
     def gc(self, before_window_end_ms: int) -> int:

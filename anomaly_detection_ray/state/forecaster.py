@@ -64,12 +64,15 @@ class HoltWintersForecaster:
     def update(self, value: float) -> None:
         """Feed one in-order window value."""
         v = float(value)
-        # score pending forecasts whose h-step target is this point
+        # score pending forecasts whose h-step target is this point: a
+        # forecast made after observing ``made_at`` points predicts points
+        # made_at+1, made_at+2, …, so THIS point (the (n_points+1)-th) is
+        # horizon step h = n_points − made_at + 1 (1-based).
         for made_at, fc in self._pending:
-            h = self.n_points - made_at  # 1-based horizon step
+            h = self.n_points - made_at + 1
             if 1 <= h <= self.horizon:
                 self._errors[h - 1].append(abs(v - fc[h - 1]))
-        while self._pending and self.n_points - self._pending[0][0] >= self.horizon:
+        while self._pending and self.n_points - self._pending[0][0] + 1 >= self.horizon:
             self._pending.popleft()
 
         if self.period and self._init_buf is not None:
@@ -98,9 +101,9 @@ class HoltWintersForecaster:
 
     # ---- forecast ----
 
-    def forecast(self) -> dict | None:
-        """→ dict(values, lower, upper, confidence) arrays of len horizon,
-        or None while warming up (< output_after points)."""
+    def _point_forecast(self) -> np.ndarray | None:
+        """Point forecast for the next ``horizon`` steps — no bounds, no
+        quantiles. O(horizon)."""
         if self.level is None or self.n_points < max(2, self.output_after):
             return None  # warming up (incl. first-season init buffering)
         h = np.arange(1, self.horizon + 1, dtype=np.float64)
@@ -108,6 +111,26 @@ class HoltWintersForecaster:
         if self.period:
             idx = (self.n_points + np.arange(self.horizon)) % self.period
             vals = vals + self.season[idx]
+        return vals
+
+    def record_forecast(self) -> bool:
+        """Cheap per-point bookkeeping: remember this step's point forecast
+        so later ``update``s can score h-step errors. Call once per point
+        in a streaming pass; compute bounds with :meth:`forecast` only at
+        emission — this split removes the O(points × horizon × log window)
+        quantile recomputation the naive walk pays."""
+        vals = self._point_forecast()
+        if vals is None:
+            return False
+        self._pending.append((self.n_points, vals))
+        return True
+
+    def forecast(self) -> dict | None:
+        """→ dict(values, lower, upper, confidence) arrays of len horizon,
+        or None while warming up (< output_after points)."""
+        vals = self._point_forecast()
+        if vals is None:
+            return None
         q = self.confidence
         half = np.empty(self.horizon)
         last = 0.0

@@ -66,6 +66,11 @@ class TRCFModel:
             elif c.imputation == "fixed":
                 point[m] = c.fixed_value
             elif c.imputation in ("previous", "linear"):
+                # 'linear' degrades to previous-fill HERE because a NaN
+                # feature inside an observed point has no known future
+                # endpoint in a streaming pass; true interpolation happens
+                # in the gap-backfill path of process(), where both
+                # endpoints exist (LinearUpdatingImputer semantics).
                 if self.last_point is not None:
                     point[m] = self.last_point[m]
                 else:
@@ -100,9 +105,22 @@ class TRCFModel:
                 self._new_state()
             elif gap > 0:
                 n_fill = min(int(gap), self.max_impute_gap)
-                nan_point = np.full(len(features), np.nan)
-                for _ in range(n_fill):
-                    self._advance(self._fill(nan_point))
+                if self.config.imputation == "linear" and self.last_point is not None:
+                    # both endpoints are known when backfilling: interpolate
+                    # last_point → the incoming point (reference
+                    # LinearUpdatingImputer; NaN endpoint dims fall back to
+                    # previous-fill since they have no target value)
+                    end = np.asarray(features, dtype=np.float64).copy()
+                    bad = ~np.isfinite(end)
+                    end[bad] = self.last_point[bad]
+                    start = self.last_point.copy()
+                    for i in range(n_fill):
+                        frac = (i + 1) / (float(gap) + 1.0)
+                        self._advance(start + frac * (end - start))
+                else:
+                    nan_point = np.full(len(features), np.nan)
+                    for _ in range(n_fill):
+                        self._advance(self._fill(nan_point))
         self.last_window_end = window_end_ms
 
         point = self._fill(features)

@@ -133,3 +133,18 @@ def test_apply_rules_zeroes_grades():
     out = apply_rules(df, [Rule("value_avg", "actual_over_expected_margin", 5.0)], {"value_avg": "expected_value"})
     assert out["anomaly_grade"].tolist() == [0.0, 0.9]
     assert out["suppressed_by_rule"].tolist() == [True, False]
+
+
+def test_scalar_similarity_matches_vectorized_kappa_eff():
+    """ADVICE r1: under strong containment the scalar oracle must apply the
+    same coarse-interval kappa_eff relaxation as the vectorized sweep."""
+    from anomaly_detection_ray.stages.correlation import CONTAINMENT_RELAX, LAM
+
+    coarse, _ = pairwise_similarity(0, 240 * MIN, 100 * MIN, 110 * MIN, interval1_ms=60 * MIN)
+    plain, _ = pairwise_similarity(0, 240 * MIN, 100 * MIN, 110 * MIN)
+    assert coarse > plain  # relaxed duration penalty under coarse interval
+    la, lb, ov = 250 * MIN, 20 * MIN, 20 * MIN
+    iou, ovl = ov / (la + lb - ov), 1.0
+    t = (1 - LAM) * iou + LAM * ovl
+    want = t * np.exp(-(230 * MIN) / (60 * MIN)) ** CONTAINMENT_RELAX
+    assert coarse == pytest.approx(want)

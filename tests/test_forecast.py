@@ -94,3 +94,35 @@ def test_forecast_pipeline_end_to_end(ray_session):
     expect = last[np.arange(12) - 48 + 48]  # = last[0:12] one period earlier
     err = np.abs(g["forecast_value"].to_numpy() - expect).mean()
     assert err < amp * 0.25, (err, amp)
+
+
+def test_horizon_slots_score_correct_step():
+    """ADVICE r1: the first value after a forecast is the 1-step target
+    (slot 0); pre-fix it was never scored and every slot was one step off."""
+    f = HoltWintersForecaster(horizon=3, output_after=2)
+    f.update(0.0)
+    f.update(1.0)
+    assert f.record_forecast()  # made after observing 2 points → predicts points 3,4,5
+    fc0 = f._pending[-1][1][0]
+    f.update(2.0)  # point 3 → horizon step 1 → slot 0
+    assert len(f._errors[0]) == 1
+    assert f._errors[0][0] == pytest.approx(abs(2.0 - fc0))
+    f.update(3.0)  # step 2 → slot 1
+    f.update(4.0)  # step 3 → slot 2, then the pending entry is exhausted
+    assert len(f._errors[1]) == 1 and len(f._errors[2]) == 1
+    assert not f._pending
+
+
+def test_record_forecast_matches_forecast_values():
+    f1 = HoltWintersForecaster(horizon=4, output_after=4)
+    f2 = HoltWintersForecaster(horizon=4, output_after=4)
+    data = list(np.random.default_rng(11).normal(size=60))
+    for v in data:
+        f1.update(v)
+        f1.forecast()
+    for v in data:
+        f2.update(v)
+        f2.record_forecast()
+    a, b = f1.forecast(), f2.forecast()
+    assert np.array_equal(a["values"], b["values"])
+    assert np.array_equal(a["upper"], b["upper"])

@@ -110,3 +110,41 @@ def test_decayed_top_entities_recency(ray_session):
     # math check: priority = ln(sum g) shifted; recent: ln(5)+0.125*100
     assert out.iloc[0]["priority"] == pytest.approx(np.log(5) + 0.125 * 100, abs=1e-4)
     assert out.iloc[1]["priority"] == pytest.approx(np.log(50), abs=1e-4)
+
+
+def test_window_columns_all_timestamp_units():
+    """ADVICE r1: pa.timestamp('s') columns were bucketed as milliseconds
+    (windows 1000x off). All four units must agree on the same instant."""
+    from anomaly_detection_ray.stages.window import add_window_columns
+
+    base_s = 1_704_067_260  # NOT aligned to the 600 s interval
+    want_start = base_s * 1000 // 600_000 * 600_000
+    for unit, mult in [("s", 1), ("ms", 1000), ("us", 10**6), ("ns", 10**9)]:
+        t = pa.table({"ts": pa.array([base_s * mult], pa.int64()).cast(pa.timestamp(unit))})
+        out = add_window_columns(t, "ts", 600_000)
+        assert out["window_start_ms"][0].as_py() == want_start, unit
+        assert out["window_end_ms"][0].as_py() == want_start + 600_000, unit
+
+
+def test_linear_gap_interpolation():
+    """ADVICE r1: imputation='linear' must interpolate across a gap (both
+    endpoints known when backfilling), not alias to previous-fill."""
+    cfg = DetectorConfig(
+        config_id="lin", interval_s=600, shingle_size=8, imputation="linear",
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    m = TRCFModel(cfg, "e1")
+    t0 = 600_000
+    m.process(np.array([0.0]), t0)
+    m.process(np.array([10.0]), t0 + 4 * 600_000)  # 3 missing windows
+    pts = [p[0] for p in m.shingle]
+    assert pts == pytest.approx([0.0, 2.5, 5.0, 7.5, 10.0])
+    # contrast: previous-fill holds the last value flat
+    cfg_prev = DetectorConfig(
+        config_id="prev", interval_s=600, shingle_size=8, imputation="previous",
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    mp = TRCFModel(cfg_prev, "e1")
+    mp.process(np.array([0.0]), t0)
+    mp.process(np.array([10.0]), t0 + 4 * 600_000)
+    assert [p[0] for p in mp.shingle] == pytest.approx([0.0, 0.0, 0.0, 0.0, 10.0])
