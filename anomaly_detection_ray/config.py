@@ -47,12 +47,17 @@ class DetectorConfig:
     fixed_value: float = 0.0
     # --- thresholding (HybridThresholdingModel.java) ---
     # NOTE: the reference's MIN_SCORE=0.4 is on the AWS RCF library's
-    # expected-inverse-depth scale (normal ≈ 1). Our CoDisp/log2 scale
-    # puts normal traffic at ≈ 0.5–2.0, so the equivalent floor is 2.0.
+    # expected-inverse-depth scale (normal ≈ 1). Our expected-displacement
+    # / log2(sample) scale puts normal traffic at ≈ 0.2–1.0 and clear
+    # anomalies ≥ 5, so the equivalent floor stays 2.0 (validated by the
+    # precision/recall floor tests in tests/test_detector.py).
     min_score: float = 2.0
     threshold_p: float = 0.995
     max_sketch_size: int = 10_000
     history_intervals: int = 40
+    # --- suppression rules (ad/model/Rule.java, ThresholdType.java);
+    # applied inside ScoreGroups against the scorer's expected values ---
+    rules: tuple = ()
 
     def model_output_after(self) -> int:
         return max(self.shingle_size, self.output_after)

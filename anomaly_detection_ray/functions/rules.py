@@ -14,10 +14,10 @@ value on the rule's side:
 
 The reference feeds these thresholds into the RCF library
 (``ADColdStart.java:304-324``); here they post-process result rows.
-Expected values: this engine's scorer does not emit per-feature
-expected values yet, so ``apply_rules`` takes an ``expected``
-column/array supplied by the caller (e.g. a per-entity rolling median
-— the preview-style proxy), keeping the rule math itself exact.
+Wiring: set ``DetectorConfig.rules`` and ``ScoreGroups`` applies them
+against the scorer's own per-feature expected values
+(``{feature}_expected`` columns from the forest's leaf consensus);
+``apply_rules`` also accepts any caller-supplied expected column.
 """
 
 from __future__ import annotations

@@ -56,8 +56,12 @@ def detect(
     checkpoint_dir: str | None = None,
     time_range_ms: tuple[int, int] | None = None,
     concurrency: int | None = None,
+    detailed: bool = False,
 ):
-    """events Dataset → anomaly results Dataset (one row per entity-window)."""
+    """events Dataset → anomaly results Dataset (one row per entity-window).
+
+    ``detailed=True`` (implied by ``config.rules``) adds per-feature
+    expected values, attribution and past values to each row."""
     from ..util import pool
 
     concurrency = pool(concurrency)
@@ -70,7 +74,7 @@ def detect(
     )
     results = agg.groupby("model_id").map_groups(
         ScoreGroups,
-        fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir),
+        fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir, detailed=detailed),
         batch_format="pandas",
         concurrency=concurrency,
     )

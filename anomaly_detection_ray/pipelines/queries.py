@@ -476,6 +476,35 @@ def q_detect_anomalies(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_detect_with_rules(sf_dir: str) -> pd.DataFrame:
+    """B9+B10 end-to-end: detailed scoring (expected values / attribution
+    / past values, ``ThresholdingResult.java:323-374``) with a suppression
+    rule applied against the scorer's expected values
+    (``IgnoreSimilarExtractor`` semantics) — deterministic, rows-only."""
+    from ..functions.rules import Rule
+    from .detector import detect
+
+    cfg = DetectorConfig(
+        config_id="events-detector-rules",
+        interval_s=600,
+        shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("event_type",),
+        num_trees=20,
+        sample_size=128,
+        rules=(Rule("value_avg", "actual_over_expected_ratio", 0.1),),
+    )
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    res = detect(ds, cfg, ts_col="ts").to_pandas()
+    res = res.sort_values(["model_id", "window_end_ms"]).reset_index(drop=True)
+    out = res[
+        ["event_type", "window_end_ms", "value_avg", "anomaly_score", "anomaly_grade",
+         "value_avg_expected", "value_avg_attribution", "value_avg_past", "suppressed_by_rule"]
+    ].copy()
+    return _round(out, {"value_avg": 6, "anomaly_score": 6, "anomaly_grade": 6,
+                        "value_avg_expected": 6, "value_avg_attribution": 6, "value_avg_past": 6})
+
+
 def q_top_anomaly_results(sf_dir: str) -> pd.DataFrame:
     from .detector import detect, top_anomaly_results
 
@@ -610,6 +639,7 @@ REGISTRY = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "detect_anomalies": q_detect_anomalies,
+    "detect_with_rules": q_detect_with_rules,
     "top_anomaly_results": q_top_anomaly_results,
     "correlate_anomalies": q_correlate_anomalies,
     "forecast_events": q_forecast_events,

@@ -38,51 +38,104 @@ def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 
     one; this is the compatibility projection (the reference's custom-
     index "flattening" run in reverse)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     feats = list(config.feature_names())
     cats = list(config.category_fields)
     config_id = config.config_id
+    k = len(feats)
+
+    def _interleave_float(b: pa.Table, cols: list[str]) -> pa.Array:
+        """Row-major interleave of float columns → flat values array for a
+        list<struct> of one entry per column per row (vectorized — the
+        round-1 per-row dict comprehension was a Python loop in the hot
+        path)."""
+        mats = [pc.cast(b[c], pa.float64()).to_numpy(zero_copy_only=False) for c in cols]
+        return pa.array(np.column_stack(mats).ravel())
+
+    def _feature_list(b: pa.Table, cols: list[str], names: list[str]) -> pa.ListArray:
+        n = b.num_rows
+        fid = pa.array(feats * n)
+        data = _interleave_float(b, cols)
+        struct = pa.StructArray.from_arrays([fid, data], names=names)
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * k, pa.int32())
+        return pa.ListArray.from_arrays(offs, struct)
 
     def project(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        fd = [
-            [
-                {"feature_id": f, "feature_name": f, "data": float(b[f][i].as_py())}
-                for f in feats
-            ]
-            for i in range(n)
-        ]
-        ent = [
-            [{"name": c, "value": str(b[c][i].as_py())} for c in cats]
-            for i in range(n)
-        ]
-        return pa.table(
-            {
-                "detector_id": pa.array([config_id] * n),
-                "schema_version": pa.array([schema_version] * n, pa.int32()),
-                "model_id": b["model_id"],
-                "entity": pa.array(ent, type=pa.list_(pa.struct([("name", pa.string()), ("value", pa.string())]))),
-                "feature_data": pa.array(
-                    fd,
-                    type=pa.list_(pa.struct([
-                        ("feature_id", pa.string()), ("feature_name", pa.string()), ("data", pa.float64()),
-                    ])),
-                ),
-                "data_start_time": b["window_start_ms"],
-                "data_end_time": b["window_end_ms"],
-                "anomaly_score": b["anomaly_score"],
-                "anomaly_grade": b["anomaly_grade"],
-                "confidence": b["confidence"],
-            }
+        fid = pa.array(feats * n)
+        fd_struct = pa.StructArray.from_arrays(
+            [fid, fid, _interleave_float(b, feats)],
+            names=["feature_id", "feature_name", "data"],
         )
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * k, pa.int32())
+        fd = pa.ListArray.from_arrays(offs, fd_struct)
+        if cats:
+            svals = np.column_stack(
+                [pc.cast(b[c], pa.string()).to_numpy(zero_copy_only=False) for c in cats]
+            ).ravel()
+            ent_struct = pa.StructArray.from_arrays(
+                [pa.array(cats * n), pa.array(svals)], names=["name", "value"]
+            )
+            ent = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * len(cats), pa.int32()), ent_struct
+            )
+        else:
+            ent = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+                pa.array([], type=pa.struct([("name", pa.string()), ("value", pa.string())])),
+            )
+        out = {
+            "detector_id": pa.array([config_id] * n),
+            "schema_version": pa.array([schema_version] * n, pa.int32()),
+            "model_id": b["model_id"],
+            "entity": ent,
+            "feature_data": fd,
+            "data_start_time": b["window_start_ms"],
+            "data_end_time": b["window_end_ms"],
+            "anomaly_score": b["anomaly_score"],
+            "anomaly_grade": b["anomaly_grade"],
+            "confidence": b["confidence"],
+        }
+        # enrichment fields (anomaly-results.json:93-157) when the scorer
+        # ran detailed: relevant_attribution, expected_values (one
+        # candidate whose likelihood = confidence), past_values
+        if f"{feats[0]}_attribution" in b.column_names:
+            out["relevant_attribution"] = _feature_list(
+                b, [f"{f}_attribution" for f in feats], ["feature_id", "data"]
+            )
+            out["past_values"] = _feature_list(
+                b, [f"{f}_past" for f in feats], ["feature_id", "data"]
+            )
+            inner = _feature_list(b, [f"{f}_expected" for f in feats], ["feature_id", "data"])
+            ev_struct = pa.StructArray.from_arrays(
+                [pc.cast(b["confidence"], pa.float64()).combine_chunks(), inner],
+                names=["likelihood", "value_list"],
+            )
+            out["expected_values"] = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32), pa.int32()), ev_struct
+            )
+        return pa.table(out)
 
     return results_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class ScoreGroups:
-    def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None):
+    """groupby(model_id).map_groups callable. ``detailed=True`` adds the
+    reference's result-row enrichment (``ThresholdingResult.java:323-374``,
+    ``ModelUtil.java:96-133``): per-feature ``{f}_expected`` (forest
+    leaf-consensus normal value), ``{f}_attribution`` (share of the
+    anomaly score, normalized to sum 1 like relevant_attribution) and
+    ``{f}_past`` (previous window's actual). When ``config.rules`` is
+    non-empty the suppression rules (B9, ``IgnoreSimilarExtractor``)
+    are applied against the expected values: grades within the rule
+    margin of expected are zeroed and flagged ``suppressed_by_rule``."""
+
+    def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None,
+                 detailed: bool = False):
         self.config = config
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+        self.detailed = bool(detailed) or bool(config.rules)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         c = self.config
@@ -93,25 +146,31 @@ class ScoreGroups:
         if model is None:
             model = TRCFModel(c, model_id)
 
-        feats = group[list(c.feature_names())].to_numpy(dtype=np.float64)
+        fnames = list(c.feature_names())
+        feats = group[fnames].to_numpy(dtype=np.float64)
         ends = group["window_end_ms"].to_numpy(dtype=np.int64)
-        out = np.zeros((len(group), 3), dtype=np.float64)
-        keep = np.ones(len(group), dtype=bool)
-        is_anom = np.zeros(len(group), dtype=bool)
-        for i in range(len(group)):
-            r = model.process(feats[i], int(ends[i]))
-            if r is None:  # out-of-order duplicate (e.g. re-run overlap) → drop row
-                keep[i] = False
-                continue
-            out[i] = (r["anomaly_score"], r["anomaly_grade"], r["confidence"])
-            is_anom[i] = r["is_anomaly"]
+        out = model.process_many(feats, ends, detailed=self.detailed)
 
         if self.store:
             self.store.save(model)
 
+        keep = out["keep"]
         res = group.loc[keep].copy()
-        res["anomaly_score"] = out[keep, 0]
-        res["anomaly_grade"] = out[keep, 1]
-        res["confidence"] = out[keep, 2]
-        res["is_anomaly"] = is_anom[keep]
+        res["anomaly_score"] = out["anomaly_score"][keep]
+        res["anomaly_grade"] = out["anomaly_grade"][keep]
+        res["confidence"] = out["confidence"][keep]
+        res["is_anomaly"] = out["is_anomaly"][keep]
+        if self.detailed:
+            score = out["anomaly_score"][keep]
+            attr = out["attribution"][keep]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                attr_norm = np.where(score[:, None] > 0, attr / np.where(score[:, None] > 0, score[:, None], 1.0), 0.0)
+            for k, f in enumerate(fnames):
+                res[f"{f}_expected"] = out["expected"][keep][:, k]
+                res[f"{f}_attribution"] = attr_norm[:, k]
+                res[f"{f}_past"] = out["past"][keep][:, k]
+            if c.rules:
+                from ..functions.rules import apply_rules
+
+                res = apply_rules(res, list(c.rules), {f: f"{f}_expected" for f in fnames})
         return res

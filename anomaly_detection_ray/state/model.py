@@ -44,7 +44,9 @@ class TRCFModel:
 
     def _new_state(self) -> None:
         c = self.config
-        self.forest = RCForest(c.num_trees, c.sample_size, seed=self._seed)
+        self.forest = RCForest(
+            c.num_trees, c.sample_size, seed=self._seed, time_decay=c.time_decay
+        )
         self.threshold = ThresholdModel(c.min_score, c.threshold_p, c.max_sketch_size)
         self.shingle: deque[np.ndarray] = deque(maxlen=c.shingle_size)
         self.last_window_end: int | None = None
@@ -141,6 +143,144 @@ class TRCFModel:
             "confidence": conf,
             "is_anomaly": grade > 0.0,
         }
+
+    # ---- batched streaming (the fast path used by ScoreGroups) ----
+
+    def process_many(self, features: np.ndarray, window_ends: np.ndarray, detailed: bool = False) -> dict:
+        """Process many in-order (features, window_end) samples at once —
+        bit-identical to calling :meth:`process` per row (the forest's
+        chunked scoring is batching-independent by construction), but the
+        forest work runs vectorized across points.
+
+        → dict of arrays aligned to the input rows: ``keep`` (False for
+        out-of-order drops), score/grade/confidence/is_anomaly; with
+        ``detailed=True`` also per-feature ``expected`` (the forest's
+        leaf-consensus normal value for the current window,
+        ``ThresholdingResult.java:323-374`` expected_values analogue),
+        ``attribution`` (per-feature share of the anomaly score,
+        relevant_attribution), and ``past`` (previous window's actual
+        values)."""
+        c = self.config
+        features = np.asarray(features, dtype=np.float64)
+        window_ends = np.asarray(window_ends, dtype=np.int64)
+        n = len(features)
+        F = features.shape[1] if n else len(c.feature_names())
+        s = c.shingle_size
+        interval_ms = c.interval_s * 1000
+        score_a = np.zeros(n)
+        grade_a = np.zeros(n)
+        conf_a = np.zeros(n)
+        keep = np.zeros(n, dtype=bool)
+        if detailed:
+            exp_a = np.full((n, F), np.nan)
+            attr_a = np.zeros((n, F))
+            past_a = np.full((n, F), np.nan)
+
+        fed: list[np.ndarray] = []
+        emit: list[tuple[int, int]] = []  # (input row, index into fed)
+
+        def append_fed(pt: np.ndarray) -> None:
+            fed.append(pt)
+            self.last_point = pt
+
+        def flush() -> None:
+            nonlocal fed, emit
+            m = len(fed)
+            if not m:
+                return
+            fed_arr = np.asarray(fed)
+            prior = list(self.shingle)[-(s - 1):] if s > 1 else []
+            j0 = max(0, s - 1 - len(prior))
+            raw = np.zeros(m)
+            if detailed:
+                exp_f = np.full((m, F), np.nan)
+                attr_f = np.zeros((m, F))
+            if m - j0 > 0:
+                if s > 1:
+                    from numpy.lib.stride_tricks import sliding_window_view
+
+                    seq = np.vstack([*prior, fed_arr]) if prior else fed_arr
+                    win = sliding_window_view(seq, (s, F)).reshape(-1, s * F)
+                    start = len(prior) + j0 - (s - 1)
+                    sh = win[start : start + (m - j0)]
+                else:
+                    sh = fed_arr[j0:]
+                if detailed:
+                    r, at, ex = self.forest.score_then_observe_batch(sh, detailed=True)
+                    at3 = at.reshape(-1, s, F)
+                    attr_f[j0:] = at3.sum(axis=1)
+                    exp_f[j0:] = ex[:, -F:]
+                else:
+                    r = self.forest.score_then_observe_batch(sh)
+                raw[j0:] = r
+            start_np = self.n_points
+            self.n_points = start_np + m
+            npts = start_np + np.arange(1, m + 1)
+            warm = npts < c.model_output_after()
+            raw[warm] = 0.0
+            for row, j in emit:
+                sc = float(raw[j])
+                g = self.threshold.grade(sc)
+                conf = 0.0 if warm[j] else self.threshold.confidence()
+                if sc > 0.0 and g == 0.0:
+                    self.threshold.update(sc)
+                score_a[row] = sc
+                grade_a[row] = g
+                conf_a[row] = conf
+                keep[row] = True
+                if detailed:
+                    exp_a[row] = exp_f[j]
+                    attr_a[row] = attr_f[j]
+                    if j > 0:
+                        past_a[row] = fed_arr[j - 1]
+                    elif prior:
+                        past_a[row] = prior[-1]
+            for p in fed_arr:
+                self.shingle.append(p)
+            fed = []
+            emit = []
+
+        for i in range(n):
+            we = int(window_ends[i])
+            if self.last_window_end is not None:
+                if we <= self.last_window_end:
+                    self.n_dropped_ooo += 1
+                    continue
+                gap = (we - self.last_window_end) // interval_ms - 1
+                if gap > self.reset_gap:
+                    flush()
+                    self._new_state()
+                elif gap > 0:
+                    n_fill = min(int(gap), self.max_impute_gap)
+                    if c.imputation == "linear" and self.last_point is not None:
+                        end = features[i].copy()
+                        bad = ~np.isfinite(end)
+                        end[bad] = self.last_point[bad]
+                        startp = self.last_point.copy()
+                        for k in range(n_fill):
+                            frac = (k + 1) / (float(gap) + 1.0)
+                            append_fed(startp + frac * (end - startp))
+                    else:
+                        nanp = np.full(F, np.nan)
+                        for _ in range(n_fill):
+                            append_fed(self._fill(nanp))
+            self.last_window_end = we
+            emit.append((i, len(fed)))
+            append_fed(self._fill(features[i]))
+        flush()
+
+        out = {
+            "anomaly_score": score_a,
+            "anomaly_grade": grade_a,
+            "confidence": conf_a,
+            "is_anomaly": grade_a > 0.0,
+            "keep": keep,
+        }
+        if detailed:
+            out["expected"] = exp_a
+            out["attribution"] = attr_a
+            out["past"] = past_a
+        return out
 
     # ---- serde ----
 

@@ -112,3 +112,25 @@ def test_nested_result_schema(ray_session, events_file):
     assert row["feature_data"][0]["feature_name"] == "value_avg"
     assert row["entity"][0]["name"] == "entity"
     assert row["data_end_time"] - row["data_start_time"] == 600_000
+
+
+def test_nested_result_enrichment_fields(ray_session, events_file):
+    """B10 round 2: detailed scoring carries relevant_attribution /
+    expected_values / past_values into the nested projection
+    (anomaly-results.json:93-157, ThresholdingResult.java:323-374)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.stages.scorer import to_nested_results
+
+    res = detect(rd.read_parquet(events_file), _cfg(), concurrency=2, detailed=True)
+    nested = to_nested_results(res, _cfg()).to_pandas()
+    assert {"relevant_attribution", "expected_values", "past_values"} <= set(nested.columns)
+    row = nested.sort_values("anomaly_score", ascending=False).iloc[0]
+    assert row["relevant_attribution"][0]["feature_id"] == "value_avg"
+    # single feature → its attribution share is 1 on any scored row
+    assert row["relevant_attribution"][0]["data"] == pytest.approx(1.0)
+    ev = row["expected_values"][0]
+    assert ev["likelihood"] == pytest.approx(0.99)
+    assert ev["value_list"][0]["feature_id"] == "value_avg"
+    assert np.isfinite(ev["value_list"][0]["data"])

@@ -18,7 +18,7 @@ from anomaly_detection_ray.functions.imputation import (
 )
 from anomaly_detection_ray.state.checkpoint import CheckpointStore
 from anomaly_detection_ray.state.model import TRCFModel
-from anomaly_detection_ray.state.rcf import RCForest, RandomCutTree
+from anomaly_detection_ray.state.rcf import RCForest
 from anomaly_detection_ray.state.threshold import ThresholdModel
 
 
@@ -64,24 +64,62 @@ def test_shingle_fill_nearest():
 
 # ---------- RCF ----------
 
-def test_tree_counts_and_forget():
+def test_forest_build_invariants():
+    """Every tree's root mass equals the sample size; leaf masses sum to
+    it; bboxes nest (child within parent)."""
     rng = np.random.default_rng(0)
-    t = RandomCutTree(1)
-    pts = rng.normal(size=(50, 3))
-    for i, p in enumerate(pts):
-        t.insert(p, i)
-        assert t.root.count == i + 1
-    for i in range(25):
-        t.forget(i)
-    assert t.root.count == 25
-    # duplicates absorb and release correctly
-    t2 = RandomCutTree(2)
-    for i in range(5):
-        t2.insert(np.array([1.0, 1.0]), i)
-    assert t2.root.count == 5 and t2.root.is_leaf
-    for i in range(4):
-        t2.forget(i)
-    assert t2.root.count == 1
+    f = RCForest(num_trees=8, sample_size=64, seed=1)
+    for p in rng.normal(size=(200, 3)):
+        f.observe(p)
+    assert f._built and f._built_size == 64
+    for r in f._roots:
+        assert f._count[r] == 64
+    leaf = f._left < 0
+    assert f._count[leaf].sum() == 8 * 64
+    internal = np.flatnonzero(~leaf)
+    for n in internal[:200]:
+        for ch in (f._left[n], f._right[n]):
+            assert (f._lo[ch] >= f._lo[n] - 1e-12).all()
+            assert (f._hi[ch] <= f._hi[n] + 1e-12).all()
+        assert f._count[n] == f._count[f._left[n]] + f._count[f._right[n]]
+
+
+def test_reservoir_time_decay_semantics():
+    """The time-decayed reservoir (λ = time_decay) keeps a recency-biased
+    sample with mean age ≈ 1/λ — retaining points older than the sample
+    size (impossible for round-1's sliding window) while still turning
+    over after a regime change."""
+    f = RCForest(num_trees=1, sample_size=128, seed=0, time_decay=1 / 1024)
+    n = 10_000
+    for i in range(n):
+        f.observe(np.array([float(i % 7)]))
+    ages = n - np.asarray(sorted(f._res))
+    assert ages.max() > 128            # older than any sliding window
+    assert 300 < ages.mean() < 3000    # ≈ 1/λ = 1024
+    # regime change: after 2·(1/λ) more points, most of the sample is new
+    for i in range(n, n + 2048):
+        f.observe(np.array([100.0]))
+    frac_new = np.mean(np.asarray(sorted(f._res)) >= n)
+    assert frac_new > 0.5
+    # λ=0 → uniform reservoir over the whole stream (no recency bias)
+    g = RCForest(num_trees=1, sample_size=128, seed=0, time_decay=0.0)
+    for i in range(n):
+        g.observe(np.array([float(i)]))
+    assert np.mean(n - np.asarray(sorted(g._res))) > n / 4
+
+
+def test_batch_scoring_identical_to_per_point():
+    """score_then_observe_batch must be bit-identical to per-point
+    score_and_update regardless of batch split (the chunk boundaries are
+    the absolute rebuild schedule, not call boundaries)."""
+    pts = np.random.default_rng(5).normal(size=(300, 4))
+    f1, f2, f3 = (RCForest(10, 64, seed=1) for _ in range(3))
+    a = np.asarray([f1.score_and_update(p) for p in pts])
+    b = f2.score_then_observe_batch(pts)
+    c = np.concatenate([f3.score_then_observe_batch(pts[:50]),
+                        f3.score_then_observe_batch(pts[50:57]),
+                        f3.score_then_observe_batch(pts[57:])])
+    assert np.array_equal(a, b) and np.array_equal(a, c)
 
 
 def test_forest_scores_spike_higher():
@@ -270,3 +308,75 @@ def test_detect_deterministic(ray_session, stream_table):
     a = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas().sort_values(sort_cols).reset_index(drop=True)
     b = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas().sort_values(sort_cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_process_many_identical_to_process():
+    """The batched model path must be bit-identical to per-point process()
+    across gaps, NaN features and imputation."""
+    cfg = DetectorConfig(config_id="pm", interval_s=600, shingle_size=8,
+                         features=(FeatureSpec("f0", "value", "avg"),),
+                         num_trees=10, sample_size=64, imputation="linear")
+    rng = np.random.default_rng(7)
+    n = 300
+    vals = 100 + 50 * np.cos(2 * np.pi * np.arange(n) / 24) + rng.uniform(-2, 2, n)
+    vals[80] *= 5
+    vals[150] = np.nan
+    ends = (np.arange(n) + 1) * 600_000
+    ends[200:] += 5 * 600_000        # gap of 5 windows at 200
+    ends = ends.copy()
+    m1, m2 = TRCFModel(cfg, "m"), TRCFModel(cfg, "m")
+    per_point = [m1.process(np.array([v]), int(e)) for v, e in zip(vals, ends)]
+    out = m2.process_many(vals[:, None], ends)
+    assert np.array_equal(np.array([r["anomaly_score"] for r in per_point]), out["anomaly_score"])
+    assert np.array_equal(np.array([r["anomaly_grade"] for r in per_point]), out["anomaly_grade"])
+    assert m1.n_points == m2.n_points
+    assert np.array_equal(np.concatenate(m1.shingle), np.concatenate(m2.shingle))
+    # detailed pass returns the same scores plus sane enrichment
+    m3 = TRCFModel(cfg, "m")
+    det = m3.process_many(vals[:, None], ends, detailed=True)
+    assert np.array_equal(det["anomaly_score"], out["anomaly_score"])
+    i = 80  # the spike: expected value should sit near the normal band
+    assert det["anomaly_score"][i] > 2.0
+    assert abs(det["expected"][i, 0] - 150) < 120  # normal band is 50..150
+    assert det["attribution"][i, 0] == pytest.approx(det["anomaly_score"][i])
+    assert det["past"][i, 0] == pytest.approx(vals[79])
+
+
+def test_detect_with_rules_suppression(ray_session):
+    """B9 wired end-to-end: config.rules suppress within-margin anomalies
+    using the scorer's own expected values, while real spikes survive
+    (IgnoreSimilarExtractor / ADColdStart.java:304-324 semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.functions.rules import Rule
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    rng = np.random.default_rng(4)
+    n = 260
+    vals = 100 + rng.uniform(-1, 1, n)
+    vals[200] = 5000.0   # huge spike: must survive any margin rule
+    ts = (np.arange(n) + 1) * 600_000
+    t = pa.table({
+        "entity": ["e0"] * n,
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("ms")),
+        "value": vals,
+    })
+    base_cfg = dict(
+        config_id="rules-e2e", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",), num_trees=10, sample_size=64,
+    )
+    cfg = DetectorConfig(**base_cfg, rules=(Rule("value_avg", "actual_over_expected_margin", 10_000.0),))
+    res = detect(rd.from_arrow(t), cfg, concurrency=1).to_pandas().reset_index(drop=True)
+    assert {"value_avg_expected", "value_avg_attribution", "value_avg_past", "suppressed_by_rule"} <= set(res.columns)
+    spike = res.loc[res["value_avg"].idxmax()]  # the planted 5000 window itself
+    spike_we = spike["window_end_ms"]
+    # within the absurd 10k margin → suppressed despite the high score
+    assert spike["anomaly_score"] > 2.0 and spike["anomaly_grade"] == 0.0 and spike["suppressed_by_rule"]
+    # tight margin → the spike survives
+    cfg2 = DetectorConfig(**base_cfg, rules=(Rule("value_avg", "actual_over_expected_margin", 5.0),))
+    res2 = detect(rd.from_arrow(t), cfg2, concurrency=1).to_pandas()
+    spike2 = res2[res2["window_end_ms"] == spike_we].iloc[0]
+    assert spike2["anomaly_grade"] > 0.0 and not spike2["suppressed_by_rule"]
+    assert not res2["suppressed_by_rule"].iloc[:100].any()
