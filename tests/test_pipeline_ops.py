@@ -216,3 +216,54 @@ def test_multimodal_decode_stub(ray_session):
     assert a == b
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)
+
+
+def test_embedding_near_dup_tiling_matches_single_block(ray_session):
+    """Block-pair tiling must be exact for any block count: forcing many
+    tiny blocks gives identical pairs to the single-tile run."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(120, 16))
+    for i in range(0, 40, 7):
+        base[i + 1] = base[i] + rng.normal(0, 1e-3, 16)  # planted near-dups
+    tbl = pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in base], type=pa.list_(pa.float64())),
+    })
+    kw = dict(threshold=0.5)
+    one = embedding_near_dup_pairs(rd.from_arrow(tbl), rows_per_block=10_000, **kw).to_pandas()
+    many = embedding_near_dup_pairs(rd.from_arrow(tbl), rows_per_block=16, **kw).to_pandas()
+    key = ["vec_a", "vec_b"]
+    pd.testing.assert_frame_equal(
+        one.sort_values(key).reset_index(drop=True).round(9),
+        many.sort_values(key).reset_index(drop=True).round(9),
+    )
+    assert len(one) >= 6  # the planted pairs are all found
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """Sign-LSH banded near-dup: full recall on planted high-cosine pairs
+    and no pairs the exact path would not also report."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.ann import embedding_near_dup_lsh, embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 32))
+    planted = []
+    for i in range(0, 60, 6):
+        base[i + 1] = base[i] + rng.normal(0, 0.02, 32)
+        planted.append((i, i + 1))
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([list(r) for r in base], type=pa.list_(pa.float64())),
+    })
+    exact = embedding_near_dup_pairs(rd.from_arrow(tbl), threshold=0.9).to_pandas()
+    lsh = embedding_near_dup_lsh(rd.from_arrow(tbl), threshold=0.9, n_bands=24, bits_per_band=6)
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lsh_pairs <= exact_pairs          # no false positives (exact verify)
+    assert set(planted) <= lsh_pairs         # planted near-dups recalled
