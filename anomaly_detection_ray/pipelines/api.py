@@ -138,6 +138,33 @@ class DetectorAPI:
         are dropped as out-of-order)."""
         return self.run_once(results_dir=results_dir, checkpoint_dir=checkpoint_dir)
 
+    # ---- forecast side (forecast/rest/*: _run once, job start/stop) ----
+
+    def forecast_run_once(self, horizon: int = 24, period: int = 0,
+                          results_dir: str | None = None,
+                          checkpoint_dir: str | None = None):
+        """One forecast pass (``forecast/rest`` _run): per-entity
+        Holt-Winters streams over all windows, emitting per-horizon rows
+        (ForecastResult semantics). With ``results_dir`` the rows land in
+        the date-partitioned forecast sink."""
+        from ..stages.sink import write_forecast_results
+        from .forecast import forecast
+
+        res = forecast(self._ds(), self.config, horizon=horizon, period=period,
+                       ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
+        if results_dir:
+            return write_forecast_results(res, results_dir)
+        return res
+
+    def forecast_start_job(self, results_dir: str, checkpoint_dir: str,
+                           horizon: int = 24, period: int = 0):
+        """One realtime forecast tick: continue checkpointed forecaster
+        streams over whatever new windows the input now holds
+        (idempotent — overlapping windows drop as out-of-order)."""
+        return self.forecast_run_once(horizon=horizon, period=period,
+                                      results_dir=results_dir,
+                                      checkpoint_dir=checkpoint_dir)
+
     # ---- _profile / _stats / _topAnomalies ----
 
     def profile(self) -> dict:

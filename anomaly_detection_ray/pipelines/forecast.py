@@ -25,14 +25,25 @@ from ..util import pool
 
 
 class ForecastGroups:
+    """One group = one entity's windows in order. With ``checkpoint_dir``
+    the forecaster state is restored before processing and saved after —
+    a later run over newer windows CONTINUES the stream (the forecast
+    job tick, ``forecast/ForecastJobProcessor`` semantics); overlapping
+    windows are dropped as out-of-order, so reruns are idempotent."""
+
     def __init__(self, value_col: str, interval_ms: int, horizon: int, period: int,
-                 output_after: int = 32, confidence: float = 0.9):
+                 output_after: int = 32, confidence: float = 0.9,
+                 checkpoint_dir: str | None = None, config_id: str = "forecast"):
+        from ..state.checkpoint import CheckpointStore
+
         self.value_col = value_col
         self.interval_ms = interval_ms
         self.horizon = horizon
         self.period = period
         self.output_after = output_after
         self.confidence = confidence
+        self.config_id = config_id
+        self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         from ..state.forecaster import HoltWintersForecaster
@@ -40,18 +51,33 @@ class ForecastGroups:
         group = group.sort_values("window_end_ms", kind="stable")
         entity_cols = [c for c in group.columns if c not in
                        {self.value_col, "window_start_ms", "window_end_ms"}]
-        f = HoltWintersForecaster(
-            horizon=self.horizon, period=self.period,
-            output_after=self.output_after, confidence=self.confidence,
+        model_id = "forecast_" + self.config_id + "_" + "|".join(
+            str(group[c].iloc[0]) for c in entity_cols
         )
-        vals = group[self.value_col].to_numpy(dtype=np.float64)
+        f = None
         last_end = None
+        if self.store is not None:
+            state = self.store.load_state(model_id)
+            if state is not None:
+                f = state["forecaster"]
+                last_end = state["last_window_end"]
+        if f is None:
+            f = HoltWintersForecaster(
+                horizon=self.horizon, period=self.period,
+                output_after=self.output_after, confidence=self.confidence,
+            )
+        vals = group[self.value_col].to_numpy(dtype=np.float64)
         for v, we in zip(vals, group["window_end_ms"].to_numpy()):
             if last_end is not None and we <= last_end:
                 continue  # out-of-order drop (§2.F)
             f.update(0.0 if not np.isfinite(v) else float(v))
             last_end = int(we)
             f.record_forecast()  # error bookkeeping only; bounds computed once below
+        if self.store is not None:
+            self.store.save_state(
+                model_id, {"forecaster": f, "last_window_end": last_end},
+                n_points=f.n_points, last_window_end=last_end,
+            )
         fc = f.forecast()
         if fc is None or last_end is None:
             return pd.DataFrame()
@@ -80,8 +106,13 @@ def forecast(
     ts_col: str = "ts",
     confidence: float = 0.9,
     concurrency=None,
+    checkpoint_dir: str | None = None,
 ):
-    """events Dataset → forecast rows (one per entity × horizon step)."""
+    """events Dataset → forecast rows (one per entity × horizon step).
+
+    With ``checkpoint_dir``, forecaster streams continue across runs
+    (the forecast job tick); without it each run is a self-contained
+    cold start (the run-once semantics)."""
     feats = config.feature_names()
     if len(feats) != 1:
         raise ValueError("forecast() expects exactly one feature")
@@ -97,7 +128,8 @@ def forecast(
         fn_constructor_kwargs=dict(
             value_col=feats[0], interval_ms=config.interval_s * 1000,
             horizon=horizon, period=period, output_after=config.model_output_after(),
-            confidence=confidence,
+            confidence=confidence, checkpoint_dir=checkpoint_dir,
+            config_id=config.config_id,
         ),
         batch_format="pandas",
         concurrency=pool(concurrency),

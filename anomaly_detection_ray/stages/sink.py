@@ -39,3 +39,21 @@ def write_results(results_ds, out_dir: str, keep: str = "all"):
     ds = ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
     ds.write_parquet(out_dir, partition_cols=["result_date"])
     return out_dir
+
+
+def write_forecast_results(forecast_ds, out_dir: str):
+    """Forecast-result sink (``forecast/model/ForecastResult.java``
+    persisted per-horizon rows): date-partitioned Parquet keyed on the
+    forecast's ORIGIN day (the last observed window), so each job tick
+    lands in its own partition and reruns replace it atomically."""
+
+    def add_date(b: pa.Table) -> pa.Table:
+        origin = b["forecast_window_start_ms"].to_numpy() - (
+            b["horizon_index"].to_numpy() - 1
+        ) * (b["forecast_window_end_ms"].to_numpy() - b["forecast_window_start_ms"].to_numpy())
+        day = (origin // 86_400_000).astype(np.int64)
+        return b.append_column("result_date", pa.array(day))
+
+    ds = forecast_ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
+    ds.write_parquet(out_dir, partition_cols=["result_date"])
+    return out_dir

@@ -30,7 +30,9 @@ class CheckpointStore:
     def _path(self, model_id: str) -> str:
         return os.path.join(self.root, sha256_hex(model_id)[:32] + ".pkl")
 
-    def load(self, model_id: str) -> TRCFModel | None:
+    # ---- generic state blobs (shared by the AD and forecast sides) ----
+
+    def load_state(self, model_id: str) -> dict | None:
         p = self._path(model_id)
         if not os.path.exists(p):
             return None
@@ -38,32 +40,41 @@ class CheckpointStore:
             state = pickle.load(f)
         if state.get("model_id") != model_id:
             return None  # hash-prefix collision — treat as cold start
-        return TRCFModel.from_state(state)
+        return state
 
-    def save(self, model: TRCFModel) -> dict:
-        p = self._path(model.model_id)
-        state = model.to_state()
+    def save_state(self, model_id: str, state: dict, n_points: int | None = None,
+                   last_window_end: int | None = None) -> dict:
+        p = self._path(model_id)
+        state = dict(state, model_id=model_id)
         blob = pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
         tmp = f"{p}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, p)
         meta = {
-            "model_id": model.model_id,
+            "model_id": model_id,
             "sha256": sha256_hex(blob),
-            "n_points": model.n_points,
-            "last_window_end": model.last_window_end,
+            "n_points": n_points,
+            "last_window_end": last_window_end,
             "bytes": len(blob),
         }
-        # manifest write must be atomic too: a crash between the pickle
-        # replace and a plain manifest write would leave a manifest whose
-        # sha256/last_window_end describe the OLD pickle (breaking lineage
-        # and feeding stale cutoffs to gc())
         meta_tmp = f"{p}.json.tmp.{os.getpid()}"
         with open(meta_tmp, "w") as f:
             json.dump(meta, f)
         os.replace(meta_tmp, p + ".json")
         return meta
+
+    # ---- TRCF models ----
+
+    def load(self, model_id: str) -> TRCFModel | None:
+        state = self.load_state(model_id)
+        return TRCFModel.from_state(state) if state is not None else None
+
+    def save(self, model: TRCFModel) -> dict:
+        return self.save_state(
+            model.model_id, model.to_state(),
+            n_points=model.n_points, last_window_end=model.last_window_end,
+        )
 
     def gc(self, before_window_end_ms: int) -> int:
         """E3 retention cleanup (``ad/cluster/diskcleanup/*``, 3-day TTL

@@ -380,3 +380,22 @@ def test_detect_with_rules_suppression(ray_session):
     spike2 = res2[res2["window_end_ms"] == spike_we].iloc[0]
     assert spike2["anomaly_grade"] > 0.0 and not spike2["suppressed_by_rule"]
     assert not res2["suppressed_by_rule"].iloc[:100].any()
+
+
+def test_process_many_chunked_equals_whole():
+    """VERDICT r1 #7 (chunked stateful scoring): feeding a model's history
+    in bounded chunks produces byte-identical results to one call — a
+    100x-longer history can stream through in slices without ever
+    needing the whole group's scores in flight."""
+    cfg = DetectorConfig(config_id="chunks", interval_s=600, shingle_size=8,
+                         features=(FeatureSpec("f0", "value", "avg"),),
+                         num_trees=10, sample_size=64)
+    rng = np.random.default_rng(13)
+    n = 500
+    vals = (100 + 20 * np.sin(np.arange(n) / 9) + rng.uniform(-1, 1, n))[:, None]
+    ends = (np.arange(n) + 1) * 600_000
+    m1, m2 = TRCFModel(cfg, "m"), TRCFModel(cfg, "m")
+    whole = m1.process_many(vals, ends)
+    parts = [m2.process_many(vals[i:i + 97], ends[i:i + 97]) for i in range(0, n, 97)]
+    for key in ("anomaly_score", "anomaly_grade", "confidence"):
+        assert np.array_equal(whole[key], np.concatenate([p[key] for p in parts])), key

@@ -1,6 +1,7 @@
 """Forecast surface: HoltWinters core + end-to-end pipeline."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
@@ -126,3 +127,64 @@ def test_record_forecast_matches_forecast_values():
     a, b = f1.forecast(), f2.forecast()
     assert np.array_equal(a["values"], b["values"])
     assert np.array_equal(a["upper"], b["upper"])
+
+
+def test_forecast_checkpoint_continuation_equals_single_run(ray_session, tmp_path):
+    """Forecast job tick (C6 for the forecast side): two checkpointed runs
+    over consecutive halves emit exactly the forecast of one run over the
+    whole stream."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.forecast import forecast
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=3, n_windows=200, interval_s=600, seed=8,
+                                 anomaly_prob=0.0, period=24)
+    cfg = DetectorConfig(
+        config_id="fc-ckpt", interval_s=600, category_fields=("entity",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    df = t.to_pandas()
+    ts_ms = df["ts"].astype("datetime64[ms]").astype("int64")
+    cut = int(ts_ms.min() + (ts_ms.max() - ts_ms.min()) // 2 // 600_000 * 600_000)
+    import pyarrow as pa
+    first = pa.Table.from_pandas(df[ts_ms < cut], preserve_index=False)
+    second = pa.Table.from_pandas(df[ts_ms >= cut], preserve_index=False)
+    ck = str(tmp_path / "fc")
+    sort_cols = ["entity", "horizon_index"]
+    forecast(rd.from_arrow(first), cfg, horizon=8, period=24, checkpoint_dir=ck).to_pandas()
+    split = forecast(rd.from_arrow(second), cfg, horizon=8, period=24, checkpoint_dir=ck)\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    full = forecast(rd.from_arrow(t), cfg, horizon=8, period=24)\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(split[full.columns], full)
+    # rerunning the same tick is idempotent (all windows drop as OOO)
+    again = forecast(rd.from_arrow(second), cfg, horizon=8, period=24, checkpoint_dir=ck)\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(again[full.columns], full)
+
+
+def test_forecast_run_once_sink(ray_session, tmp_path):
+    """forecast_run_once writes date-partitioned per-horizon rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=2, n_windows=120, interval_s=600, seed=3,
+                                 anomaly_prob=0.0, period=24)
+    events = str(tmp_path / "events.parquet")
+    import pyarrow.parquet
+    pyarrow.parquet.write_table(t, events)
+    cfg = DetectorConfig(
+        config_id="fc-api", interval_s=600, category_fields=("entity",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    out = str(tmp_path / "fc_out")
+    DetectorAPI(cfg, events).forecast_run_once(horizon=6, period=24, results_dir=out)
+    files = glob.glob(out + "/**/*.parquet", recursive=True)
+    assert files and any("result_date=" in f for f in files)
+    rows = pq.read_table(files[0])
+    assert {"forecast_value", "forecast_lower", "forecast_upper", "horizon_index"} <= set(rows.column_names)
