@@ -29,7 +29,6 @@ on the ``term`` column; rows are term-sorted so row-group stats prune.
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from glob import glob
@@ -208,28 +207,25 @@ class QueryEngine:
                 block_cache[key] = hit
             return hit
 
-        # blocks grouped by interval coverage: for an interval i, active
-        # blocks are those with lo_idx ≤ i ≤ hi_idx.
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of current top-k
+        # running top-k kept as flat arrays (docs partition across
+        # elementary intervals, so each doc's full score arrives in one
+        # interval — merging is concatenate + partition, no per-doc heap)
         theta = -np.inf
-        scored_docs: list[np.ndarray] = []
-        scored_vals: list[np.ndarray] = []
-        # sort blocks by lo for interval → block lookup via interval tree-ish sweep
-        active_by_interval: dict[int, list[int]] = {}
-        for b in range(bfirst.size):
-            for i in range(lo_idx[b], hi_idx[b] + 1):
-                active_by_interval.setdefault(i, []).append(b)
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float64)
 
-        seen_intervals = set()
         for i in order:
             if iub[i] < theta:
                 break
-            if i in seen_intervals:
-                continue
-            seen_intervals.add(i)
             lo, hi = bounds[i], bounds[i + 1] if i + 1 < bounds.size else bounds[i] + 1
             docs_parts, val_parts = [], []
-            for b in active_by_interval.get(i, ()):
+            # covering blocks of interval i, computed lazily and vectorized
+            # (round-1 pre-materialized a per-interval block-list dict with
+            # a Python loop over blocks × covered intervals — quadratic for
+            # dense terms; with early termination only the few intervals
+            # actually scored pay this O(blocks) mask)
+            cov = np.flatnonzero((lo_idx <= i) & (hi_idx >= i))
+            for b in cov:
                 docs, vals = block_scores(int(brow[b]), int(bblk[b]))
                 s = np.searchsorted(docs, lo, side="left")
                 e = np.searchsorted(docs, hi, side="left")
@@ -243,41 +239,67 @@ class QueryEngine:
             uniq, inv = np.unique(d, return_inverse=True)
             sc = np.zeros(uniq.size)
             np.add.at(sc, inv, v)
-            scored_docs.append(uniq)
-            scored_vals.append(sc)
-            for dd, ss in zip(uniq, sc):
-                item = (float(ss), -int(dd))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-            if len(heap) == k:
-                theta = heap[0][0]
+            top_d = np.concatenate([top_d, uniq])
+            top_s = np.concatenate([top_s, sc])
+            if top_s.size >= k:
+                theta = -np.partition(-top_s, k - 1)[k - 1]
+                if top_s.size > 8 * k:
+                    keep = top_s >= theta  # keep score ties for exact doc-id tie-break
+                    top_d, top_s = top_d[keep], top_s[keep]
 
-        if not scored_docs:
+        if top_s.size == 0:
             return []
-        docs = np.concatenate(scored_docs)
-        vals = np.concatenate(scored_vals)
-        return _topk_with_ties(docs, vals, k)
+        return _topk_with_ties(top_d, top_s, k)
 
     # ---------- Boolean ----------
 
     def conjunctive(self, query: str) -> np.ndarray:
         """Sorted doc_ids containing ALL query terms (filter context,
-        SURVEY.md §2.A2 — ``ParseUtils.java:321,370-376``)."""
+        SURVEY.md §2.A2 — ``ParseUtils.java:321,370-376``).
+
+        Rarest-first; after the first term, each remaining term decodes
+        ONLY the posting blocks whose [block_first, block_last] doc range
+        intersects the surviving candidates (the block-max metadata
+        doubles as a skip list — round-1 fully decoded every posting of
+        every term before intersecting)."""
         terms = self.query_terms(query)
         if not terms:
             return np.empty(0, dtype=np.int64)
         result: np.ndarray | None = None
-        # rarest-first intersection
         for t in sorted(terms, key=self.df):
             if self.df(t) == 0:
                 return np.empty(0, dtype=np.int64)
-            docs = self.term_docs(t)
-            result = docs if result is None else result[np.isin(result, docs, assume_unique=True)]
+            if result is None:
+                result = self.term_docs(t)
+            else:
+                docs = self._term_docs_skipped(t, result)
+                result = result[np.isin(result, docs, assume_unique=True)]
             if result.size == 0:
                 break
         return result if result is not None else np.empty(0, dtype=np.int64)
+
+    def _term_docs_skipped(self, term: str, candidates: np.ndarray) -> np.ndarray:
+        """Sorted doc_ids of ``term`` restricted to blocks that can
+        contain any of the (sorted) candidate doc ids — skips decoding
+        blocks whose doc range misses every candidate."""
+        rows = self.chunks_for([term]).to_pylist()
+        if not rows:
+            return np.empty(0, dtype=np.int64)
+        parts: list[np.ndarray] = []
+        for row in rows:
+            bf = np.asarray(row["block_first"], dtype=np.int64)
+            bl = np.asarray(row["block_last"], dtype=np.int64)
+            # block b can intersect iff a candidate falls inside [bf, bl]
+            keep = np.flatnonzero(
+                np.searchsorted(candidates, bl, side="right")
+                > np.searchsorted(candidates, bf, side="left")
+            )
+            for bi in keep:
+                docs, _, _ = decode_block(row, int(bi))
+                parts.append(docs)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
 
     def term_docs(self, term: str) -> np.ndarray:
         from .segments import decode_chunks_bulk

@@ -219,3 +219,33 @@ def write_corpus_fast(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 
         pq.write_table(tbl, p, row_group_size=2048)
         paths.append(p)
     return paths
+
+
+def write_locality_corpus(out_dir: str, n_docs: int = 30_000, seg_docs: int = 512,
+                          seed: int = 7, n_files: int = 8) -> list[str]:
+    """Corpus with doc-id vocabulary LOCALITY: on top of the global
+    zipf vocabulary, every contiguous segment of ``seg_docs`` docs
+    carries its own segment-local identifiers (``seg00042loc0`` …) —
+    the repo-clustered layout real code corpora have when files land in
+    repo order. This is the shape block-range pruning exploits: a
+    segment-local high-IDF query term confines the candidate doc range,
+    so block-max interval pruning and the conjunctive block-skip can
+    ignore every other segment's postings."""
+    os.makedirs(out_dir, exist_ok=True)
+    base = generate_corpus_fast(n_docs, seed=seed)
+    contents = base["content"].to_pylist()
+    for i in range(n_docs):
+        g = i // seg_docs
+        loc = " ".join(f"seg{g:05d}loc{j}" for j in range(5))
+        contents[i] = contents[i] + "\n" + (loc + "\n") * 3
+    tbl = base.set_column(base.column_names.index("content"), "content", pa.array(contents))
+    paths = []
+    per = -(-n_docs // n_files)
+    for i in range(n_files):
+        lo, hi = i * per, min(n_docs, (i + 1) * per)
+        if hi <= lo:
+            break
+        p = os.path.join(out_dir, f"corpus-{i:04d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p, row_group_size=2048)
+        paths.append(p)
+    return paths

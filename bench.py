@@ -102,6 +102,52 @@ def bench_suite() -> dict:
     extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 2)
     extra["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 2)
 
+    # ---- block-max pruning + conjunctive block-skip on a LOCALITY corpus
+    # (segment-local identifiers → confined candidate ranges — the case
+    # where pruning wins; the dense corpus above is its worst case) ----
+    from anomaly_detection_ray.sources.corpus import write_locality_corpus
+
+    loc_docs = 30_000
+    loc_path = os.path.join(BENCH_TMP, f"corpus_local_{loc_docs}")
+    if not os.path.exists(os.path.join(loc_path, "corpus-0000.parquet")):
+        write_locality_corpus(loc_path, n_docs=loc_docs)
+    loc_idx = os.path.join(BENCH_TMP, f"local_index_{NUM_CPUS}")
+    shutil.rmtree(loc_idx, ignore_errors=True)
+    lfiles = sorted(glob.glob(os.path.join(loc_path, "*.parquet")))
+    timed("local_index_build",
+          lambda: build_index(lfiles, loc_idx, slices=1, num_partitions=32, mode="code",
+                              batch_size=1024, bucket_shift=12))
+    leng = QueryEngine(loc_idx)
+    n_segs = loc_docs // 512
+    skewq = [f"seg{(g * 7) % n_segs:05d}loc0 value return" for g in range(50)]
+
+    def run_local(flag):
+        lat = []
+        for q in skewq:
+            t0 = time.perf_counter()
+            leng.bm25_topk(q, k=10, prune=flag)
+            lat.append(time.perf_counter() - t0)
+        return np.asarray(lat)
+
+    lp = timed("bm25_local_pruned", lambda: run_local(True))
+    le = timed("bm25_local_exact", lambda: run_local(False))
+    extra["bm25_local_pruned_p50_ms"] = round(float(np.percentile(lp, 50)) * 1000, 2)
+    extra["bm25_local_exact_p50_ms"] = round(float(np.percentile(le, 50)) * 1000, 2)
+    extra["bm25_prune_speedup"] = round(float(le.sum() / max(lp.sum(), 1e-9)), 2)
+    # sanity: both paths rank-identical on a sample
+    for q in skewq[:5]:
+        assert leng.bm25_topk(q, k=10, prune=True) == leng.bm25_topk(q, k=10, prune=False), q
+
+    def run_conj():
+        for q in skewq[:25]:
+            leng.conjunctive(q)
+
+    timed("conj_rare_dense", run_conj)
+    t0 = time.perf_counter()
+    for q in skewq[:25]:  # the cost the block-skip avoids: full dense decode
+        leng.term_docs("value")
+    extra["conj_dense_full_decode_sec"] = round(time.perf_counter() - t0, 3)
+
     # ---- driver-table pipelines ----
     docs_idx = os.path.join(Q.CACHE_ROOT, f"index_docs_{os.path.basename(os.path.normpath(SF_DIR))}")
     shutil.rmtree(docs_idx, ignore_errors=True)
