@@ -17,6 +17,8 @@ operations (configs are not Datasets) and need no engine support.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -64,6 +66,38 @@ class DetectorAPI:
             issues.append(
                 f"interval {self.config.interval_s}s much finer than median data gap {suggested}s"
             )
+        # feature validation against live data (the reference's _validate
+        # runs each feature agg and checks it returns usable values —
+        # ad/rest/handler/AbstractAnomalyDetectorActionHandler feature
+        # checks + IntervalCalculation.java:31-56): source columns must
+        # exist, and a recent-window sample of each aggregated feature
+        # must be mostly non-NaN.
+        schema_names = set(self._ds().schema().names)
+        missing_cols = [f.column for f in self.config.features if f.column not in schema_names]
+        if missing_cols:
+            issues.append(f"feature source columns missing from input: {sorted(set(missing_cols))}")
+        feature_nan_rate: dict[str, float] = {}
+        if not missing_cols and self.config.features:
+            from ..stages.window import normalize_features, window_aggregate
+
+            interval_ms_v = self.config.interval_s * 1000
+            ts_ds = self._ds().select_columns([self.ts_col]).map_batches(
+                lambda b: add_window_columns(b, self.ts_col, interval_ms_v),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            hi = int(ts_ds.max("window_end_ms"))
+            lo = hi - 64 * interval_ms_v  # recent sample only — never the full table
+            sample = window_aggregate(self._ds(), self.config, ts_col=self.ts_col,
+                                      time_range_ms=(lo, hi))
+            feats = self.config.feature_names()
+            sample = sample.map_batches(
+                lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()
+            for f in feats:
+                rate = float(np.isnan(sample[f]).mean()) if len(sample) else 1.0
+                feature_nan_rate[f] = round(rate, 4)
+                if rate > 0.9:
+                    issues.append(f"feature {f!r} is >90% missing over the last 64 intervals")
         # density: fraction of fully-populated shingle windows per entity
         interval_ms = self.config.interval_s * 1000
         s = self.config.shingle_size
@@ -87,6 +121,7 @@ class DetectorAPI:
             "suggested_interval_s": suggested,
             "window_delay_s": int(self.config.interval_s * (WINDOW_DELAY_RATIO - 1.0)),
             "shingle_density": density,
+            "feature_nan_rate": feature_nan_rate,
         }
 
     # ---- _preview (deterministic, D7 stride sampling + B6 interpolation) ----
@@ -167,18 +202,62 @@ class DetectorAPI:
 
     # ---- _profile / _stats / _topAnomalies ----
 
-    def profile(self) -> dict:
+    def profile(self, checkpoint_dir: str | None = None, entity: dict | None = None) -> dict:
+        """Detector profile (``ProfileRunner.java:271,301``): entity
+        counts + (with a checkpoint dir) per-model state — init progress
+        (n_points / output_after), model size in bytes, last seen window.
+        ``entity`` narrows to one entity (``EntityProfileRunner``)."""
+        import glob as _glob
+        import json as _json
+
         from ray.data.aggregate import Count
 
         cats = list(self.config.category_fields)
         n_entities = self._ds().groupby(cats).aggregate(Count(alias_name="n")).count() if cats else 1
-        return {
+        out = {
             "config_id": self.config.config_id,
             "n_entities": int(n_entities),
             "interval_s": self.config.interval_s,
             "shingle_size": self.config.shingle_size,
             "features": self.config.feature_names(),
         }
+        if checkpoint_dir:
+            from ..functions.hashing import entity_model_id
+
+            metas = []
+            for mp in sorted(_glob.glob(os.path.join(checkpoint_dir, "*.pkl.json"))):
+                try:
+                    with open(mp) as f:
+                        metas.append(_json.load(f))
+                except (OSError, ValueError):
+                    continue
+            output_after = self.config.model_output_after()
+            models = [
+                {
+                    "model_id": m["model_id"],
+                    "n_points": m.get("n_points"),
+                    "init_progress": round(min(1.0, (m.get("n_points") or 0) / output_after), 3),
+                    "model_size_bytes": m.get("bytes"),
+                    "last_window_end_ms": m.get("last_window_end"),
+                }
+                for m in metas
+            ]
+            out["n_models"] = len(models)
+            out["total_model_bytes"] = int(sum(m["model_size_bytes"] or 0 for m in models))
+            out["init_progress"] = round(
+                float(np.mean([m["init_progress"] for m in models])) if models else 0.0, 3
+            )
+            if entity is not None:
+                mid = entity_model_id(self.config.config_id, {k: str(v) for k, v in entity.items()})
+                out["entity"] = entity
+                out["entity_model"] = next((m for m in models if m["model_id"] == mid), None)
+                out["entity_state"] = (
+                    "RUNNING" if out["entity_model"] and out["entity_model"]["init_progress"] >= 1.0
+                    else "INIT" if out["entity_model"] else "NOT_STARTED"
+                )
+            else:
+                out["models"] = models[:100]
+        return out
 
     def top_anomalies(self, k: int = 10) -> pd.DataFrame:
         from .detector import detect, top_anomaly_results

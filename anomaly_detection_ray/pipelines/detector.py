@@ -57,16 +57,30 @@ def detect(
     time_range_ms: tuple[int, int] | None = None,
     concurrency: int | None = None,
     detailed: bool = False,
+    cold_start_history: bool = True,
 ):
     """events Dataset → anomaly results Dataset (one row per entity-window).
 
     ``detailed=True`` (implied by ``config.rules``) adds per-feature
-    expected values, attribution and past values to each row."""
+    expected values, attribution and past values to each row.
+
+    ``cold_start_history`` (with a ``time_range_ms``): models that have
+    no checkpoint train on the ``max(32, history_intervals)`` (+shingle)
+    windows immediately PRECEDING the range before scoring it — the
+    reference's cold-start sample fetch (``ModelColdStart.java:217-339``,
+    most-recent history intervals, ≤2 rounds back;
+    ``SearchFeatureDao.java:1149-1169``). Training rows are processed but
+    not emitted, so scores inside the range match a run that had seen the
+    history live."""
     from ..util import pool
 
     concurrency = pool(concurrency)
     feats = config.feature_names()
-    agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=time_range_ms)
+    agg_range = time_range_ms
+    if time_range_ms is not None and cold_start_history:
+        n_hist = max(32, config.history_intervals) + config.shingle_size
+        agg_range = (time_range_ms[0] - n_hist * config.interval_s * 1000, time_range_ms[1])
+    agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
     agg = agg.map_batches(
         lambda b: _add_model_id(normalize_features(b, feats), config),
         batch_format="pyarrow",
@@ -78,6 +92,11 @@ def detect(
         batch_format="pandas",
         concurrency=concurrency,
     )
+    if agg_range is not time_range_ms:
+        lo = time_range_ms[0]
+        results = results.map_batches(
+            lambda df: df[df["window_start_ms"] >= lo], batch_format="pandas"
+        )
     return results
 
 

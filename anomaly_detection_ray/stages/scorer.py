@@ -132,27 +132,30 @@ class ScoreGroups:
     margin of expected are zeroed and flagged ``suppressed_by_rule``."""
 
     def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None,
-                 detailed: bool = False):
+                 detailed: bool = False, max_cached_models: int = 1024):
+        from ..state.cache import ModelCache
+
         self.config = config
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
         self.detailed = bool(detailed) or bool(config.rules)
+        # PriorityCache analogue (C5): at most max_cached_models TRCF
+        # models live in this actor; LRU victims evict to the checkpoint
+        # store (or a private spill dir) and restore on re-touch.
+        self.cache = ModelCache(config, self.store, max_models=max_cached_models)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         c = self.config
         group = group.sort_values("window_end_ms", kind="stable").reset_index(drop=True)
         model_id = str(group["model_id"].iloc[0])
 
-        model = self.store.load(model_id) if self.store else None
-        if model is None:
-            model = TRCFModel(c, model_id)
+        model = self.cache.get(model_id)
 
         fnames = list(c.feature_names())
         feats = group[fnames].to_numpy(dtype=np.float64)
         ends = group["window_end_ms"].to_numpy(dtype=np.int64)
         out = model.process_many(feats, ends, detailed=self.detailed)
 
-        if self.store:
-            self.store.save(model)
+        self.cache.checkpoint(model_id)
 
         keep = out["keep"]
         res = group.loc[keep].copy()

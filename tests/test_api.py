@@ -134,3 +134,37 @@ def test_nested_result_enrichment_fields(ray_session, events_file):
     assert ev["likelihood"] == pytest.approx(0.99)
     assert ev["value_list"][0]["feature_id"] == "value_avg"
     assert np.isfinite(ev["value_list"][0]["data"])
+
+
+def test_profile_model_states_and_entity(ray_session, events_file, tmp_path):
+    """ProfileRunner/EntityProfileRunner analogue: per-model init
+    progress, byte sizes and per-entity state from checkpoint manifests."""
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    ck = str(tmp_path / "ck")
+    api.run_once(checkpoint_dir=ck).materialize()
+    p = api.profile(checkpoint_dir=ck)
+    assert p["n_models"] == p["n_entities"] == 4
+    assert p["total_model_bytes"] > 0
+    assert p["init_progress"] == 1.0
+    assert len(p["models"]) == 4 and all(m["model_size_bytes"] > 0 for m in p["models"])
+    ent = api.profile(checkpoint_dir=ck, entity={"entity": "entity000"})
+    assert ent["entity_state"] == "RUNNING" and ent["entity_model"]["n_points"] > 32
+    missing = api.profile(checkpoint_dir=ck, entity={"entity": "nope"})
+    assert missing["entity_state"] == "NOT_STARTED"
+
+
+def test_validate_feature_checks(ray_session, events_file):
+    """_validate breadth: source-column existence + live NaN-rate check."""
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    ok = DetectorAPI(_cfg(), events_file).validate()
+    assert ok["feature_nan_rate"]["value_avg"] < 0.5
+    bad_cfg = DetectorConfig(
+        config_id="bad", interval_s=600, category_fields=("entity",),
+        features=(FeatureSpec("ghost_avg", "no_such_column", "avg"),),
+    )
+    bad = DetectorAPI(bad_cfg, events_file).validate()
+    assert not bad["ok"] and any("missing from input" in i for i in bad["issues"])

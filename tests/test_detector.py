@@ -399,3 +399,38 @@ def test_process_many_chunked_equals_whole():
     parts = [m2.process_many(vals[i:i + 97], ends[i:i + 97]) for i in range(0, n, 97)]
     for key in ("anomaly_score", "anomaly_grade", "confidence"):
         assert np.array_equal(whole[key], np.concatenate([p[key] for p in parts])), key
+
+
+def test_cold_start_history_parity(ray_session, stream_table):
+    """C4: a time-range run trains cold models on the preceding history
+    windows (ModelColdStart.java:217-339 sample fetch) — scores inside
+    the range equal a run that saw the whole stream live."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = DetectorConfig(
+        config_id="det-e2e", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",), num_trees=10, sample_size=64,
+        history_intervals=160,  # covers every window before the cut
+    )
+    sort_cols = ["model_id", "window_end_ms"]
+    full = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2)\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    w = 600_000
+    lo = int(full["window_start_ms"].min() + 150 * w)
+    hi = int(full["window_end_ms"].max())
+    ranged = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2,
+                    time_range_ms=(lo, hi))\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    want = full[full["window_start_ms"] >= lo].reset_index(drop=True)
+    pd.testing.assert_frame_equal(ranged, want)
+    # without history the same range cold-starts blind: its warm-up
+    # re-runs inside the range (zero scores where the full run scored)
+    blind = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2,
+                   time_range_ms=(lo, hi), cold_start_history=False)\
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    head = blind.groupby("model_id").head(20)
+    assert (head["anomaly_score"] == 0).all()
+    assert (want.groupby("model_id").head(20)["anomaly_score"] > 0).any()

@@ -148,3 +148,41 @@ def test_linear_gap_interpolation():
     mp.process(np.array([0.0]), t0)
     mp.process(np.array([10.0]), t0 + 4 * 600_000)
     assert [p[0] for p in mp.shingle] == pytest.approx([0.0, 0.0, 0.0, 0.0, 10.0])
+
+
+def test_model_cache_lru_spill(tmp_path):
+    """C5 / PriorityCache analogue: a cache capped below the touched
+    model count evicts LRU victims to checkpoint and restores them on
+    re-touch — results byte-identical to never-evicted models."""
+    from anomaly_detection_ray.state.cache import ModelCache
+
+    cfg = _cfg()
+    rng = np.random.default_rng(2)
+    streams = {
+        f"m{i}": (rng.normal(100, 5, (60, 1)), (np.arange(60) + 1) * 600_000)
+        for i in range(5)
+    }
+    base = {}
+    for mid, (v, e) in streams.items():
+        m = TRCFModel(cfg, mid)
+        r1 = m.process_many(v[:30], e[:30])
+        r2 = m.process_many(v[30:], e[30:])
+        base[mid] = np.concatenate([r1["anomaly_score"], r2["anomaly_score"]])
+    cache = ModelCache(cfg, None, max_models=2)
+    got = {mid: [] for mid in streams}
+    for half in (slice(0, 30), slice(30, 60)):
+        for mid, (v, e) in streams.items():
+            m = cache.get(mid)
+            got[mid].append(m.process_many(v[half], e[half])["anomaly_score"])
+    assert cache.n_evictions > 0 and len(cache) <= 2
+    for mid in streams:
+        assert np.array_equal(base[mid], np.concatenate(got[mid])), mid
+    # durable store: checkpoint() persists, eviction spills there too
+    store = CheckpointStore(str(tmp_path))
+    c2 = ModelCache(cfg, store, max_models=1)
+    for mid, (v, e) in streams.items():
+        m = c2.get(mid)
+        m.process_many(v, e)
+        c2.checkpoint(mid)
+    for mid, (v, e) in streams.items():
+        assert store.load(mid) is not None, mid
