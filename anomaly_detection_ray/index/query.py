@@ -45,6 +45,22 @@ from .build import MANIFEST_NAME
 from .segments import decode_block, decode_chunk_row
 
 
+def _arrow_bisect(arr, term: str, side: str = "left") -> int:
+    """Binary search over a SORTED Arrow string array without
+    materializing it into Python (O(log n) ``.as_py()`` probes — the
+    dictionary stays in Arrow buffers, which is what survives a 10^9-term
+    vocabulary; round-1 built a Python dict over every term)."""
+    lo, hi = 0, len(arr)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = arr[mid].as_py()
+        if v < term or (side == "right" and v == term):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     """Top-k by (score desc, doc_id asc) without fully sorting all docs."""
     n = scores.size
@@ -80,35 +96,44 @@ class QueryEngine:
         self._preloaded = total <= preload_bytes
         self._tables: list[pa.Table] | None = [] if self._preloaded else None
         self._datasets = None if self._preloaded else [pads.dataset(f, format="parquet") for f in files]
-        # Term dictionary: term → [(file_idx, row_idx)]
-        self._term_locs: dict[str, list[tuple[int, int]]] = {}
-        locs = self._term_locs
+        # Term dictionary: each part file is term-SORTED (build's lexsort),
+        # so the dictionary is just each file's Arrow term column + binary
+        # search — no O(vocab) Python loop, no per-actor Python dict.
+        self._term_cols: list[pa.Array] = []
         for fi, f in enumerate(files):
             if self._preloaded:
                 tbl = pq.read_table(f)
                 self._tables.append(tbl)
-                terms = tbl["term"].to_pylist()
+                self._term_cols.append(tbl["term"].combine_chunks())
             else:
-                terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
-            for ri, t in enumerate(terms):
-                locs.setdefault(t, []).append((fi, ri))
+                self._term_cols.append(
+                    pq.read_table(f, columns=["term"])["term"].combine_chunks()
+                )
+        # stats.parquet is term-sorted too (build sorts before writing)
         stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
-        self._df = dict(zip(stats["term"].to_pylist(), stats["df"].to_numpy()))
+        self._stats_terms = stats["term"].combine_chunks()
+        self._stats_df = stats["df"].to_numpy()
         docmap = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "docmap", "*.parquet")))
         self._docmap = pads.dataset(docmap, format="parquet") if docmap else None
 
     # ---------- postings access ----------
 
     def df(self, term: str) -> int:
-        return int(self._df.get(term, 0))
+        i = _arrow_bisect(self._stats_terms, term, "left")
+        if i < len(self._stats_terms) and self._stats_terms[i].as_py() == term:
+            return int(self._stats_df[i])
+        return 0
 
     def chunks_for(self, terms: list[str]) -> pa.Table:
         from .segments import POSTINGS_SCHEMA
 
         by_file: dict[int, list[int]] = {}
         for t in terms:
-            for fi, ri in self._term_locs.get(t, ()):
-                by_file.setdefault(fi, []).append(ri)
+            for fi, col in enumerate(self._term_cols):
+                lo = _arrow_bisect(col, t, "left")
+                hi = _arrow_bisect(col, t, "right")
+                if hi > lo:
+                    by_file.setdefault(fi, []).extend(range(lo, hi))
         if not by_file:
             return POSTINGS_SCHEMA.empty_table()
         if self._preloaded:

@@ -41,15 +41,31 @@ class DetectorAPI:
 
     # ---- _suggest (A14) ----
 
+    RECENT_TS_CAP = 65_536
+
     def suggest_interval(self) -> int:
-        """Median gap between distinct timestamps, in seconds."""
+        """Median gap between distinct timestamps, in seconds — over the
+        most RECENT ``RECENT_TS_CAP`` distinct timestamps (the reference's
+        interval calculation also samples latest data,
+        ``IntervalCalculation.java:31-56``). Distinct + sort + limit run
+        distributed; only the bounded recent sample reaches the driver."""
+        from ray.data.aggregate import Count
+
         ds = self._ds().select_columns([self.ts_col]).map_batches(
             lambda b: add_window_columns(b, self.ts_col, 1), batch_format="pyarrow", zero_copy_batch=True
         )
-        ts = np.unique(ds.select_columns(["window_start_ms"]).to_pandas()["window_start_ms"].to_numpy())
-        if ts.size < 2:
+        recent = (
+            ds.groupby("window_start_ms")
+            .aggregate(Count(alias_name="__n"))
+            .sort("window_start_ms", descending=True)
+            .limit(self.RECENT_TS_CAP)
+            .select_columns(["window_start_ms"])
+            .to_pandas()["window_start_ms"]
+            .to_numpy()
+        )
+        if recent.size < 2:
             return self.config.interval_s
-        return max(1, int(round(float(np.median(np.diff(np.sort(ts)))) / 1000.0)))
+        return max(1, int(round(float(np.median(np.diff(np.sort(recent)))) / 1000.0)))
 
     # ---- _validate ----
 
@@ -98,20 +114,37 @@ class DetectorAPI:
                 feature_nan_rate[f] = round(rate, 4)
                 if rate > 0.9:
                     issues.append(f"feature {f!r} is >90% missing over the last 64 intervals")
-        # density: fraction of fully-populated shingle windows per entity
+        # density: fraction of fully-populated shingle windows per entity —
+        # computed per entity inside map_groups (one tiny row per entity
+        # reaches the driver; round-1 pulled every distinct (entity,
+        # window) pair driver-side)
         interval_ms = self.config.interval_s * 1000
         s = self.config.shingle_size
         ds = self._ds().map_batches(
             lambda b: add_window_columns(b, self.ts_col, interval_ms), batch_format="pyarrow", zero_copy_batch=True
         )
-        cols = list(self.config.category_fields) + ["window_start_ms"]
-        wins = ds.select_columns(cols).to_pandas().drop_duplicates()
-        density = {}
-        for ent, g in wins.groupby(list(self.config.category_fields) or (lambda _: 0)):
-            a = np.sort(g["window_start_ms"].to_numpy())
+        cats = list(self.config.category_fields)
+        cols = cats + ["window_start_ms"]
+
+        def entity_density(g: pd.DataFrame) -> pd.DataFrame:
+            a = np.unique(g["window_start_ms"].to_numpy())
             lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
             full = int(((np.arange(a.size) - lo + 1) == s).sum())
-            density[str(ent)] = full / max(1, a.size)
+            key = str(tuple(str(g[c].iloc[0]) for c in cats))
+            return pd.DataFrame({"entity": [key], "density": [full / max(1, a.size)]})
+
+        if cats:
+            dens = (
+                ds.select_columns(cols)
+                .groupby(cats)
+                .map_groups(entity_density, batch_format="pandas")
+                .to_pandas()
+            )
+            density = dict(zip(dens["entity"], dens["density"]))
+        else:
+            a = np.unique(ds.select_columns(["window_start_ms"]).to_pandas()["window_start_ms"].to_numpy())
+            lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
+            density = {"()": float(((np.arange(a.size) - lo + 1) == s).sum() / max(1, a.size))}
         weak = [e for e, d in density.items() if d < 0.25]
         if weak:
             issues.append(f"sparse shingles (<25% full windows) for {len(weak)} entities")

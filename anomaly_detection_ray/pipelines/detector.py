@@ -27,7 +27,12 @@ import pyarrow as pa
 from ..config import DetectorConfig
 from ..functions.hashing import entity_model_id
 from ..stages.scorer import ScoreGroups
-from ..stages.window import normalize_features, window_aggregate
+from ..stages.window import (
+    mergeable,
+    normalize_features,
+    partial_window_aggregate,
+    window_aggregate,
+)
 
 
 def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
@@ -80,15 +85,27 @@ def detect(
     if time_range_ms is not None and cold_start_history:
         n_hist = max(32, config.history_intervals) + config.shingle_size
         agg_range = (time_range_ms[0] - n_hist * config.interval_s * 1000, time_range_ms[1])
-    agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
-    agg = agg.map_batches(
-        lambda b: _add_model_id(normalize_features(b, feats), config),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    fused = mergeable(config)
+    if fused:
+        # single-shuffle plan: map-side window partials (combiner) →
+        # ONE groupby(model_id) that merges partials and scores. Only
+        # window-level partial rows move through the exchange; the
+        # two-shuffle fallback below sort-shuffles every raw event twice.
+        agg = partial_window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
+        agg = agg.map_batches(
+            lambda b: _add_model_id(b, config), batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
+        agg = agg.map_batches(
+            lambda b: _add_model_id(normalize_features(b, feats), config),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     results = agg.groupby("model_id").map_groups(
         ScoreGroups,
-        fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir, detailed=detailed),
+        fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir,
+                                   detailed=detailed, fused=fused),
         batch_format="pandas",
         concurrency=concurrency,
     )

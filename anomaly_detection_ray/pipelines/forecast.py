@@ -20,7 +20,12 @@ import numpy as np
 import pandas as pd
 
 from ..config import DetectorConfig
-from ..stages.window import normalize_features, window_aggregate
+from ..stages.window import (
+    mergeable,
+    normalize_features,
+    partial_window_aggregate,
+    window_aggregate,
+)
 from ..util import pool
 
 
@@ -33,7 +38,8 @@ class ForecastGroups:
 
     def __init__(self, value_col: str, interval_ms: int, horizon: int, period: int,
                  output_after: int = 32, confidence: float = 0.9,
-                 checkpoint_dir: str | None = None, config_id: str = "forecast"):
+                 checkpoint_dir: str | None = None, config_id: str = "forecast",
+                 fused_config: DetectorConfig | None = None):
         from ..state.checkpoint import CheckpointStore
 
         self.value_col = value_col
@@ -44,10 +50,15 @@ class ForecastGroups:
         self.confidence = confidence
         self.config_id = config_id
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+        self.fused_config = fused_config  # group rows are window partials
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         from ..state.forecaster import HoltWintersForecaster
 
+        if self.fused_config is not None:
+            from ..stages.window import finalize_partial_group
+
+            group = finalize_partial_group(group, self.fused_config)
         group = group.sort_values("window_end_ms", kind="stable")
         entity_cols = [c for c in group.columns if c not in
                        {self.value_col, "window_start_ms", "window_end_ms"}]
@@ -116,10 +127,16 @@ def forecast(
     feats = config.feature_names()
     if len(feats) != 1:
         raise ValueError("forecast() expects exactly one feature")
-    agg = window_aggregate(events_ds, config, ts_col=ts_col)
-    agg = agg.map_batches(
-        lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
-    )
+    fused = mergeable(config)
+    if fused:
+        # single-shuffle plan (see detect()): map-side window partials,
+        # one groupby(entity) merging + forecasting
+        agg = partial_window_aggregate(events_ds, config, ts_col=ts_col)
+    else:
+        agg = window_aggregate(events_ds, config, ts_col=ts_col)
+        agg = agg.map_batches(
+            lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
+        )
     keys = list(config.category_fields) or None
     if keys is None:
         raise ValueError("forecast() needs category fields (one model per entity)")
@@ -129,7 +146,7 @@ def forecast(
             value_col=feats[0], interval_ms=config.interval_s * 1000,
             horizon=horizon, period=period, output_after=config.model_output_after(),
             confidence=confidence, checkpoint_dir=checkpoint_dir,
-            config_id=config.config_id,
+            config_id=config.config_id, fused_config=config if fused else None,
         ),
         batch_format="pandas",
         concurrency=pool(concurrency),

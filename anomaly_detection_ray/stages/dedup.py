@@ -195,15 +195,39 @@ def ngram_jaccard_pairs(
         concurrency=concurrency,
     )
 
-    # candidate generation per shingle group (frequency-stopped)
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > max_shingle_df:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    # candidate generation per shingle group (frequency-stopped) — the
+    # shuffle key is a COARSE hash of the shingle (bounded group count;
+    # one Ray group per distinct shingle would pay per-group overhead on
+    # hundreds of thousands of tiny groups), with the per-shingle pair
+    # logic running inside each coarse group
+    n_coarse = max(32, ds.count() // 20_000)
 
-    cand_pd = sh.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas").to_pandas()
+    def add_coarse(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        ck = (hash_strings(b["shingle"].to_pylist()) % np.uint64(n_coarse)).astype(np.int64)
+        return b.append_column("ckey", pa.array(ck))
+
+    def pairs_of_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("shingle", keep=False)]
+        out_a, out_b = [], []
+        for _, gg in g.groupby("shingle", sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy())
+            if ids.size < 2 or ids.size > max_shingle_df:
+                continue
+            a, b = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    cand_pd = (
+        sh.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .map_groups(pairs_of_coarse, batch_format="pandas")
+        .to_pandas()
+    )
     if len(cand_pd):
         cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
     return _verify_pairs_exact(ds, cand_pd, text_col, id_col, k, threshold)
@@ -262,16 +286,38 @@ def minhash_near_dup_pairs(
         concurrency=concurrency,
     )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > 200:  # degenerate bucket guard
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    # One (band, band_key) bucket per group would make Ray materialize a
+    # pandas group per bucket — ~n_docs·bands tiny groups, and the
+    # per-group overhead dominates (measured 6 s of an 8 s stage at
+    # sf0.1). Instead shuffle on a COARSE hash of the bucket key (bounded
+    # group count ∝ data size) and find duplicate bucket keys vectorized
+    # inside each coarse group; only non-singleton buckets (actual
+    # near-dup candidates — rare) pay a Python iteration.
+    n_coarse = max(32, ds.count() // 50_000)
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        ck = (b["band"].to_numpy().astype(np.int64) * n_coarse
+              + (b["band_key"].to_numpy().astype(np.uint64) % np.uint64(n_coarse)).astype(np.int64))
+        return b.append_column("ckey", pa.array(ck))
+
+    def pairs_of_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["band", "band_key"], keep=False)]
+        out_a, out_b = [], []
+        for _, gg in g.groupby(["band", "band_key"], sort=False):
+            ids = np.unique(gg["doc_id"].to_numpy())
+            if ids.size < 2 or ids.size > 200:  # degenerate bucket guard
+                continue
+            a, b = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
     cand_pd = (
-        bands.groupby(["band", "band_key"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
+        bands.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .map_groups(pairs_of_coarse, batch_format="pandas")
         .to_pandas()  # candidate pairs are small by construction (LSH buckets)
     )
     if len(cand_pd):
@@ -334,12 +380,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
             }
         )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2 or ids.size > 500:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    def _bucket_pairs(ids: np.ndarray, hs: np.ndarray):
         a, b = np.triu_indices(ids.size, k=1)
         x = hs[a] ^ hs[b]
         ham = np.zeros(x.size, dtype=np.int64)
@@ -347,12 +388,41 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][m], "doc_b": ids[b][m], "hamming": ham[m]})
+        return ids[a][m], ids[b][m], ham[m]
+
+    # coarse-keyed shuffle (see minhash path: per-bucket Ray groups pay
+    # per-group overhead on ~4·n_docs tiny groups)
+    def pairs_of_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["chunk", "chunk_key", "doc_id"])
+        g = g[g.duplicated(["chunk", "chunk_key"], keep=False)]
+        out_a, out_b, out_h = [], [], []
+        for _, gg in g.groupby(["chunk", "chunk_key"], sort=False):
+            gg = gg.sort_values("doc_id")
+            ids = gg["doc_id"].to_numpy()
+            if ids.size < 2 or ids.size > 500:
+                continue
+            a, b, h = _bucket_pairs(ids, gg["simhash"].to_numpy().astype(np.uint64))
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(h)
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    n_coarse = max(32, ds.count() // 50_000)
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        ck = (b["chunk"].to_numpy().astype(np.int64) * n_coarse
+              + (b["chunk_key"].to_numpy().astype(np.int64) % n_coarse))
+        return b.append_column("ckey", pa.array(ck))
 
     pairs = (
         sk.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["chunk", "chunk_key"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .map_groups(pairs_of_coarse, batch_format="pandas")
         .to_pandas()  # bucket-verified pairs are small; dedup driver-side
     )
     if len(pairs):

@@ -132,12 +132,14 @@ class ScoreGroups:
     margin of expected are zeroed and flagged ``suppressed_by_rule``."""
 
     def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None,
-                 detailed: bool = False, max_cached_models: int = 1024):
+                 detailed: bool = False, max_cached_models: int = 1024,
+                 fused: bool = False):
         from ..state.cache import ModelCache
 
         self.config = config
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
         self.detailed = bool(detailed) or bool(config.rules)
+        self.fused = fused  # group rows are map-side partials → merge here
         # PriorityCache analogue (C5): at most max_cached_models TRCF
         # models live in this actor; LRU victims evict to the checkpoint
         # store (or a private spill dir) and restore on re-touch.
@@ -145,6 +147,10 @@ class ScoreGroups:
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         c = self.config
+        if self.fused:
+            from .window import finalize_partial_group
+
+            group = finalize_partial_group(group, c)
         group = group.sort_values("window_end_ms", kind="stable").reset_index(drop=True)
         model_id = str(group["model_id"].iloc[0])
 

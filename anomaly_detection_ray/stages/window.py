@@ -127,6 +127,126 @@ def normalize_features(batch: pa.Table, feature_names: list[str]) -> pa.Table:
     return batch
 
 
+MERGEABLE_AGGS = {"min", "max", "sum", "avg", "value_count"}
+
+
+def mergeable(config: DetectorConfig) -> bool:
+    return all(f.agg in MERGEABLE_AGGS for f in config.features)
+
+
+def partial_window_aggregate(
+    ds,
+    config: DetectorConfig,
+    ts_col: str = "ts",
+    time_range_ms: tuple[int, int] | None = None,
+):
+    """Map-side partial aggregation: one row per (entities…, window) PER
+    BATCH with mergeable partial columns (``{name}__sum/__cnt/__min/…``).
+
+    This is the combiner half of the single-shuffle detect/forecast plan:
+    Ray's ``groupby().aggregate`` is a sort shuffle of the RAW event rows
+    (every event moves), while this reduces each block to its distinct
+    (entity, window) partials first — the shuffle then moves only
+    window-level rows (events-per-window× less volume) and the scoring
+    group merges partials with :func:`finalize_partial_group`."""
+    import pandas as pd
+
+    interval_ms = config.interval_s * 1000
+    needed = {ts_col, *config.category_fields, *(f.column for f in config.features)}
+    keys = list(config.category_fields) + ["window_start_ms", "window_end_ms"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_window_columns(batch, ts_col, interval_ms)
+        if time_range_ms is not None:
+            lo, hi = time_range_ms
+            b = b.filter(
+                pc.and_(pc.greater_equal(b["window_start_ms"], lo), pc.less(b["window_end_ms"], hi + 1))
+            )
+        df = b.select([c for c in b.column_names if c in needed or c in keys]).to_pandas()
+        if not len(df):
+            return None
+        gb = df.groupby(keys, sort=False)
+        parts = {}
+        for f in config.features:
+            col = gb[f.column]
+            if f.agg == "min":
+                parts[f"{f.name}__min"] = col.min()
+            elif f.agg == "max":
+                parts[f"{f.name}__max"] = col.max()
+            elif f.agg == "sum":
+                parts[f"{f.name}__sum"] = col.sum(min_count=1)
+            elif f.agg == "value_count":
+                parts[f"{f.name}__cnt"] = col.count()
+            else:  # avg
+                parts[f"{f.name}__sum"] = col.sum(min_count=1)
+                parts[f"{f.name}__cnt"] = col.count()
+        out = pd.DataFrame(parts).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def partial_nonempty(batch: pa.Table):
+        t = partial(batch)
+        if t is None:
+            # empty batch after range filter — emit an empty table with
+            # the right schema by aggregating a zero-row frame
+            cols = {k: pa.array([], pa.int64()) for k in ("window_start_ms", "window_end_ms")}
+            for c in config.category_fields:
+                cols[c] = pa.array([], pa.string())
+            for f in config.features:
+                if f.agg == "min":
+                    cols[f"{f.name}__min"] = pa.array([], pa.float64())
+                elif f.agg == "max":
+                    cols[f"{f.name}__max"] = pa.array([], pa.float64())
+                elif f.agg == "sum":
+                    cols[f"{f.name}__sum"] = pa.array([], pa.float64())
+                elif f.agg == "value_count":
+                    cols[f"{f.name}__cnt"] = pa.array([], pa.int64())
+                else:
+                    cols[f"{f.name}__sum"] = pa.array([], pa.float64())
+                    cols[f"{f.name}__cnt"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        return t
+
+    return ds.map_batches(partial_nonempty, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def finalize_partial_group(df, config: DetectorConfig):
+    """Merge one scoring group's partial rows into final feature values
+    (one row per window, columns named like ``window_aggregate``'s
+    output, B1 NaN semantics applied). Partial rows are sorted by all
+    columns first so float merge order is deterministic regardless of
+    shuffle arrival order."""
+    import pandas as pd
+
+    keys = ["window_start_ms", "window_end_ms"]
+    carry = [c for c in config.category_fields if c in df.columns]
+    if "model_id" in df.columns:
+        carry.append("model_id")
+    df = df.sort_values([c for c in df.columns if c not in carry], kind="stable")
+    gb = df.groupby(keys, sort=True)
+    out = {}
+    for f in config.features:
+        if f.agg == "min":
+            out[f.name] = gb[f"{f.name}__min"].min()
+        elif f.agg == "max":
+            out[f.name] = gb[f"{f.name}__max"].max()
+        elif f.agg == "sum":
+            out[f.name] = gb[f"{f.name}__sum"].sum(min_count=1)
+        elif f.agg == "value_count":
+            out[f.name] = gb[f"{f.name}__cnt"].sum()
+        else:  # avg
+            s = gb[f"{f.name}__sum"].sum(min_count=1)
+            c = gb[f"{f.name}__cnt"].sum()
+            out[f.name] = s / c.where(c > 0)
+    res = pd.DataFrame(out).reset_index()
+    for f in config.feature_names():
+        v = res[f].to_numpy(dtype=np.float64, copy=True)
+        v[~np.isfinite(v)] = np.nan
+        res[f] = v
+    for c in carry:
+        res[c] = df[c].iloc[0]
+    return res
+
+
 def date_range_aggregate(ds, config: DetectorConfig, ranges_ms: list[tuple[int, int]], ts_col: str = "ts"):
     """A7: N explicit [from, to) buckets + per-feature sub-aggs
     (``ParseUtils.java:338-395``; used for cold-start samples). Empty
