@@ -103,7 +103,10 @@ class RCForest:
         self.sample_size = int(sample_size)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.time_decay = float(time_decay)
-        self.rebuild_every = int(rebuild_every or max(sample_size, 64))
+        # epoch length: staleness ≤ 2·sample between rebuilds is negligible
+        # against the 1/time_decay reservoir turnover, and build cost
+        # amortizes to ~build/(2·sample) per point
+        self.rebuild_every = int(rebuild_every or max(2 * sample_size, 64))
         self._tree_seeds = _splitmix64(
             _U64(self.seed) + np.arange(1, self.num_trees + 1, dtype=_U64) * _C_NODE
         )
