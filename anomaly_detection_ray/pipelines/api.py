@@ -258,7 +258,7 @@ class DetectorAPI:
             from ..functions.hashing import entity_model_id
 
             metas = []
-            for mp in sorted(_glob.glob(os.path.join(checkpoint_dir, "*.pkl.json"))):
+            for mp in sorted(_glob.glob(os.path.join(checkpoint_dir, "*", "*.pkl.json"))):
                 try:
                     with open(mp) as f:
                         metas.append(_json.load(f))

@@ -288,13 +288,44 @@ def q_value_percentile(sf_dir: str) -> pd.DataFrame:
 def q_interval_suggest(sf_dir: str) -> pd.DataFrame:
     """A14: median gap between consecutive distinct timestamps — the
     one-pass replacement for the reference's recursive histogram probing
-    (IntervalCalculation.java). Sorted-ts diff: the ts column alone is
-    materialized (8 B/row; at 100 TB scale use per-partition diffs with
-    boundary stitching instead)."""
+    (IntervalCalculation.java). Fully distributed: distinct + sort run as
+    Ray shuffles, each sorted block reduces to a HISTOGRAM of its
+    in-block gaps plus its (first, last) boundary values, and the driver
+    merges histograms + the one gap per block boundary — exact median,
+    O(distinct gaps + blocks) driver memory at any scale."""
+    from ray.data.aggregate import Count
+
     ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
     ds = ds.map_batches(lambda b: add_window_columns(b, "ts", 1), batch_format="pyarrow", zero_copy_batch=True)
-    ts = np.unique(ds.select_columns(["window_start_ms"]).to_pandas()["window_start_ms"].to_numpy())
-    gap = float(np.median(np.diff(np.sort(ts))))
+    distinct = ds.groupby("window_start_ms").aggregate(Count(alias_name="__n"))
+    sorted_ds = distinct.select_columns(["window_start_ms"]).sort("window_start_ms")
+
+    def block_hist(b: pa.Table) -> pa.Table:
+        a = b["window_start_ms"].to_numpy()
+        if a.size == 0:
+            return pa.table({"kind": pa.array([], pa.string()), "val": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        vals, cnts = np.unique(np.diff(a), return_counts=True)
+        kind = ["gap"] * len(vals) + ["first", "last"]
+        val = list(vals.astype(np.int64)) + [int(a[0]), int(a[-1])]
+        cnt = list(cnts.astype(np.int64)) + [1, 1]
+        return pa.table({"kind": pa.array(kind), "val": pa.array(val, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    h = sorted_ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    firsts = np.sort(h.loc[h["kind"] == "first", "val"].to_numpy())
+    lasts = np.sort(h.loc[h["kind"] == "last", "val"].to_numpy())
+    boundary = firsts[1:] - lasts[:-1]  # one gap per adjacent block pair
+    gaps = h[h["kind"] == "gap"].groupby("val")["cnt"].sum()
+    for g in boundary:
+        gaps.loc[int(g)] = gaps.get(int(g), 0) + 1
+    gaps = gaps.sort_index()
+    vals, cnts = gaps.index.to_numpy(), gaps.to_numpy()
+    total = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    lo_i = int(np.searchsorted(cum, (total - 1) // 2 + 1))
+    hi_i = int(np.searchsorted(cum, total // 2 + 1))
+    gap = (float(vals[lo_i]) + float(vals[hi_i])) / 2.0  # np.median semantics
     return pd.DataFrame([{"median_gap_ms": round(gap, 1)}])
 
 
@@ -604,11 +635,13 @@ def q_detector_preview(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_decode(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing (stubbed codec) — deterministic rows-only."""
+    """Multimodal decode — REAL pure-numpy codecs (PGM / WAV PCM16 /
+    raw-frames video) over deterministically synthesized payloads;
+    rows-only (no SQL analogue for FFT/resize features)."""
     from ..stages.multimodal import decode_features, synthesize_media_table
 
-    media = synthesize_media_table(64, seed=42)
-    out = decode_features(_rd().from_arrow(media), fake=True, batch_size=16).to_pandas()
+    media = synthesize_media_table(64, seed=42, real_payloads=True)
+    out = decode_features(_rd().from_arrow(media), fake=False, batch_size=16).to_pandas()
     out["feat0"] = out["features"].map(lambda f: round(float(f[0]), 6))
     return out[["media_id", "kind", "payload_bytes", "feat0"]].sort_values("media_id").reset_index(drop=True)
 

@@ -15,14 +15,21 @@ import numpy as np
 import pyarrow as pa
 
 
-def write_results(results_ds, out_dir: str, keep: str = "all"):
+def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fraction: float = 0.5):
     """Write detector results partitioned by date.
 
-    ``keep``: ``all`` | ``anomalies`` (grade > 0 only — the hard-pressure
-    policy made explicit and deterministic)."""
+    ``keep`` mirrors ``ADResultBulkTransportAction.java:106-140``'s
+    pressure ladder, made explicit and deterministic:
+
+    - ``all`` — no shedding;
+    - ``soft`` — soft index pressure: anomalies always kept, grade-0
+      rows kept at ``soft_keep_fraction`` (selection by a deterministic
+      hash of (model_id, window_end) instead of the reference's RNG, so
+      reruns shed the same rows);
+    - ``anomalies`` — hard pressure: grade > 0 only."""
     import pyarrow.compute as pc
 
-    if keep not in ("all", "anomalies"):
+    if keep not in ("all", "soft", "anomalies"):
         raise ValueError(f"unknown keep policy {keep!r}")
     ds = results_ds
     if keep == "anomalies":
@@ -31,6 +38,20 @@ def write_results(results_ds, out_dir: str, keep: str = "all"):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+    elif keep == "soft":
+        from ..functions.hashing import hash_strings
+
+        def shed(b: pa.Table) -> pa.Table:
+            grade = b["anomaly_grade"].to_numpy()
+            key = [
+                f"{m}|{w}"
+                for m, w in zip(b["model_id"].to_pylist(), b["window_end_ms"].to_pylist())
+            ]
+            u = hash_strings(key).astype(np.float64) / float(2**64)
+            keep_mask = (grade > 0.0) | (u < soft_keep_fraction)
+            return b.filter(pa.array(keep_mask))
+
+        ds = ds.map_batches(shed, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_date(b: pa.Table) -> pa.Table:
         day = (b["window_end_ms"].to_numpy() // 86_400_000).astype(np.int64)

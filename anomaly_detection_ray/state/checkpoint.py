@@ -28,7 +28,13 @@ class CheckpointStore:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, model_id: str) -> str:
-        return os.path.join(self.root, sha256_hex(model_id)[:32] + ".pkl")
+        # two-level fan-out by hash prefix: 1M models in one flat dir
+        # makes listing/GC and many filesystems miserable; 256 shards
+        # keep each directory ~4k files at that scale
+        h = sha256_hex(model_id)
+        shard = os.path.join(self.root, h[:2])
+        os.makedirs(shard, exist_ok=True)
+        return os.path.join(shard, h[:32] + ".pkl")
 
     # ---- generic state blobs (shared by the AD and forecast sides) ----
 
@@ -83,7 +89,7 @@ class CheckpointStore:
         import glob
 
         removed = 0
-        for meta_path in glob.glob(os.path.join(self.root, "*.pkl.json")):
+        for meta_path in glob.glob(os.path.join(self.root, "*", "*.pkl.json")):
             try:
                 with open(meta_path) as f:
                     meta = json.load(f)

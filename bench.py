@@ -243,6 +243,7 @@ def headline_only() -> dict:
 
 def scaling() -> dict:
     scaling_corpus_path()  # generate once, outside the timed runs
+    reps = int(os.environ.get("ADR_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -258,9 +259,18 @@ def scaling() -> dict:
     # runs come out absolutely slower at 500k docs). Override with
     # ADR_SCALING_CPUS="8,32" to reproduce that measurement.
     lo, hi = (int(x) for x in os.environ.get("ADR_SCALING_CPUS", "2,8").split(","))
-    r_lo, r_hi = run(lo), run(hi)
+    # INTERLEAVED pairs, median of per-pair efficiencies: this box's
+    # run-to-run noise is ±15-30% and drifts over time (page-cache /
+    # turbo warming favors the low-CPU leg more), so an unpaired
+    # min-of-reps systematically understates efficiency; paired runs
+    # share machine conditions and their ratio is stable
+    pairs = []
+    for _ in range(reps):
+        r_lo, r_hi = run(lo), run(hi)
+        pairs.append((r_lo, r_hi, (r_lo["value"] / r_hi["value"]) / (hi / lo)))
+    pairs.sort(key=lambda p: p[2])
+    r_lo, r_hi, eff = pairs[len(pairs) // 2]  # median pair
     t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -272,6 +282,7 @@ def scaling() -> dict:
             "docs_per_sec_lo": r_lo["extra"]["docs_per_sec"],
             "docs_per_sec_hi": r_hi["extra"]["docs_per_sec"],
             "cpus": [lo, hi],
+            "pair_efficiencies": [round(p[2], 3) for p in pairs],
         },
     }
 

@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -168,3 +169,34 @@ def test_validate_feature_checks(ray_session, events_file):
     )
     bad = DetectorAPI(bad_cfg, events_file).validate()
     assert not bad["ok"] and any("missing from input" in i for i in bad["issues"])
+
+
+def test_sink_soft_pressure_shedding(ray_session, events_file, tmp_path):
+    """A16 soft-pressure policy: anomalies always survive; grade-0 rows
+    shed deterministically at ~soft_keep_fraction (same rows on rerun —
+    the reference drops them randomly, ADResultBulkTransportAction
+    .java:106-140)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.stages.sink import write_results
+
+    res = detect(rd.read_parquet(events_file), _cfg(), concurrency=2).materialize()
+    full = res.to_pandas()
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_results(res, out1, keep="soft", soft_keep_fraction=0.5)
+    write_results(res, out2, keep="soft", soft_keep_fraction=0.5)
+
+    def load(d):
+        t = pq.read_table(glob.glob(d + "/**/*.parquet", recursive=True))
+        return t.to_pandas().sort_values(["model_id", "window_end_ms"]).reset_index(drop=True)
+
+    a, b = load(out1), load(out2)
+    pd.testing.assert_frame_equal(a, b)  # deterministic shedding
+    n_anom = int((full["anomaly_grade"] > 0).sum())
+    assert int((a["anomaly_grade"] > 0).sum()) == n_anom  # anomalies all kept
+    zero_kept = (a["anomaly_grade"] == 0).sum() / max(1, (full["anomaly_grade"] == 0).sum())
+    assert 0.35 < zero_kept < 0.65

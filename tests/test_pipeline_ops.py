@@ -267,3 +267,47 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
     assert lsh_pairs <= exact_pairs          # no false positives (exact verify)
     assert set(planted) <= lsh_pairs         # planted near-dups recalled
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """PGM / WAV-PCM16 / RAWV encode→decode are exact (pure numpy — the
+    REAL decode path; external-codec formats stay behind the declared
+    NotImplementedError boundary)."""
+    from anomaly_detection_ray.stages.multimodal import (
+        MediaDecode, block_mean_resize, decode_pgm, decode_rawv,
+        decode_wav_pcm16, encode_pgm, encode_rawv, encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (41, 29), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(img)), img)
+    sig = rng.normal(0, 9000, 1500).astype(np.int16)
+    s, r = decode_wav_pcm16(encode_wav_pcm16(sig, 16_000))
+    assert np.array_equal(s, sig) and r == 16_000
+    fr = rng.integers(0, 256, (7, 9, 9), dtype=np.uint8)
+    assert np.array_equal(decode_rawv(encode_rawv(fr)), fr)
+    assert np.allclose(block_mean_resize(np.full((32, 32), 7.0), 8, 8), 7.0)
+    with pytest.raises(NotImplementedError):
+        MediaDecode()._features("image", b"\x89PNG\r\n")
+
+
+def test_multimodal_real_decode_pipeline(ray_session):
+    """End-to-end real decode: synthesized real payloads → features via
+    the actor-pool stage; audio rms reflects the encoded tone; resize
+    stage produces decodable smaller PGMs."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.multimodal import (
+        decode_features, decode_pgm, resize_images, synthesize_media_table,
+    )
+
+    t = synthesize_media_table(32, seed=7, real_payloads=True)
+    out = decode_features(rd.from_arrow(t), fake=False, batch_size=8).to_pandas()
+    assert len(out) == 32
+    feats = np.vstack(out["features"].to_numpy())
+    assert feats.shape == (32, 8) and np.isfinite(feats).all()
+    audio = out[out["kind"] == "audio"]
+    assert len(audio) and all(f[0] > 0.05 for f in audio["features"])  # real rms, not hash noise
+    resized = resize_images(rd.from_arrow(t), out_h=8, out_w=8, batch_size=8).to_pandas()
+    for _, row in resized[resized["kind"] == "image"].iterrows():
+        assert decode_pgm(row["payload"]).shape == (8, 8)
