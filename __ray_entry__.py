@@ -253,7 +253,43 @@ c AS (SELECT va AS vec_a, vb AS vec_b, d / (na.n * nb.n) AS cos
 SELECT vec_a, vec_b, round(cos, 6) AS cosine_r FROM c
 WHERE cos >= 0.4 ORDER BY vec_a, vec_b
 """,
+        "impute_linear": """
+WITH w AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) AS BIGINT) // 600000 * 600000 AS ws,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, ws, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ws) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM w
+),
+s AS (
+  SELECT event_type, (i // 4) AS si, v,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE i % 4 = 0
+),
+c AS (
+  SELECT g.event_type, g.ws, g.i, g.m, nn.n,
+         (CAST(g.i AS DOUBLE) / (g.m - 1.0)) * (nn.n - 1.0) AS t
+  FROM g JOIN (SELECT event_type, max(n) AS n FROM s GROUP BY event_type) nn USING (event_type)
+)
+SELECT c.event_type AS event_type, c.ws AS window_start_ms,
+       round(CASE WHEN c.n = 1 THEN s0.v
+                  WHEN c.i = c.m - 1 THEN slast.v
+                  ELSE (1.0 - (c.t - floor(c.t))) * sl.v + (c.t - floor(c.t)) * sr.v
+             END, 6) AS value_imputed
+FROM c
+LEFT JOIN s sl ON sl.event_type = c.event_type AND sl.si = CAST(floor(c.t) AS BIGINT)
+LEFT JOIN s sr ON sr.event_type = c.event_type AND sr.si = CAST(floor(c.t) AS BIGINT) + 1
+LEFT JOIN s s0 ON s0.event_type = c.event_type AND s0.si = 0
+LEFT JOIN s slast ON slast.event_type = c.event_type AND slast.si = c.n - 1
+ORDER BY event_type, window_start_ms
+""",
         # minhash_near_dup, simhash_sketch, winnow_fingerprints,
-        # detect_anomalies, top_anomaly_results, impute_linear,
-        # media_decode: non-SQL-expressible → rows-only checks.
+        # detect_anomalies, detect_with_rules, top_anomaly_results,
+        # media_decode, correlate/insights/forecast/preview:
+        # non-SQL-expressible (model scoring / custom hashes) → rows-only.
     }

@@ -481,6 +481,19 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     return _round(out.astype({"vec_a": "int64", "vec_b": "int64"}), {"cosine_r": 6})
 
 
+def q_embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Sign-LSH banded near-dup (the 100 TB path for high thresholds):
+    random-hyperplane band keys → bucket groupby → exact cosine verify.
+    Deterministic (fixed seed) but probabilistic recall → rows-only."""
+    from ..stages.ann import embedding_near_dup_lsh
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dup_lsh(ds, threshold=0.45, n_bands=24, bits_per_band=6)
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    out = out.rename(columns={"cosine": "cosine_r"})
+    return _round(out, {"cosine_r": 6})
+
+
 # ---------------------------------------------------------------- detector (Layer B — rows-only)
 
 def detector_config() -> DetectorConfig:
@@ -547,7 +560,9 @@ def q_top_anomaly_results(sf_dir: str) -> pd.DataFrame:
 
 def q_impute_linear(sf_dir: str) -> pd.DataFrame:
     """B6: stretch each entity's stride-sampled series (D7 preview
-    sampling) to the full grid — deterministic, rows-only."""
+    sampling) to the full grid. Window averages are rounded to 6 dp
+    BEFORE interpolation so the DuckDB oracle (same rounding, same
+    float-op order) is value-exact."""
     from ..functions.imputation import linear_uniform_impute
 
     cfg = DetectorConfig(
@@ -559,16 +574,24 @@ def q_impute_linear(sf_dir: str) -> pd.DataFrame:
     ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
     agg = window_aggregate(ds, cfg, ts_col="ts")
 
+    def round_half_away(a: np.ndarray, nd: int = 6) -> np.ndarray:
+        # DuckDB's round() is half-away-from-zero; numpy's is half-even.
+        # Quarter fractions from the stride-4 interpolation land EXACTLY
+        # on .5 boundaries at the 7th digit, so the modes must match.
+        s = 10.0**nd
+        v = a * s
+        return np.sign(v) * np.floor(np.abs(v) + 0.5) / s
+
     def impute_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("window_start_ms")
         sampled = g.iloc[::4]  # stride sampling (FeatureManager.java:357-371)
         m = len(g)
-        vals = linear_uniform_impute(sampled[["value_avg"]].to_numpy(), m)
+        vals = linear_uniform_impute(round_half_away(sampled[["value_avg"]].to_numpy()), m)
         return pd.DataFrame(
             {
                 "event_type": g["event_type"].to_numpy(),
                 "window_start_ms": g["window_start_ms"].to_numpy(),
-                "value_imputed": np.round(vals[:, 0], 6),
+                "value_imputed": round_half_away(vals[:, 0]),
             }
         )
 
@@ -671,6 +694,7 @@ REGISTRY = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "detect_anomalies": q_detect_anomalies,
     "detect_with_rules": q_detect_with_rules,
     "top_anomaly_results": q_top_anomaly_results,

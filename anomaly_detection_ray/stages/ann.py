@@ -272,6 +272,9 @@ def embedding_near_dup_lsh(ds, id_col: str = "vec_id", vec_col: str = "embedding
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)
+    if len(pairs) == 0:  # no candidates at all → typed empty frame
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    pairs = pairs.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)
     return pairs.astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
