@@ -76,8 +76,10 @@ def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tup
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str, preload_bytes: int = 2 << 30):
+    def __init__(self, index_dir: str, preload_bytes: int = 2 << 30,
+                 postings_cache_bytes: int = 256 << 20):
         import pyarrow.parquet as pq
+        from collections import OrderedDict
 
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
@@ -115,6 +117,12 @@ class QueryEngine:
         self._stats_df = stats["df"].to_numpy()
         docmap = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "docmap", "*.parquet")))
         self._docmap = pads.dataset(docmap, format="parquet") if docmap else None
+        # per-term DECODED postings cache (LRU, byte-capped): varint
+        # decode of a dense term is the serving hot path's dominant cost
+        # (~30 ms/query measured); repeated query vocab hits the cache
+        self._postings_cache: OrderedDict[str, tuple] = OrderedDict()
+        self._postings_cache_bytes = 0
+        self._postings_cache_cap = int(postings_cache_bytes)
 
     # ---------- postings access ----------
 
@@ -142,6 +150,29 @@ class QueryEngine:
             parts = [self._datasets[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
         return pa.concat_tables(parts)
 
+    def term_arrays(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (docs, tfs, dls) of one term across all part files, in
+        (file, row) order — LRU-cached by decoded size."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            self._postings_cache.move_to_end(term)
+            return hit
+        from .segments import decode_chunks_bulk
+
+        rows = self.chunks_for([term]).to_pylist()
+        if rows:
+            docs, tfs, dls, _ = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+        else:
+            docs = tfs = dls = np.empty(0, dtype=np.int64)
+        entry = (docs, tfs, dls)
+        nb = docs.nbytes * 3
+        self._postings_cache[term] = entry
+        self._postings_cache_bytes += nb
+        while self._postings_cache_bytes > self._postings_cache_cap and len(self._postings_cache) > 1:
+            _, (d, _, _) = self._postings_cache.popitem(last=False)
+            self._postings_cache_bytes -= d.nbytes * 3
+        return entry
+
     def _term_rows(self, chunks: pa.Table) -> dict[str, list[dict]]:
         by_term: dict[str, list[dict]] = {}
         for row in chunks.to_pylist():
@@ -155,21 +186,26 @@ class QueryEngine:
 
     def bm25_topk(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
         terms = self.query_terms(query)
-        chunks = self.chunks_for(terms)
-        if chunks.num_rows == 0:
-            return []
         if prune:
+            chunks = self.chunks_for(terms)
+            if chunks.num_rows == 0:
+                return []
             return self._score_pruned(chunks, k)
-        return self._score_exact(chunks, k)
+        return self._score_exact(terms, k)
 
-    def _score_exact(self, chunks: pa.Table, k: int) -> list[tuple[int, float]]:
-        from .segments import decode_chunks_bulk
-
-        rows = chunks.to_pylist()
-        docs, tfs, dls, off = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
-        idfs = np.asarray([float(bm25_idf(self.df(r["term"]), self.n_docs)) for r in rows])
-        w = np.repeat(idfs, np.diff(off))
-        imps = w * tf_norm(tfs, dls, self.avgdl)
+    def _score_exact(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        docs_parts, imp_parts = [], []
+        for t in terms:
+            docs_t, tfs_t, dls_t = self.term_arrays(t)
+            if docs_t.size == 0:
+                continue
+            w = float(bm25_idf(self.df(t), self.n_docs))
+            docs_parts.append(docs_t)
+            imp_parts.append(w * tf_norm(tfs_t, dls_t, self.avgdl))
+        if not docs_parts:
+            return []
+        docs = np.concatenate(docs_parts)
+        imps = np.concatenate(imp_parts)
         max_doc = int(docs.max()) if docs.size else 0
         if max_doc < 4 * self.n_docs:
             # dense doc-id space → bincount accumulation (no sort)
@@ -327,13 +363,7 @@ class QueryEngine:
         return np.sort(np.concatenate(parts))
 
     def term_docs(self, term: str) -> np.ndarray:
-        from .segments import decode_chunks_bulk
-
-        rows = self.chunks_for([term]).to_pylist()
-        if not rows:
-            return np.empty(0, dtype=np.int64)
-        docs, _, _, _ = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
-        return np.sort(docs)
+        return np.sort(self.term_arrays(term)[0])
 
     def docmap(self) -> pads.Dataset:
         if self._docmap is None:
@@ -404,16 +434,20 @@ class QueryEngine:
             return self.bm25_topk(query, k=k)
         allowed = self.execute_filter(filter_query)
         terms = self.query_terms(query)
-        chunks = self.chunks_for(terms)
-        if chunks.num_rows == 0 or allowed.size == 0:
+        if allowed.size == 0:
             return []
-        from .segments import decode_chunks_bulk
-
-        rows = chunks.to_pylist()
-        docs, tfs, dls, off = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
-        idfs = np.asarray([float(bm25_idf(self.df(r["term"]), self.n_docs)) for r in rows])
-        w = np.repeat(idfs, np.diff(off))
-        imps = w * tf_norm(tfs, dls, self.avgdl)
+        docs_parts, imp_parts = [], []
+        for t in terms:
+            docs_t, tfs_t, dls_t = self.term_arrays(t)
+            if docs_t.size == 0:
+                continue
+            wt = float(bm25_idf(self.df(t), self.n_docs))
+            docs_parts.append(docs_t)
+            imp_parts.append(wt * tf_norm(tfs_t, dls_t, self.avgdl))
+        if not docs_parts:
+            return []
+        docs = np.concatenate(docs_parts)
+        imps = np.concatenate(imp_parts)
         keep = np.isin(docs, allowed)
         docs, imps = docs[keep], imps[keep]
         if docs.size == 0:

@@ -122,7 +122,11 @@ def test_bm25_distributed_matches_local(built, tiny_corpus):
     for q in tiny_corpus["queries"]["query"].to_pylist()[:8]:
         dist = eng.bm25_topk_distributed(q, k=10)
         local = eng.bm25_topk(q, k=10, prune=False)
-        assert dist == local, q
+        # ranks identical; scores to 1e-9 (the local path accumulates
+        # term-major off the decoded-postings cache, the distributed path
+        # row-major per bucket — a 1-ulp float association difference)
+        assert [d for d, _ in dist] == [d for d, _ in local], q
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(dist, local)), q
 
 
 def test_engine_vs_oracle_random_corpora(ray_session, tmp_path_factory):
@@ -248,7 +252,9 @@ def test_locality_corpus_prune_and_skip_parity(ray_session, tmp_path_factory):
     eng = qmod.QueryEngine(out)
     for g in range(0, 15, 3):
         q = f"seg{g:05d}loc0 value return"
-        assert eng.bm25_topk(q, 10, prune=True) == eng.bm25_topk(q, 10, prune=False), q
+        p, e = eng.bm25_topk(q, 10, prune=True), eng.bm25_topk(q, 10, prune=False)
+        assert [d for d, _ in p] == [d for d, _ in e], q
+        assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(p, e)), q
     # count decoded blocks through the skip path vs a full decode
     calls = {"n": 0}
     orig = qmod.decode_block
