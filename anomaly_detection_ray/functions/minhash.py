@@ -68,6 +68,34 @@ class MinHasher:
             acc = _mix64(acc ^ sig[:, j])
         return acc
 
+    def signatures_bulk(self, concat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(D, n_hashes) signatures for D docs whose shingle-hash sets are
+        concatenated (doc d = ``concat[offsets[d]:offsets[d+1]]``) —
+        value-identical to per-doc :meth:`signature`, vectorized with one
+        segmented min per hash function. Empty docs get the all-ones
+        signature (same as ``signature([])``)."""
+        concat_hashes = np.asarray(concat_hashes, dtype=np.uint64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        D = offsets.size - 1
+        out = np.full((D, self.n_hashes), _U64, dtype=np.uint64)
+        ne = np.diff(offsets) > 0
+        starts = offsets[:-1][ne]
+        if concat_hashes.size and starts.size:
+            for i in range(self.n_hashes):
+                y = _mix64(concat_hashes ^ self.seeds[i])
+                out[ne, i] = np.minimum.reduceat(y, starts)
+        return out
+
+    def band_keys_bulk(self, signatures: np.ndarray, n_bands: int) -> np.ndarray:
+        """(D, n_bands) band hashes — value-identical to per-doc
+        :meth:`band_keys`."""
+        rows = self.n_hashes // n_bands
+        sig = signatures[:, : n_bands * rows].reshape(-1, n_bands, rows)
+        acc = np.zeros((sig.shape[0], n_bands), dtype=np.uint64)
+        for j in range(rows):
+            acc = _mix64(acc ^ sig[:, :, j])
+        return acc
+
 
 def jaccard(a: set, b: set) -> float:
     if not a and not b:

@@ -242,19 +242,28 @@ class _MinHashBands:
         self.text_col, self.id_col, self.k, self.n_bands = text_col, id_col, k, n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for did, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
-            sh = hash_shingles(token_shingles(self.analyzer.tokens(t or ""), self.k))
-            sig = self.hasher.signature(sh)
-            bk = self.hasher.band_keys(sig, self.n_bands)
-            ids.extend([did] * self.n_bands)
-            bands.extend(range(self.n_bands))
-            keys.extend(bk.tolist())
+        # shingling stays per doc (string work); hashing + signatures +
+        # band keys run batched: ONE string-hash call over the batch's
+        # concatenated shingles, then one segmented min per hash function
+        texts = batch[self.text_col].to_pylist()
+        all_sh: list[str] = []
+        offsets = np.empty(len(texts) + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(texts):
+            sh = token_shingles(self.analyzer.tokens(t or ""), self.k)
+            all_sh.extend(sh)
+            offsets[i + 1] = len(all_sh)
+        concat = hash_shingles(all_sh)
+        sigs = self.hasher.signatures_bulk(concat, offsets)
+        keys = self.hasher.band_keys_bulk(sigs, self.n_bands)  # (D, n_bands)
+        D = len(texts)
+        ids = np.repeat(np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64), self.n_bands)
+        bands = np.tile(np.arange(self.n_bands, dtype=np.int32), D)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int32()),
-                "band_key": pa.array(np.asarray(keys, dtype=np.uint64).astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "band": pa.array(bands),
+                "band_key": pa.array(keys.ravel().astype(np.int64)),
             }
         )
 
