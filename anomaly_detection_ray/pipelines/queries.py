@@ -520,6 +520,38 @@ def q_detect_anomalies(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_detect_hc(sf_dir: str) -> pd.DataFrame:
+    """High-cardinality limit case: TWO category fields (event_type ×
+    user bucket — the reference caps at 2, `high-cardinality-rfc.md`)
+    and TWO features per model. Deterministic, rows-only."""
+    from .detector import detect
+
+    cfg = DetectorConfig(
+        config_id="events-detector-hc",
+        interval_s=600,
+        shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),
+                  FeatureSpec("value_max", "value", "max")),
+        category_fields=("event_type", "user_bucket"),
+        num_trees=10,
+        sample_size=64,
+    )
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "user_id", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy() % 4).astype(np.int64)
+        return b.append_column("user_bucket", pa.array(ub))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    res = detect(ds, cfg, ts_col="ts").to_pandas()
+    res = res.sort_values(["model_id", "window_end_ms"]).reset_index(drop=True)
+    out = res[["event_type", "user_bucket", "window_end_ms", "value_avg", "value_max",
+               "anomaly_score", "anomaly_grade"]].copy()
+    out["user_bucket"] = out["user_bucket"].astype("int64")
+    return _round(out, {"value_avg": 6, "value_max": 6, "anomaly_score": 6, "anomaly_grade": 6})
+
+
 def q_detect_with_rules(sf_dir: str) -> pd.DataFrame:
     """B9+B10 end-to-end: detailed scoring (expected values / attribution
     / past values, ``ThresholdingResult.java:323-374``) with a suppression
@@ -696,6 +728,7 @@ REGISTRY = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "detect_anomalies": q_detect_anomalies,
+    "detect_hc": q_detect_hc,
     "detect_with_rules": q_detect_with_rules,
     "top_anomaly_results": q_top_anomaly_results,
     "correlate_anomalies": q_correlate_anomalies,

@@ -434,3 +434,60 @@ def test_cold_start_history_parity(ray_session, stream_table):
     head = blind.groupby("model_id").head(20)
     assert (head["anomaly_score"] == 0).all()
     assert (want.groupby("model_id").head(20)["anomaly_score"] > 0).any()
+
+
+def test_detect_two_categories_two_features(ray_session):
+    """HC limit case (reference supports ≤2 category fields) with a
+    2-feature detector: one model per (entity, region) combo, per-feature
+    expected values + attribution, spike flagged on the right combo and
+    attributed to the right feature."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    rng = np.random.default_rng(6)
+    rows = []
+    n_win = 160
+    for e in ("a", "b"):
+        for r in ("east", "west"):
+            for i in range(n_win):
+                v = 50 + (10 if e == "a" else 0) + rng.uniform(-1, 1)
+                c = 5 + rng.uniform(-0.5, 0.5)
+                if (e, r) == ("b", "west") and i == 120:
+                    v = 5000.0  # spike only in feature 1 of one combo
+                rows.append((e, r, (i + 1) * 600_000, v, c))
+    t = pa.table({
+        "entity": [r[0] for r in rows],
+        "region": [r[1] for r in rows],
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(pa.timestamp("ms")),
+        "value": [r[3] for r in rows],
+        "cost": [r[4] for r in rows],
+    })
+    cfg = DetectorConfig(
+        config_id="hc2", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),
+                  FeatureSpec("cost_max", "cost", "max")),
+        category_fields=("entity", "region"),
+        num_trees=10, sample_size=64,
+    )
+    res = detect(rd.from_arrow(t), cfg, concurrency=2, detailed=True).to_pandas()
+    assert res["model_id"].nunique() == 4
+    assert {"value_avg_expected", "cost_max_expected", "value_avg_attribution",
+            "cost_max_attribution"} <= set(res.columns)
+    flagged = res[res["anomaly_grade"] > 0]
+    assert len(flagged) > 0
+    combos = set(zip(flagged["entity"], flagged["region"]))
+    assert combos == {("b", "west")}
+    spike = res.loc[res["value_avg"].idxmax()]
+    assert spike["entity"] == "b" and spike["region"] == "west"
+    assert spike["anomaly_grade"] > 0
+    # the offending feature dominates the attribution
+    assert spike["value_avg_attribution"] > 0.7 > spike["cost_max_attribution"]
+    # determinism across runs with 2 cats + 2 features
+    res2 = detect(rd.from_arrow(t), cfg, concurrency=2, detailed=True).to_pandas()
+    key = ["model_id", "window_end_ms"]
+    pd.testing.assert_frame_equal(
+        res.sort_values(key).reset_index(drop=True),
+        res2.sort_values(key).reset_index(drop=True),
+    )
