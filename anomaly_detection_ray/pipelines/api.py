@@ -67,6 +67,51 @@ class DetectorAPI:
             return self.config.interval_s
         return max(1, int(round(float(np.median(np.diff(np.sort(recent)))) / 1000.0)))
 
+    def suggest_period(self, max_period: int = 96) -> int:
+        """Seasonal-period suggestion for the forecast side (the
+        reference's forecaster validation suggests horizon/interval;
+        ``forecast/rest/handler``): per-entity autocorrelation of the
+        windowed feature series (FFT-based, inside ``map_groups``), then
+        a length-weighted vote across entities. Returns 0 when no lag's
+        autocorrelation clears 0.3 — 'no clear seasonality'."""
+        from ..stages.window import window_aggregate
+
+        feats = self.config.feature_names()
+        if not feats:
+            return 0
+        f0 = feats[0]
+        agg = window_aggregate(self._ds(), self.config, ts_col=self.ts_col)
+        cats = list(self.config.category_fields)
+
+        def entity_period(g: pd.DataFrame) -> pd.DataFrame:
+            x = g.sort_values("window_start_ms")[f0].to_numpy(dtype=np.float64)
+            x = x[np.isfinite(x)]
+            n = x.size
+            if n < 8:
+                return pd.DataFrame({"period": [0], "weight": [0]})
+            x = x - x.mean()
+            spec = np.abs(np.fft.rfft(x, n=2 * n)) ** 2
+            acf = np.fft.irfft(spec)[:n]
+            if acf[0] <= 0:
+                return pd.DataFrame({"period": [0], "weight": [n]})
+            acf = acf / acf[0]
+            hi = min(max_period, n // 2)
+            if hi < 2:
+                return pd.DataFrame({"period": [0], "weight": [n]})
+            lag = int(np.argmax(acf[2 : hi + 1])) + 2
+            period = lag if acf[lag] >= 0.3 else 0
+            return pd.DataFrame({"period": [period], "weight": [n]})
+
+        if cats:
+            votes = agg.groupby(cats).map_groups(entity_period, batch_format="pandas").to_pandas()
+        else:
+            votes = entity_period(agg.to_pandas())
+        votes = votes[votes["weight"] > 0]
+        if not len(votes):
+            return 0
+        tally = votes.groupby("period")["weight"].sum()
+        return int(tally.idxmax())
+
     # ---- _validate ----
 
     def validate(self) -> dict:

@@ -188,3 +188,34 @@ def test_forecast_run_once_sink(ray_session, tmp_path):
     assert files and any("result_date=" in f for f in files)
     rows = pq.read_table(files[0])
     assert {"forecast_value", "forecast_lower", "forecast_upper", "horizon_index"} <= set(rows.column_names)
+
+
+def test_suggest_period_detects_seasonality(ray_session, tmp_path):
+    """Forecast-side validation: FFT-autocorrelation period suggestion
+    recovers the generator's known 24-window cycle; white noise → 0."""
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=3, n_windows=240, interval_s=600, seed=4,
+                                 anomaly_prob=0.0, period=24)
+    p1 = str(tmp_path / "seasonal.parquet")
+    pq.write_table(t, p1)
+    cfg = DetectorConfig(
+        config_id="sp", interval_s=600, category_fields=("entity",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    assert DetectorAPI(cfg, p1).suggest_period() == 24
+    # pure noise: no clear seasonality
+    rng = np.random.default_rng(0)
+    import pyarrow as pa
+    n = 240
+    noise = pa.table({
+        "entity": ["e"] * n,
+        "ts": pa.array((np.arange(n) + 1) * 600_000, pa.int64()).cast(pa.timestamp("ms")),
+        "value": rng.normal(0, 1, n),
+    })
+    p2 = str(tmp_path / "noise.parquet")
+    pq.write_table(noise, p2)
+    assert DetectorAPI(cfg, p2).suggest_period() == 0
