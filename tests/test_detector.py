@@ -491,3 +491,33 @@ def test_detect_two_categories_two_features(ray_session):
         res.sort_values(key).reset_index(drop=True),
         res2.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_detect_degenerate_inputs(ray_session):
+    """Empty input → empty result; a single window → warm-up zero score;
+    an all-NaN feature stream imputes and never alarms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = DetectorConfig(config_id="degen", interval_s=600, category_fields=("entity",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),),
+                         num_trees=5, sample_size=32)
+    empty = pa.table({"entity": pa.array([], pa.string()),
+                      "ts": pa.array([], pa.int64()).cast(pa.timestamp("ms")),
+                      "value": pa.array([], pa.float64())})
+    assert len(detect(rd.from_arrow(empty), cfg, concurrency=1).to_pandas()) == 0
+    one = pa.table({"entity": ["e"], "ts": pa.array([600_000], pa.int64()).cast(pa.timestamp("ms")),
+                    "value": [1.0]})
+    out = detect(rd.from_arrow(one), cfg, concurrency=1).to_pandas()
+    assert len(out) == 1 and out["anomaly_score"].iloc[0] == 0.0
+    nan = pa.table({"entity": ["e"] * 40,
+                    "ts": pa.array((np.arange(40) + 1) * 600_000, pa.int64()).cast(pa.timestamp("ms")),
+                    "value": [float("nan")] * 40})
+    out = detect(rd.from_arrow(nan), cfg, concurrency=1).to_pandas()
+    assert len(out) == 40 and (out["anomaly_grade"] == 0).all()
+    # empty model-level batch is a no-op
+    m = TRCFModel(cfg, "m")
+    r = m.process_many(np.empty((0, 1)), np.empty(0, dtype=np.int64))
+    assert r["keep"].size == 0 and m.n_points == 0
