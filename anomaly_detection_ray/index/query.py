@@ -6,8 +6,10 @@ posting-list intersection (A2), term filters (A3), with global stats
 (N, avgdl, df) from the manifest so scores are identical regardless of
 how the corpus was sliced/partitioned (the DFS-stats model).
 
-Two scoring paths, both producing identical top-k (tested against each
-other and against the brute-force oracle):
+Two scoring paths, rank-identical with scores equal to 1e-9 (tested
+against each other and the brute-force oracle; the exact path
+accumulates term-major off the decoded-postings cache, so cross-path
+scores can differ by one float association ulp):
 
 - ``prune=False``: exact vectorized scoring — decode every posting of
   every query term, one ``np.add.at`` accumulation. The throughput
@@ -35,14 +37,13 @@ from glob import glob
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from ..functions.analyzer import Analyzer
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
 from .build import MANIFEST_NAME
-from .segments import decode_block, decode_chunk_row
+from .segments import decode_block
 
 
 def _arrow_bisect(arr, term: str, side: str = "left") -> int:

@@ -24,7 +24,6 @@ import pandas as pd
 
 from ..config import DetectorConfig
 from ..state.checkpoint import CheckpointStore
-from ..state.model import TRCFModel
 
 RESULT_COLUMNS = ["anomaly_score", "anomaly_grade", "confidence", "is_anomaly"]
 
