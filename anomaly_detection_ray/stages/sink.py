@@ -11,6 +11,8 @@ replace a day atomically; never one giant file)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -58,8 +60,32 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
         return b.append_column("result_date", pa.array(day))
 
     ds = ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
-    ds.write_parquet(out_dir, partition_cols=["result_date"])
+    _write_replacing_partitions(ds, out_dir)
     return out_dir
+
+
+def _write_replacing_partitions(ds, out_dir: str) -> None:
+    """Date-partitioned write with PARTITION REPLACEMENT: the run streams
+    ONCE into a staging directory, then each staged ``result_date=`` dir
+    atomically swaps into place (old partition removed first) — rerunning
+    a day replaces it instead of appending duplicate files, with no
+    materialization and no double execution of the pipeline (the
+    rollover/replace semantics the reference gets from index management)."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, f".staging-{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        ds.write_parquet(staging, partition_cols=["result_date"])
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("result_date="):
+                continue
+            dst = os.path.join(out_dir, name)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(staging, name), dst)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def write_forecast_results(forecast_ds, out_dir: str):
@@ -76,5 +102,5 @@ def write_forecast_results(forecast_ds, out_dir: str):
         return b.append_column("result_date", pa.array(day))
 
     ds = forecast_ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
-    ds.write_parquet(out_dir, partition_cols=["result_date"])
+    _write_replacing_partitions(ds, out_dir)
     return out_dir

@@ -200,3 +200,23 @@ def test_sink_soft_pressure_shedding(ray_session, events_file, tmp_path):
     assert int((a["anomaly_grade"] > 0).sum()) == n_anom  # anomalies all kept
     zero_kept = (a["anomaly_grade"] == 0).sum() / max(1, (full["anomaly_grade"] == 0).sum())
     assert 0.35 < zero_kept < 0.65
+
+
+def test_sink_rerun_replaces_partitions(ray_session, events_file, tmp_path):
+    """Rerunning the result sink for the same days REPLACES their
+    partitions instead of appending duplicate files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.stages.sink import write_results
+
+    res = detect(rd.read_parquet(events_file), _cfg(), concurrency=2).materialize()
+    out = str(tmp_path / "res")
+    write_results(res, out)
+    first = pq.read_table(glob.glob(out + "/**/*.parquet", recursive=True))
+    write_results(res, out)  # rerun over the same days
+    second = pq.read_table(glob.glob(out + "/**/*.parquet", recursive=True))
+    assert second.num_rows == first.num_rows  # no duplicate accumulation
