@@ -521,3 +521,48 @@ def test_detect_degenerate_inputs(ray_session):
     m = TRCFModel(cfg, "m")
     r = m.process_many(np.empty((0, 1)), np.empty(0, dtype=np.int64))
     assert r["keep"].size == 0 and m.n_points == 0
+
+
+def test_detect_high_cardinality_quality(ray_session):
+    """HC-scale shape mirroring the reference's multi-entity cosine
+    generator (generate-cosine-data-multi-entity.py defaults scaled
+    down): 100 entity models in one run, quality floors per the e2e
+    assertion, and every entity's model independent (no cross-entity
+    flag leakage)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=100, n_windows=160, interval_s=600, seed=21,
+                                 anomaly_prob=0.01, spike_factor=5.0, period=24)
+    cfg = DetectorConfig(
+        config_id="hc100", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity",), num_trees=10, sample_size=64,
+    )
+    res = detect(rd.from_arrow(t), cfg, ts_col="ts", concurrency=4).to_pandas()
+    assert res["model_id"].nunique() == 100
+
+    truth = t.to_pandas()
+    ts_ms = truth["ts"].astype("datetime64[ms]").astype("int64")
+    truth["window_end_ms"] = ts_ms // 600_000 * 600_000 + 600_000
+    label = truth.groupby(["entity", "window_end_ms"])["is_anomaly_truth"].any().reset_index()
+    spikes = label[label["is_anomaly_truth"]]
+    assert len(spikes) > 20  # 100 entities × 160 windows × 1%
+    flagged = res[(res["anomaly_grade"] > 0)]
+    w = 600_000
+
+    def near(row, within):
+        s = spikes[spikes["entity"] == row["entity"]]
+        return bool(((row["window_end_ms"] - s["window_end_ms"]).between(0, within)).any())
+
+    tp = flagged.apply(lambda r: near(r, cfg.shingle_size * w), axis=1)
+    precision = tp.mean() if len(flagged) else 0.0
+    recalled = spikes.apply(
+        lambda s: bool(((flagged["entity"] == s["entity"])
+                        & (flagged["window_end_ms"] - s["window_end_ms"]).between(0, 2 * w)).any()),
+        axis=1,
+    )
+    assert precision >= 0.4, f"precision {precision}"
+    assert recalled.mean() >= 0.7, f"recall {recalled.mean()}"
