@@ -39,9 +39,12 @@ class ForecastGroups:
     def __init__(self, value_col: str, interval_ms: int, horizon: int, period: int,
                  output_after: int = 32, confidence: float = 0.9,
                  checkpoint_dir: str | None = None, config_id: str = "forecast",
-                 fused_config: DetectorConfig | None = None):
+                 fused_config: DetectorConfig | None = None,
+                 backend: str = "holt_winters", seed: int = 0):
         from ..state.checkpoint import CheckpointStore
 
+        if backend not in ("holt_winters", "rcf"):
+            raise ValueError(f"unknown forecast backend {backend!r}")
         self.value_col = value_col
         self.interval_ms = interval_ms
         self.horizon = horizon
@@ -51,9 +54,25 @@ class ForecastGroups:
         self.config_id = config_id
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
         self.fused_config = fused_config  # group rows are window partials
+        self.backend = backend
+        self.seed = seed
+
+    def _new_forecaster(self, model_id: str):
+        from ..functions.hashing import murmur3_x64_128
+        from ..state.forecaster import HoltWintersForecaster, RCFForecaster
+
+        if self.backend == "rcf":
+            return RCFForecaster(
+                horizon=self.horizon,
+                seed=(self.seed ^ murmur3_x64_128(model_id.encode())[0]) & 0xFFFFFFFFFFFFFFFF,
+                output_after=self.output_after, confidence=self.confidence,
+            )
+        return HoltWintersForecaster(
+            horizon=self.horizon, period=self.period,
+            output_after=self.output_after, confidence=self.confidence,
+        )
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        from ..state.forecaster import HoltWintersForecaster
 
         if self.fused_config is not None:
             from ..stages.window import finalize_partial_group
@@ -73,10 +92,7 @@ class ForecastGroups:
                 f = state["forecaster"]
                 last_end = state["last_window_end"]
         if f is None:
-            f = HoltWintersForecaster(
-                horizon=self.horizon, period=self.period,
-                output_after=self.output_after, confidence=self.confidence,
-            )
+            f = self._new_forecaster(model_id)
         vals = group[self.value_col].to_numpy(dtype=np.float64)
         for v, we in zip(vals, group["window_end_ms"].to_numpy()):
             if last_end is not None and we <= last_end:
@@ -118,12 +134,18 @@ def forecast(
     confidence: float = 0.9,
     concurrency=None,
     checkpoint_dir: str | None = None,
+    backend: str = "holt_winters",
 ):
     """events Dataset → forecast rows (one per entity × horizon step).
 
     With ``checkpoint_dir``, forecaster streams continue across runs
     (the forecast job tick); without it each run is a self-contained
-    cold start (the run-once semantics)."""
+    cold start (the run-once semantics).
+
+    ``backend``: ``holt_winters`` (default — cheap per point) or ``rcf``
+    (the reference's caster shape: forecasts are the forest's iterated
+    conditional expectation; costs ``horizon`` tree walks per recorded
+    forecast, throttled by the forecaster's record stride)."""
     feats = config.feature_names()
     if len(feats) != 1:
         raise ValueError("forecast() expects exactly one feature")
@@ -147,6 +169,7 @@ def forecast(
             horizon=horizon, period=period, output_after=config.model_output_after(),
             confidence=confidence, checkpoint_dir=checkpoint_dir,
             config_id=config.config_id, fused_config=config if fused else None,
+            backend=backend, seed=config.seed,
         ),
         batch_format="pandas",
         concurrency=pool(concurrency),

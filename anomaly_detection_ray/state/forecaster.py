@@ -22,6 +22,108 @@ from collections import deque
 import numpy as np
 
 
+class RCFForecaster:
+    """Caster-style forecaster on the random cut forest itself — the
+    shape of the reference's RCFCaster (``forecast/ml/ForecastColdStart
+    .java:113-149`` builds one with a forecastHorizon): the model IS a
+    forest over value shingles, and the h-step point forecast is
+    ITERATED CONDITIONAL IMPUTATION of the next shingle slot
+    (:meth:`~.rcf.RCForest.impute_batch`: walk each tree on the known
+    dims, heavier child on the missing dim, leaf consensus). Lower/upper
+    bounds use the same empirical per-horizon error quantiles as the
+    Holt-Winters backend.
+
+    ``record_stride``: a forecast costs ``horizon`` sequential tree
+    walks, so error bookkeeping records pendings only at absolute stream
+    positions divisible by the stride (deterministic across run splits);
+    every recorded forecast still scores all its horizon slots.
+    """
+
+    def __init__(
+        self,
+        horizon: int = 24,
+        shingle: int = 8,
+        num_trees: int = 20,
+        sample_size: int = 128,
+        seed: int = 0,
+        time_decay: float = 1.0 / 2560.0,
+        output_after: int = 32,
+        max_error_window: int = 1024,
+        confidence: float = 0.9,
+        record_stride: int = 4,
+    ):
+        from .rcf import RCForest
+
+        self.horizon = horizon
+        self.shingle = max(1, int(shingle))
+        self.output_after = output_after
+        self.confidence = confidence
+        self.record_stride = max(1, int(record_stride))
+        self.forest = RCForest(num_trees, sample_size, seed=seed, time_decay=time_decay)
+        self._window: deque = deque(maxlen=self.shingle)
+        self.n_points = 0
+        self._errors: list[deque] = [deque(maxlen=max_error_window) for _ in range(horizon)]
+        self._pending: deque = deque()
+
+    def update(self, value: float) -> None:
+        v = float(value)
+        for made_at, fc in self._pending:
+            h = self.n_points - made_at + 1
+            if 1 <= h <= self.horizon:
+                self._errors[h - 1].append(abs(v - fc[h - 1]))
+        while self._pending and self.n_points - self._pending[0][0] + 1 >= self.horizon:
+            self._pending.popleft()
+        self._window.append(v)
+        if len(self._window) == self.shingle:
+            self.forest.observe(np.asarray(self._window, dtype=np.float64))
+        self.n_points += 1
+
+    def _point_forecast(self) -> np.ndarray | None:
+        if self.n_points < max(2, self.output_after) or not self.forest._built:
+            return None
+        win = list(self._window)
+        if len(win) < self.shingle:
+            return None
+        vals = np.empty(self.horizon)
+        miss = np.zeros((1, self.shingle), dtype=bool)
+        miss[0, -1] = True
+        for i in range(self.horizon):
+            x = np.asarray(win[-(self.shingle - 1):] + [0.0] if self.shingle > 1 else [0.0])
+            est = float(self.forest.impute_batch(x[None, :], miss)[0, -1])
+            vals[i] = est
+            win.append(est)
+        return vals
+
+    def record_forecast(self) -> bool:
+        if self.n_points % self.record_stride != 0:
+            return False
+        vals = self._point_forecast()
+        if vals is None:
+            return False
+        self._pending.append((self.n_points, vals))
+        return True
+
+    def forecast(self) -> dict | None:
+        vals = self._point_forecast()
+        if vals is None:
+            return None
+        q = self.confidence
+        half = np.empty(self.horizon)
+        last = 0.0
+        for i in range(self.horizon):
+            errs = self._errors[i]
+            if len(errs) >= 5:
+                last = float(np.quantile(np.asarray(errs), q))
+            half[i] = last if last > 0 else 1e-9 * (i + 1)
+        half = np.maximum.accumulate(half)
+        return {
+            "values": vals,
+            "lower": vals - half,
+            "upper": vals + half,
+            "confidence": self.confidence,
+        }
+
+
 class HoltWintersForecaster:
     """Single-series additive Holt-Winters with per-horizon empirical
     error bounds.

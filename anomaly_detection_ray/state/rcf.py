@@ -373,6 +373,50 @@ class RCForest:
             return out, asum / T / norm, lsum / T
         return out
 
+    def impute_batch(self, pts: np.ndarray, missing: np.ndarray) -> np.ndarray:
+        """Conditional expectation for MISSING dimensions: walk each tree
+        using only the known dims (at a node that cuts on a missing dim,
+        descend into the heavier-mass child), read the leaf's values for
+        the missing dims, average across trees. This is the public
+        RCF-imputation recipe the caster-style forecaster builds on
+        (forecast = impute the next shingle position). Known dims pass
+        through unchanged. Pure — no state change."""
+        pts = np.asarray(pts, dtype=np.float64)
+        missing = np.asarray(missing, dtype=bool)
+        out = pts.copy()
+        if not self._built or self._built_size < 1 or len(pts) == 0:
+            out[missing] = 0.0
+            return out
+        T = self.num_trees
+        P = len(pts)
+        cur = np.repeat(self._roots, P)
+        pidx = np.tile(np.arange(P, dtype=np.int64), T)
+        idx = np.arange(T * P, dtype=np.int64)
+        leafvals = np.zeros((T * P, pts.shape[1]))
+        while idx.size:
+            n = cur[idx]
+            lf = self._left[n] < 0
+            if lf.any():
+                li = idx[lf]
+                leafvals[li] = self._lo[n[lf]]
+            go = ~lf
+            ni = idx[go]
+            nn = n[go]
+            d = self._dim[nn]
+            pv = pts[pidx[ni], d]
+            miss = missing[pidx[ni], d]
+            left_heavier = self._count[self._left[nn]] >= self._count[self._right[nn]]
+            go_left = np.where(miss, left_heavier, pv <= self._cut[nn])
+            cur[ni] = np.where(go_left, self._left[nn], self._right[nn])
+            idx = ni
+        l3 = leafvals.reshape(T, P, -1)
+        acc = np.zeros_like(l3[0])
+        for t in range(T):
+            acc += l3[t]
+        est = acc / T
+        out[missing] = est[missing]
+        return out
+
     def score_then_observe_batch(self, pts: np.ndarray, detailed: bool = False):
         """The fast streaming path: score each point against the forest as
         of the last rebuild ≤ its stream position, then feed it to the

@@ -219,3 +219,61 @@ def test_suggest_period_detects_seasonality(ray_session, tmp_path):
     p2 = str(tmp_path / "noise.parquet")
     pq.write_table(noise, p2)
     assert DetectorAPI(cfg, p2).suggest_period() == 0
+
+
+def test_rcf_forecaster_core():
+    """Caster-shape backend: forest conditional expectation tracks a
+    seasonal series; deterministic; split-run continues exactly."""
+    import pickle
+
+    from anomaly_detection_ray.state.forecaster import RCFForecaster
+
+    period = 24
+    f = RCFForecaster(horizon=12, shingle=8, num_trees=15, sample_size=128,
+                      seed=1, output_after=32)
+    series = [100 + 50 * np.cos(2 * np.pi * i / period) for i in range(400)]
+    for v in series:
+        f.update(v)
+        f.record_forecast()
+    fc = f.forecast()
+    future = np.array([100 + 50 * np.cos(2 * np.pi * (400 + h) / period) for h in range(12)])
+    rmse = float(np.sqrt(np.mean((fc["values"] - future) ** 2)))
+    assert rmse < 15.0, rmse  # amplitude 50 — the forest follows the cycle
+    assert (fc["upper"] >= fc["values"]).all() and (fc["lower"] <= fc["values"]).all()
+    g1, g2 = RCFForecaster(horizon=6, shingle=4, seed=3), RCFForecaster(horizon=6, shingle=4, seed=3)
+    data = np.random.default_rng(2).normal(50, 3, 150)
+    for v in data:
+        g1.update(v)
+        g1.record_forecast()
+        g2.update(v)
+        g2.record_forecast()
+    assert np.array_equal(g1.forecast()["values"], g2.forecast()["values"])
+    g3 = pickle.loads(pickle.dumps(g1))
+    for v in data[:40]:
+        g1.update(v)
+        g3.update(v)
+    assert np.array_equal(g1.forecast()["values"], g3.forecast()["values"])
+
+
+def test_forecast_pipeline_rcf_backend(ray_session):
+    """backend='rcf' end-to-end through the fused pipeline."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.forecast import forecast
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=3, n_windows=200, interval_s=600, seed=5,
+                                 anomaly_prob=0.0, period=24)
+    cfg = DetectorConfig(
+        config_id="fc-rcf", interval_s=600, category_fields=("entity",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    out = forecast(rd.from_arrow(t), cfg, horizon=8, backend="rcf").to_pandas()
+    assert len(out) == 3 * 8
+    g = out[out["entity"] == "entity000"].sort_values("horizon_index")
+    assert (g["forecast_upper"] >= g["forecast_lower"]).all()
+    # forecast stays within the series' value envelope (it's a forest
+    # of observed shingles — it cannot extrapolate outside them)
+    truth = t.to_pandas()
+    tv = truth[truth["entity"] == "entity000"]["value"]
+    assert g["forecast_value"].between(tv.min() - 1, tv.max() + 1).all()
