@@ -165,7 +165,10 @@ def partial_window_aggregate(
         df = b.select([c for c in b.column_names if c in needed or c in keys]).to_pandas()
         if not len(df):
             return None
-        gb = df.groupby(keys, sort=False)
+        # dropna=False: null category keys must survive the combiner
+        # (Ray's groupby keeps them; silently dropping null-entity windows
+        # would make the fused and two-shuffle plans disagree)
+        gb = df.groupby(keys, sort=False, dropna=False)
         parts = {}
         for f in config.features:
             col = gb[f.column]
@@ -222,7 +225,7 @@ def finalize_partial_group(df, config: DetectorConfig):
     if "model_id" in df.columns:
         carry.append("model_id")
     df = df.sort_values([c for c in df.columns if c not in carry], kind="stable")
-    gb = df.groupby(keys, sort=True)
+    gb = df.groupby(keys, sort=True, dropna=False)
     out = {}
     for f in config.features:
         if f.agg == "min":
