@@ -54,17 +54,17 @@ class DetectorAPI:
         ds = self._ds().select_columns([self.ts_col]).map_batches(
             lambda b: add_window_columns(b, self.ts_col, 1), batch_format="pyarrow", zero_copy_batch=True
         )
-        recent = (
+        frame = (
             ds.groupby("window_start_ms")
             .aggregate(Count(alias_name="__n"))
             .sort("window_start_ms", descending=True)
             .limit(self.RECENT_TS_CAP)
-            .select_columns(["window_start_ms"])
-            .to_pandas()["window_start_ms"]
-            .to_numpy()
+            .to_pandas()
         )
-        if recent.size < 2:
+        if "window_start_ms" not in frame.columns or len(frame) < 2:
+            # empty table (or a single timestamp): nothing to suggest
             return self.config.interval_s
+        recent = frame["window_start_ms"].to_numpy()
         return max(1, int(round(float(np.median(np.diff(np.sort(recent)))) / 1000.0)))
 
     def suggest_period(self, max_period: int = 96) -> int:
@@ -106,6 +106,8 @@ class DetectorAPI:
             votes = agg.groupby(cats).map_groups(entity_period, batch_format="pandas").to_pandas()
         else:
             votes = entity_period(agg.to_pandas())
+        if "weight" not in votes.columns:  # empty input → no votes at all
+            return 0
         votes = votes[votes["weight"] > 0]
         if not len(votes):
             return 0
@@ -146,19 +148,22 @@ class DetectorAPI:
                 lambda b: add_window_columns(b, self.ts_col, interval_ms_v),
                 batch_format="pyarrow", zero_copy_batch=True,
             )
-            hi = int(ts_ds.max("window_end_ms"))
-            lo = hi - 64 * interval_ms_v  # recent sample only — never the full table
-            sample = window_aggregate(self._ds(), self.config, ts_col=self.ts_col,
-                                      time_range_ms=(lo, hi))
-            feats = self.config.feature_names()
-            sample = sample.map_batches(
-                lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
-            ).to_pandas()
-            for f in feats:
-                rate = float(np.isnan(sample[f]).mean()) if len(sample) else 1.0
-                feature_nan_rate[f] = round(rate, 4)
-                if rate > 0.9:
-                    issues.append(f"feature {f!r} is >90% missing over the last 64 intervals")
+            hi = ts_ds.max("window_end_ms")
+            if hi is None:
+                issues.append("no data in the input — cannot validate features")
+            else:
+                lo = int(hi) - 64 * interval_ms_v  # recent sample only — never the full table
+                sample = window_aggregate(self._ds(), self.config, ts_col=self.ts_col,
+                                          time_range_ms=(lo, int(hi)))
+                feats = self.config.feature_names()
+                sample = sample.map_batches(
+                    lambda b: normalize_features(b, feats), batch_format="pyarrow", zero_copy_batch=True
+                ).to_pandas()
+                for f in feats:
+                    rate = float(np.isnan(sample[f]).mean()) if len(sample) else 1.0
+                    feature_nan_rate[f] = round(rate, 4)
+                    if rate > 0.9:
+                        issues.append(f"feature {f!r} is >90% missing over the last 64 intervals")
         # density: fraction of fully-populated shingle windows per entity —
         # computed per entity inside map_groups (one tiny row per entity
         # reaches the driver; round-1 pulled every distinct (entity,
@@ -236,26 +241,30 @@ class DetectorAPI:
 
     # ---- _run / job tick ----
 
-    def run_once(self, results_dir: str | None = None, checkpoint_dir: str | None = None):
+    def run_once(self, results_dir: str | None = None, checkpoint_dir: str | None = None,
+                 write_mode: str = "replace"):
         from .detector import detect
         from ..stages.sink import write_results
 
         res = detect(self._ds(), self.config, ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
         if results_dir:
-            return write_results(res, results_dir)
+            return write_results(res, results_dir, mode=write_mode)
         return res
 
     def start_job(self, results_dir: str, checkpoint_dir: str):
         """One realtime tick: continue checkpointed models over whatever
         new windows the input now holds (idempotent — overlapping windows
-        are dropped as out-of-order)."""
-        return self.run_once(results_dir=results_dir, checkpoint_dir=checkpoint_dir)
+        are dropped as out-of-order). Results APPEND: a tick emits only
+        its new windows, so earlier same-day partitions must survive."""
+        return self.run_once(results_dir=results_dir, checkpoint_dir=checkpoint_dir,
+                             write_mode="append")
 
     # ---- forecast side (forecast/rest/*: _run once, job start/stop) ----
 
     def forecast_run_once(self, horizon: int = 24, period: int = 0,
                           results_dir: str | None = None,
-                          checkpoint_dir: str | None = None):
+                          checkpoint_dir: str | None = None,
+                          write_mode: str = "replace"):
         """One forecast pass (``forecast/rest`` _run): per-entity
         Holt-Winters streams over all windows, emitting per-horizon rows
         (ForecastResult semantics). With ``results_dir`` the rows land in
@@ -266,17 +275,19 @@ class DetectorAPI:
         res = forecast(self._ds(), self.config, horizon=horizon, period=period,
                        ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
         if results_dir:
-            return write_forecast_results(res, results_dir)
+            return write_forecast_results(res, results_dir, mode=write_mode)
         return res
 
     def forecast_start_job(self, results_dir: str, checkpoint_dir: str,
                            horizon: int = 24, period: int = 0):
         """One realtime forecast tick: continue checkpointed forecaster
         streams over whatever new windows the input now holds
-        (idempotent — overlapping windows drop as out-of-order)."""
+        (idempotent — overlapping windows drop as out-of-order). Results
+        APPEND so same-day ticks accumulate."""
         return self.forecast_run_once(horizon=horizon, period=period,
                                       results_dir=results_dir,
-                                      checkpoint_dir=checkpoint_dir)
+                                      checkpoint_dir=checkpoint_dir,
+                                      write_mode="append")
 
     # ---- _profile / _stats / _topAnomalies ----
 

@@ -322,6 +322,8 @@ def q_interval_suggest(sf_dir: str) -> pd.DataFrame:
     gaps = gaps.sort_index()
     vals, cnts = gaps.index.to_numpy(), gaps.to_numpy()
     total = int(cnts.sum())
+    if total == 0:  # fewer than two distinct timestamps → no gaps
+        return pd.DataFrame([{"median_gap_ms": float("nan")}])
     cum = np.cumsum(cnts)
     lo_i = int(np.searchsorted(cum, (total - 1) // 2 + 1))
     hi_i = int(np.searchsorted(cum, total // 2 + 1))

@@ -153,7 +153,7 @@ def ivf_cosine_topk(ds, queries: np.ndarray, centroids: np.ndarray, nprobe: int 
 
 def embedding_near_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                              threshold: float = 0.95, concurrency: int | None = None,
-                             rows_per_block: int = 4096):
+                             rows_per_block: int = 4096, n_rows: int | None = None):
     """All pairs with cosine ≥ τ — EXACT at any τ — as distributed
     block-pair tiling: rows are hash-assigned to B blocks, every
     unordered block pair (i ≤ j) becomes one groupby tile holding only
@@ -169,7 +169,10 @@ def embedding_near_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embeddi
     :func:`embedding_near_dup_lsh`, which prunes candidates instead."""
     import math
 
-    n = ds.count()
+    # pass n_rows when ds is a derived pipeline: ds.count() is only
+    # metadata-cheap for bare reads — otherwise it executes the whole
+    # upstream once before the tiling pass executes it again
+    n = n_rows if n_rows is not None else ds.count()
     B = max(1, math.ceil(n / rows_per_block))
 
     def to_tiles(batch: pa.Table) -> pa.Table:

@@ -181,6 +181,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int = 50,
     concurrency: int | None = None,
+    n_rows: int | None = None,
 ):
     """→ (doc_a, doc_b, jaccard): candidate pairs share ≥1 shingle with
     df ≤ max_shingle_df (the frequency-stop — hot shingles carry no
@@ -200,7 +201,8 @@ def ngram_jaccard_pairs(
     # one Ray group per distinct shingle would pay per-group overhead on
     # hundreds of thousands of tiny groups), with the per-shingle pair
     # logic running inside each coarse group
-    n_coarse = max(32, ds.count() // 20_000)
+    # n_rows hint avoids executing a derived upstream twice (count + run)
+    n_coarse = max(32, (n_rows if n_rows is not None else ds.count()) // 20_000)
 
     def add_coarse(b: pa.Table) -> pa.Table:
         from ..functions.hashing import hash_strings
@@ -278,6 +280,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     concurrency: int | None = None,
+    n_rows: int | None = None,
 ):
     """LSH candidates → exact-Jaccard verification → (doc_a, doc_b, jaccard).
 
@@ -302,7 +305,7 @@ def minhash_near_dup_pairs(
     # group count ∝ data size) and find duplicate bucket keys vectorized
     # inside each coarse group; only non-singleton buckets (actual
     # near-dup candidates — rare) pay a Python iteration.
-    n_coarse = max(32, ds.count() // 50_000)
+    n_coarse = max(32, (n_rows if n_rows is not None else ds.count()) // 50_000)
 
     def add_coarse(b: pa.Table) -> pa.Table:
         ck = (b["band"].to_numpy().astype(np.int64) * n_coarse
@@ -365,7 +368,7 @@ def simhash_sketch(ds, text_col: str = "text", id_col: str = "doc_id", concurren
 
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-                           concurrency: int | None = None):
+                           concurrency: int | None = None, n_rows: int | None = None):
     """Near-dups by SimHash: bucket on each of 4 16-bit chunks (any pair
     within hamming ≤ 3 of 64 bits shares ≥1 identical chunk when ≤3 bits
     differ across 4 chunks — pigeonhole), verify hamming inside buckets."""
@@ -420,7 +423,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
         return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
                              "hamming": np.concatenate(out_h)})
 
-    n_coarse = max(32, ds.count() // 50_000)
+    n_coarse = max(32, (n_rows if n_rows is not None else ds.count()) // 50_000)
 
     def add_coarse(b: pa.Table) -> pa.Table:
         ck = (b["chunk"].to_numpy().astype(np.int64) * n_coarse

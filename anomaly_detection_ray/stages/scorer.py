@@ -54,7 +54,7 @@ def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 
 
     def _feature_list(b: pa.Table, cols: list[str], names: list[str]) -> pa.ListArray:
         n = b.num_rows
-        fid = pa.array(feats * n)
+        fid = pa.array(feats * n, type=pa.string())
         data = _interleave_float(b, cols)
         struct = pa.StructArray.from_arrays([fid, data], names=names)
         offs = pa.array(np.arange(n + 1, dtype=np.int32) * k, pa.int32())
@@ -62,7 +62,9 @@ def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 
 
     def project(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        fid = pa.array(feats * n)
+        # explicit types: a zero-row batch would otherwise infer null-typed
+        # arrays whose struct schema disagrees with non-empty blocks'
+        fid = pa.array(feats * n, type=pa.string())
         fd_struct = pa.StructArray.from_arrays(
             [fid, fid, _interleave_float(b, feats)],
             names=["feature_id", "feature_name", "data"],
@@ -74,7 +76,7 @@ def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 
                 [pc.cast(b[c], pa.string()).to_numpy(zero_copy_only=False) for c in cats]
             ).ravel()
             ent_struct = pa.StructArray.from_arrays(
-                [pa.array(cats * n), pa.array(svals)], names=["name", "value"]
+                [pa.array(cats * n, type=pa.string()), pa.array(svals, type=pa.string())], names=["name", "value"]
             )
             ent = pa.ListArray.from_arrays(
                 pa.array(np.arange(n + 1, dtype=np.int32) * len(cats), pa.int32()), ent_struct
@@ -85,7 +87,7 @@ def to_nested_results(results_ds, config: DetectorConfig, schema_version: int = 
                 pa.array([], type=pa.struct([("name", pa.string()), ("value", pa.string())])),
             )
         out = {
-            "detector_id": pa.array([config_id] * n),
+            "detector_id": pa.array([config_id] * n, type=pa.string()),
             "schema_version": pa.array([schema_version] * n, pa.int32()),
             "model_id": b["model_id"],
             "entity": ent,

@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow as pa
 
 
-def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fraction: float = 0.5):
+def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fraction: float = 0.5,
+                  mode: str = "replace"):
     """Write detector results partitioned by date.
 
     ``keep`` mirrors ``ADResultBulkTransportAction.java:106-140``'s
@@ -28,11 +29,18 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
       rows kept at ``soft_keep_fraction`` (selection by a deterministic
       hash of (model_id, window_end) instead of the reference's RNG, so
       reruns shed the same rows);
-    - ``anomalies`` — hard pressure: grade > 0 only."""
+    - ``anomalies`` — hard pressure: grade > 0 only.
+
+    ``mode``: ``replace`` (default — REPROCESSING semantics: this run's
+    days atomically replace any previous content of those partitions) or
+    ``append`` (INCREMENTAL-TICK semantics: a checkpointed job tick adds
+    only its new windows, so earlier same-day rows must survive)."""
     import pyarrow.compute as pc
 
     if keep not in ("all", "soft", "anomalies"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if mode not in ("replace", "append"):
+        raise ValueError(f"unknown write mode {mode!r}")
     ds = results_ds
     if keep == "anomalies":
         ds = ds.map_batches(
@@ -60,7 +68,10 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
         return b.append_column("result_date", pa.array(day))
 
     ds = ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
-    _write_replacing_partitions(ds, out_dir)
+    if mode == "append":
+        ds.write_parquet(out_dir, partition_cols=["result_date"])
+    else:
+        _write_replacing_partitions(ds, out_dir)
     return out_dir
 
 
@@ -88,11 +99,14 @@ def _write_replacing_partitions(ds, out_dir: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def write_forecast_results(forecast_ds, out_dir: str):
+def write_forecast_results(forecast_ds, out_dir: str, mode: str = "append"):
     """Forecast-result sink (``forecast/model/ForecastResult.java``
     persisted per-horizon rows): date-partitioned Parquet keyed on the
-    forecast's ORIGIN day (the last observed window), so each job tick
-    lands in its own partition and reruns replace it atomically."""
+    forecast's ORIGIN day (the last observed window). Default ``append``
+    — successive job ticks within one day each add their own forecast
+    rows; ``replace`` for reprocessing a day from scratch."""
+    if mode not in ("replace", "append"):
+        raise ValueError(f"unknown write mode {mode!r}")
 
     def add_date(b: pa.Table) -> pa.Table:
         origin = b["forecast_window_start_ms"].to_numpy() - (
@@ -102,5 +116,8 @@ def write_forecast_results(forecast_ds, out_dir: str):
         return b.append_column("result_date", pa.array(day))
 
     ds = forecast_ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
-    _write_replacing_partitions(ds, out_dir)
+    if mode == "append":
+        ds.write_parquet(out_dir, partition_cols=["result_date"])
+    else:
+        _write_replacing_partitions(ds, out_dir)
     return out_dir

@@ -162,29 +162,39 @@ def partial_window_aggregate(
             b = b.filter(
                 pc.and_(pc.greater_equal(b["window_start_ms"], lo), pc.less(b["window_end_ms"], hi + 1))
             )
-        df = b.select([c for c in b.column_names if c in needed or c in keys]).to_pandas()
-        if not len(df):
+        b = b.select([c for c in b.column_names if c in needed or c in keys])
+        if b.num_rows == 0:
             return None
-        # dropna=False: null category keys must survive the combiner
-        # (Ray's groupby keeps them; silently dropping null-entity windows
-        # would make the fused and two-shuffle plans disagree)
-        gb = df.groupby(keys, sort=False, dropna=False)
-        parts = {}
+        # Arrow-native group_by: preserves key dtypes exactly and keeps
+        # null keys. (A pandas round-trip coerced int64-with-nulls key
+        # columns to float64 PER BATCH, so the same entity stringified as
+        # '1' in null-free blocks and '1.0' elsewhere — splitting one
+        # entity's stream across two model_ids.)
+        # one arrow aggregation per distinct (column, fn); several features
+        # may share one (e.g. sum + avg of the same column)
+        wanted: dict[tuple[str, str], list[str]] = {}
         for f in config.features:
-            col = gb[f.column]
             if f.agg == "min":
-                parts[f"{f.name}__min"] = col.min()
+                wanted.setdefault((f.column, "min"), []).append(f"{f.name}__min")
             elif f.agg == "max":
-                parts[f"{f.name}__max"] = col.max()
+                wanted.setdefault((f.column, "max"), []).append(f"{f.name}__max")
             elif f.agg == "sum":
-                parts[f"{f.name}__sum"] = col.sum(min_count=1)
+                wanted.setdefault((f.column, "sum"), []).append(f"{f.name}__sum")
             elif f.agg == "value_count":
-                parts[f"{f.name}__cnt"] = col.count()
+                wanted.setdefault((f.column, "count"), []).append(f"{f.name}__cnt")
             else:  # avg
-                parts[f"{f.name}__sum"] = col.sum(min_count=1)
-                parts[f"{f.name}__cnt"] = col.count()
-        out = pd.DataFrame(parts).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+                wanted.setdefault((f.column, "sum"), []).append(f"{f.name}__sum")
+                wanted.setdefault((f.column, "count"), []).append(f"{f.name}__cnt")
+        # use_threads=False: threaded accumulation order would make the
+        # float partials 1-ulp nondeterministic run-to-run
+        g = b.group_by(keys, use_threads=False).aggregate(sorted(wanted))
+        cols = {k: g[k] for k in keys}
+        for (col_name, fn), targets in wanted.items():
+            col = g[f"{col_name}_{fn}"]
+            col = pc.cast(col, pa.int64() if fn == "count" else pa.float64())
+            for t in targets:
+                cols[t] = col
+        return pa.table(cols)
 
     def partial_nonempty(batch: pa.Table):
         t = partial(batch)

@@ -22,7 +22,81 @@ from collections import deque
 import numpy as np
 
 
-class RCFForecaster:
+class _ErrorBoundForecaster:
+    """Shared per-horizon error bookkeeping + bound construction for the
+    forecaster backends (one implementation — the round-1 horizon
+    off-by-one lived exactly in this logic, so it must not be duplicated
+    per backend). Subclasses provide ``_point_forecast()`` and may
+    override ``_fallback_half`` (the bound floor before enough observed
+    errors exist) and ``_record_on_forecast``."""
+
+    _record_on_forecast = False  # append a pending inside forecast() too?
+
+    def _init_bounds(self, horizon: int, max_error_window: int, confidence: float,
+                     record_stride: int = 1) -> None:
+        self.horizon = horizon
+        self.confidence = confidence
+        self.record_stride = max(1, int(record_stride))
+        # per-horizon rolling h-step errors: deque of |actual − forecast_h|
+        self._errors: list[deque] = [deque(maxlen=max_error_window) for _ in range(horizon)]
+        # pending forecasts waiting for their actuals: (made_at_n, values)
+        self._pending: deque = deque()
+
+    def _score_pending(self, v: float) -> None:
+        """Score pending forecasts against this in-order value: a forecast
+        made after observing ``made_at`` points predicts points
+        made_at+1, …, so THIS point (the (n_points+1)-th) is horizon step
+        h = n_points − made_at + 1 (1-based)."""
+        for made_at, fc in self._pending:
+            h = self.n_points - made_at + 1
+            if 1 <= h <= self.horizon:
+                self._errors[h - 1].append(abs(v - fc[h - 1]))
+        while self._pending and self.n_points - self._pending[0][0] + 1 >= self.horizon:
+            self._pending.popleft()
+
+    def record_forecast(self) -> bool:
+        """Cheap per-point bookkeeping: remember this step's point forecast
+        so later updates can score h-step errors (no bounds, no
+        quantiles). Recorded only at stream positions divisible by
+        ``record_stride`` (absolute → split-run deterministic)."""
+        if self.n_points % self.record_stride != 0:
+            return False
+        vals = self._point_forecast()
+        if vals is None:
+            return False
+        self._pending.append((self.n_points, vals))
+        return True
+
+    def _fallback_half(self, i: int) -> float:
+        return 1e-9 * (i + 1)
+
+    def forecast(self) -> dict | None:
+        """→ dict(values, lower, upper, confidence) arrays of len horizon,
+        or None while warming up."""
+        vals = self._point_forecast()
+        if vals is None:
+            return None
+        q = self.confidence
+        half = np.empty(self.horizon)
+        last = 0.0
+        for i in range(self.horizon):
+            errs = self._errors[i]
+            if len(errs) >= 5:
+                last = float(np.quantile(np.asarray(errs), q))
+            half[i] = last if last > 0 else self._fallback_half(i)
+        # bounds must not shrink with horizon
+        half = np.maximum.accumulate(half)
+        if self._record_on_forecast:
+            self._pending.append((self.n_points, vals.copy()))
+        return {
+            "values": vals,
+            "lower": vals - half,
+            "upper": vals + half,
+            "confidence": self.confidence,
+        }
+
+
+class RCFForecaster(_ErrorBoundForecaster):
     """Caster-style forecaster on the random cut forest itself — the
     shape of the reference's RCFCaster (``forecast/ml/ForecastColdStart
     .java:113-149`` builds one with a forecastHorizon): the model IS a
@@ -54,25 +128,16 @@ class RCFForecaster:
     ):
         from .rcf import RCForest
 
-        self.horizon = horizon
         self.shingle = max(1, int(shingle))
         self.output_after = output_after
-        self.confidence = confidence
-        self.record_stride = max(1, int(record_stride))
+        self._init_bounds(horizon, max_error_window, confidence, record_stride)
         self.forest = RCForest(num_trees, sample_size, seed=seed, time_decay=time_decay)
         self._window: deque = deque(maxlen=self.shingle)
         self.n_points = 0
-        self._errors: list[deque] = [deque(maxlen=max_error_window) for _ in range(horizon)]
-        self._pending: deque = deque()
 
     def update(self, value: float) -> None:
         v = float(value)
-        for made_at, fc in self._pending:
-            h = self.n_points - made_at + 1
-            if 1 <= h <= self.horizon:
-                self._errors[h - 1].append(abs(v - fc[h - 1]))
-        while self._pending and self.n_points - self._pending[0][0] + 1 >= self.horizon:
-            self._pending.popleft()
+        self._score_pending(v)
         self._window.append(v)
         if len(self._window) == self.shingle:
             self.forest.observe(np.asarray(self._window, dtype=np.float64))
@@ -94,37 +159,8 @@ class RCFForecaster:
             win.append(est)
         return vals
 
-    def record_forecast(self) -> bool:
-        if self.n_points % self.record_stride != 0:
-            return False
-        vals = self._point_forecast()
-        if vals is None:
-            return False
-        self._pending.append((self.n_points, vals))
-        return True
 
-    def forecast(self) -> dict | None:
-        vals = self._point_forecast()
-        if vals is None:
-            return None
-        q = self.confidence
-        half = np.empty(self.horizon)
-        last = 0.0
-        for i in range(self.horizon):
-            errs = self._errors[i]
-            if len(errs) >= 5:
-                last = float(np.quantile(np.asarray(errs), q))
-            half[i] = last if last > 0 else 1e-9 * (i + 1)
-        half = np.maximum.accumulate(half)
-        return {
-            "values": vals,
-            "lower": vals - half,
-            "upper": vals + half,
-            "confidence": self.confidence,
-        }
-
-
-class HoltWintersForecaster:
+class HoltWintersForecaster(_ErrorBoundForecaster):
     """Single-series additive Holt-Winters with per-horizon empirical
     error bounds.
 
@@ -143,20 +179,22 @@ class HoltWintersForecaster:
         max_error_window: int = 1024,
         confidence: float = 0.9,
     ):
-        self.horizon = horizon
         self.period = period if period and period > 1 else 0
         self.alpha, self.beta, self.gamma = alpha, beta, gamma
         self.output_after = output_after
-        self.confidence = confidence
+        self._init_bounds(horizon, max_error_window, confidence)
         self.level: float | None = None
         self.trend = 0.0
         self.season = np.zeros(self.period) if self.period else None
         self._init_buf: list[float] | None = [] if self.period else None
         self.n_points = 0
-        # per-horizon rolling h-step errors: deque of |actual − forecast_h|
-        self._errors: list[deque] = [deque(maxlen=max_error_window) for _ in range(horizon)]
-        # pending forecasts waiting for their actuals: list of (made_at_n, np.ndarray)
-        self._pending: deque = deque()
+
+    # the round-1 per-point walk called forecast() for bookkeeping and
+    # relied on it appending a pending entry — keep that behavior
+    _record_on_forecast = True
+
+    def _fallback_half(self, i: int) -> float:
+        return (abs(self.trend) + 1e-9) * (i + 1)
 
     # ---- update ----
 
@@ -166,16 +204,7 @@ class HoltWintersForecaster:
     def update(self, value: float) -> None:
         """Feed one in-order window value."""
         v = float(value)
-        # score pending forecasts whose h-step target is this point: a
-        # forecast made after observing ``made_at`` points predicts points
-        # made_at+1, made_at+2, …, so THIS point (the (n_points+1)-th) is
-        # horizon step h = n_points − made_at + 1 (1-based).
-        for made_at, fc in self._pending:
-            h = self.n_points - made_at + 1
-            if 1 <= h <= self.horizon:
-                self._errors[h - 1].append(abs(v - fc[h - 1]))
-        while self._pending and self.n_points - self._pending[0][0] + 1 >= self.horizon:
-            self._pending.popleft()
+        self._score_pending(v)
 
         if self.period and self._init_buf is not None:
             # buffer the first full season: init level = its mean, season =
@@ -214,39 +243,3 @@ class HoltWintersForecaster:
             idx = (self.n_points + np.arange(self.horizon)) % self.period
             vals = vals + self.season[idx]
         return vals
-
-    def record_forecast(self) -> bool:
-        """Cheap per-point bookkeeping: remember this step's point forecast
-        so later ``update``s can score h-step errors. Call once per point
-        in a streaming pass; compute bounds with :meth:`forecast` only at
-        emission — this split removes the O(points × horizon × log window)
-        quantile recomputation the naive walk pays."""
-        vals = self._point_forecast()
-        if vals is None:
-            return False
-        self._pending.append((self.n_points, vals))
-        return True
-
-    def forecast(self) -> dict | None:
-        """→ dict(values, lower, upper, confidence) arrays of len horizon,
-        or None while warming up (< output_after points)."""
-        vals = self._point_forecast()
-        if vals is None:
-            return None
-        q = self.confidence
-        half = np.empty(self.horizon)
-        last = 0.0
-        for i in range(self.horizon):
-            errs = self._errors[i]
-            if len(errs) >= 5:
-                last = float(np.quantile(np.asarray(errs), q))
-            half[i] = last if last > 0 else (abs(self.trend) + 1e-9) * (i + 1)
-        # bounds must not shrink with horizon
-        half = np.maximum.accumulate(half)
-        self._pending.append((self.n_points, vals.copy()))
-        return {
-            "values": vals,
-            "lower": vals - half,
-            "upper": vals + half,
-            "confidence": self.confidence,
-        }

@@ -81,67 +81,21 @@ class TRCFModel:
                 raise ValueError(f"unknown imputation {c.imputation!r}")
         return point
 
-    def _advance(self, point: np.ndarray) -> float:
-        """Feed one in-order point; returns raw anomaly score (0 while warming)."""
-        self.shingle.append(point)
-        self.last_point = point
-        self.n_points += 1
-        if len(self.shingle) < self.config.shingle_size:
-            return 0.0
-        shingled = np.concatenate(self.shingle)
-        score = self.forest.score_and_update(shingled)
-        if self.n_points < self.config.model_output_after():
-            return 0.0
-        return score
-
     def process(self, features: np.ndarray, window_end_ms: int) -> dict | None:
         """Process one (features, window) sample → result dict, or None
-        when the sample was dropped as out-of-order."""
-        interval_ms = self.config.interval_s * 1000
-        if self.last_window_end is not None:
-            if window_end_ms <= self.last_window_end:
-                self.n_dropped_ooo += 1
-                return None
-            gap = (window_end_ms - self.last_window_end) // interval_ms - 1
-            if gap > self.reset_gap:
-                self._new_state()
-            elif gap > 0:
-                n_fill = min(int(gap), self.max_impute_gap)
-                if self.config.imputation == "linear" and self.last_point is not None:
-                    # both endpoints are known when backfilling: interpolate
-                    # last_point → the incoming point (reference
-                    # LinearUpdatingImputer; NaN endpoint dims fall back to
-                    # previous-fill since they have no target value)
-                    end = np.asarray(features, dtype=np.float64).copy()
-                    bad = ~np.isfinite(end)
-                    end[bad] = self.last_point[bad]
-                    start = self.last_point.copy()
-                    for i in range(n_fill):
-                        frac = (i + 1) / (float(gap) + 1.0)
-                        self._advance(start + frac * (end - start))
-                else:
-                    nan_point = np.full(len(features), np.nan)
-                    for _ in range(n_fill):
-                        self._advance(self._fill(nan_point))
-        self.last_window_end = window_end_ms
-
-        point = self._fill(features)
-        score = self._advance(point)
-        grade = self.threshold.grade(score)
-        conf = self.threshold.confidence() if self.n_points >= self.config.model_output_after() else 0.0
-        # Feed only non-anomalous, post-warm-up scores to the ECDF so it
-        # estimates the NORMAL score distribution: an anomaly's shingle
-        # tail would otherwise mask subsequent anomalies' ranks. (The
-        # reference's HybridThresholdingModel updates unconditionally but
-        # sits behind the RCF library's own expected-score thresholder;
-        # this is our equivalent guard.)
-        if score > 0.0 and grade == 0.0:
-            self.threshold.update(score)
+        when the sample was dropped as out-of-order. Thin wrapper over
+        :meth:`process_many` (one stream-semantics implementation — the
+        two used to be hand-kept copies and their bit-identity rested on
+        a test alone)."""
+        out = self.process_many(np.asarray(features, dtype=np.float64)[None, :],
+                                np.asarray([window_end_ms], dtype=np.int64))
+        if not out["keep"][0]:
+            return None
         return {
-            "anomaly_score": score,
-            "anomaly_grade": grade,
-            "confidence": conf,
-            "is_anomaly": grade > 0.0,
+            "anomaly_score": float(out["anomaly_score"][0]),
+            "anomaly_grade": float(out["anomaly_grade"][0]),
+            "confidence": float(out["confidence"][0]),
+            "is_anomaly": bool(out["is_anomaly"][0]),
         }
 
     # ---- batched streaming (the fast path used by ScoreGroups) ----
@@ -222,6 +176,12 @@ class TRCFModel:
                 sc = float(raw[j])
                 g = self.threshold.grade(sc)
                 conf = 0.0 if warm[j] else self.threshold.confidence()
+                # Feed only non-anomalous, post-warm-up scores to the ECDF
+                # so it estimates the NORMAL score distribution: an
+                # anomaly's shingle tail would otherwise mask subsequent
+                # anomalies' ranks. (The reference's HybridThresholdingModel
+                # updates unconditionally but sits behind the RCF library's
+                # own expected-score thresholder; this is our equivalent.)
                 if sc > 0.0 and g == 0.0:
                     self.threshold.update(sc)
                 score_a[row] = sc
