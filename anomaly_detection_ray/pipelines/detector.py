@@ -63,6 +63,7 @@ def detect(
     concurrency: int | None = None,
     detailed: bool = False,
     cold_start_history: bool = True,
+    force_fused: bool | None = None,
 ):
     """events Dataset → anomaly results Dataset (one row per entity-window).
 
@@ -85,7 +86,9 @@ def detect(
     if time_range_ms is not None and cold_start_history:
         n_hist = max(32, config.history_intervals) + config.shingle_size
         agg_range = (time_range_ms[0] - n_hist * config.interval_s * 1000, time_range_ms[1])
-    fused = mergeable(config)
+    # force_fused=False pins the two-shuffle plan (tests assert both plans
+    # agree; non-mergeable aggs fall back automatically)
+    fused = mergeable(config) if force_fused is None else (force_fused and mergeable(config))
     if fused:
         # single-shuffle plan: map-side window partials (combiner) →
         # ONE groupby(model_id) that merges partials and scores. Only

@@ -681,6 +681,22 @@ def q_forecast_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
 
 
+def q_forecast_events_rcf(sf_dir: str) -> pd.DataFrame:
+    """Forecast with the caster-shape RCF backend (the forest's iterated
+    conditional expectation) — deterministic, rows-only."""
+    from .forecast import forecast
+
+    cfg = DetectorConfig(
+        config_id="events-forecast-rcf",
+        interval_s=600,
+        category_fields=("event_type",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = forecast(ds, cfg, horizon=12, backend="rcf").to_pandas()
+    return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
+
+
 def q_detector_preview(sf_dir: str) -> pd.DataFrame:
     """§3.3 deterministic preview (stride sampling D7 + interpolation B6
     + fixed-seed scoring) via the DetectorAPI facade — rows-only."""
@@ -735,6 +751,7 @@ REGISTRY = {
     "top_anomaly_results": q_top_anomaly_results,
     "correlate_anomalies": q_correlate_anomalies,
     "forecast_events": q_forecast_events,
+    "forecast_events_rcf": q_forecast_events_rcf,
     "anomaly_insights": q_anomaly_insights,
     "detector_preview": q_detector_preview,
     "impute_linear": q_impute_linear,

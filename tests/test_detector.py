@@ -566,3 +566,38 @@ def test_detect_high_cardinality_quality(ray_session):
     )
     assert precision >= 0.4, f"precision {precision}"
     assert recalled.mean() >= 0.7, f"recall {recalled.mean()}"
+
+
+def test_fused_plan_equals_two_shuffle_plan(ray_session, stream_table):
+    """The single-shuffle fused plan (map-side partials) and the
+    two-shuffle groupby-aggregate plan must produce identical results
+    for mergeable aggs — same windows, same feature values, same scores."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = _detector_cfg()
+    key = ["model_id", "window_end_ms"]
+    fused = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2)\
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    two = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2,
+                 force_fused=False).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused[sorted(fused.columns)], two[sorted(two.columns)],
+                                  check_like=True)
+
+
+def test_detect_percentile_feature_two_shuffle(ray_session, stream_table):
+    """A percentile feature is non-mergeable → detect silently uses the
+    two-shuffle plan end-to-end (the fallback path stays exercised)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = DetectorConfig(
+        config_id="pct", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_p90", "value", "percentile", percentile=0.9),),
+        category_fields=("entity",), num_trees=5, sample_size=32,
+    )
+    res = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas()
+    assert len(res) > 0 and "value_p90" in res.columns
+    assert res["anomaly_score"].max() > 0  # scored past warm-up
