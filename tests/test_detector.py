@@ -601,3 +601,56 @@ def test_detect_percentile_feature_two_shuffle(ray_session, stream_table):
     res = detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2).to_pandas()
     assert len(res) > 0 and "value_p90" in res.columns
     assert res["anomaly_score"].max() > 0  # scored past warm-up
+
+
+def test_read_events_formats_equivalent(ray_session, tmp_path):
+    """CSV / JSONL / parquet event logs normalize to one schema and give
+    identical detect() results (the multi-format ingest surface)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.sources.files import read_events
+
+    rng = np.random.default_rng(3)
+    n = 200
+    ts_ms = (np.arange(n) + 1) * 600_000 + 1_700_000_000_000
+    rows = [{"entity": f"e{i % 2}", "ts": int(ts_ms[i]), "value": round(float(rng.normal(100, 5)), 6)}
+            for i in range(n)]
+    pqp = str(tmp_path / "ev.parquet")
+    t = pa.table({
+        "entity": [r["entity"] for r in rows],
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(pa.timestamp("ms")),
+        "value": [r["value"] for r in rows],
+    })
+    pq.write_table(t, pqp)
+    csvp = str(tmp_path / "ev.csv")
+    with open(csvp, "w") as f:
+        f.write("entity,ts,value\n")
+        for r in rows:
+            f.write(f"{r['entity']},{r['ts']},{r['value']}\n")
+    jlp = str(tmp_path / "ev.jsonl")
+    with open(jlp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cfg = DetectorConfig(config_id="fmt", interval_s=600, category_fields=("entity",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),),
+                         num_trees=5, sample_size=32)
+    key = ["model_id", "window_end_ms"]
+    outs = {}
+    for name, path in [("parquet", pqp), ("csv", csvp), ("jsonl", jlp)]:
+        ds = read_events(path)
+        outs[name] = detect(ds, cfg, concurrency=1).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["parquet"], outs["csv"])
+    pd.testing.assert_frame_equal(outs["parquet"], outs["jsonl"])
+    # epoch-SECONDS timestamps auto-detect (magnitude heuristic)
+    csv2 = str(tmp_path / "ev_s.csv")
+    with open(csv2, "w") as f:
+        f.write("entity,ts,value\n")
+        for r in rows:
+            f.write(f"{r['entity']},{r['ts'] // 1000},{r['value']}\n")
+    secs = detect(read_events(csv2), cfg, concurrency=1).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["parquet"], secs)
