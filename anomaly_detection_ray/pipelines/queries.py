@@ -423,6 +423,16 @@ def q_simhash_sketch(sf_dir: str) -> pd.DataFrame:
     return simhash_sketch(ds, "text", "doc_id").to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup PAIRS (pigeonhole chunk bucketing + in-bucket
+    hamming verify) — deterministic, rows-only."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ..functions.analyzer import Analyzer
     from ..functions.minhash import winnow_fingerprints
@@ -740,6 +750,7 @@ REGISTRY = {
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_sketch": q_simhash_sketch,
+    "simhash_near_dup": q_simhash_near_dup,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
