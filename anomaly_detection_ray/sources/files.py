@@ -34,7 +34,20 @@ def normalize_ts(batch: pa.Table, ts_col: str) -> pa.Table:
     if pa.types.is_timestamp(t):
         return batch
     i = batch.column_names.index(ts_col)
-    if pa.types.is_integer(t) or pa.types.is_floating(t):
+    if pa.types.is_floating(t):
+        # Fractional epochs (e.g. CSV epoch-seconds 1700000000.25): detect the
+        # unit on the float values, scale to ms while still float (preserving
+        # sub-second precision), round, then cast — a direct int64 cast raises
+        # ArrowInvalid on any fractional value.
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        npv = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        finite = npv[np.isfinite(npv) & (npv != 0)]
+        if finite.size and np.median(np.abs(finite)) < _EPOCH_SECONDS_MAX:
+            npv = npv * 1000.0
+        npv = np.rint(npv)
+        npv = np.where(np.isfinite(npv), npv, 0.0)
+        return batch.set_column(i, ts_col, pa.array(npv.astype(np.int64), pa.int64()).cast(pa.timestamp("ms")))
+    if pa.types.is_integer(t):
         vals = pc.cast(col, pa.int64())
         arr = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
         npv = arr.to_numpy(zero_copy_only=False)

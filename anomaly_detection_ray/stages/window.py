@@ -149,8 +149,6 @@ def partial_window_aggregate(
     (entity, window) partials first — the shuffle then moves only
     window-level rows (events-per-window× less volume) and the scoring
     group merges partials with :func:`finalize_partial_group`."""
-    import pandas as pd
-
     interval_ms = config.interval_s * 1000
     needed = {ts_col, *config.category_fields, *(f.column for f in config.features)}
     keys = list(config.category_fields) + ["window_start_ms", "window_end_ms"]
@@ -163,8 +161,9 @@ def partial_window_aggregate(
                 pc.and_(pc.greater_equal(b["window_start_ms"], lo), pc.less(b["window_end_ms"], hi + 1))
             )
         b = b.select([c for c in b.column_names if c in needed or c in keys])
-        if b.num_rows == 0:
-            return None
+        # (zero-row batches flow through the same aggregate below — Arrow
+        # preserves key dtypes on empty group_by, so an empty block emits
+        # the exact schema of a populated one, incl. non-string categories)
         # Arrow-native group_by: preserves key dtypes exactly and keeps
         # null keys. (A pandas round-trip coerced int64-with-nulls key
         # columns to float64 PER BATCH, so the same entity stringified as
@@ -196,30 +195,7 @@ def partial_window_aggregate(
                 cols[t] = col
         return pa.table(cols)
 
-    def partial_nonempty(batch: pa.Table):
-        t = partial(batch)
-        if t is None:
-            # empty batch after range filter — emit an empty table with
-            # the right schema by aggregating a zero-row frame
-            cols = {k: pa.array([], pa.int64()) for k in ("window_start_ms", "window_end_ms")}
-            for c in config.category_fields:
-                cols[c] = pa.array([], pa.string())
-            for f in config.features:
-                if f.agg == "min":
-                    cols[f"{f.name}__min"] = pa.array([], pa.float64())
-                elif f.agg == "max":
-                    cols[f"{f.name}__max"] = pa.array([], pa.float64())
-                elif f.agg == "sum":
-                    cols[f"{f.name}__sum"] = pa.array([], pa.float64())
-                elif f.agg == "value_count":
-                    cols[f"{f.name}__cnt"] = pa.array([], pa.int64())
-                else:
-                    cols[f"{f.name}__sum"] = pa.array([], pa.float64())
-                    cols[f"{f.name}__cnt"] = pa.array([], pa.int64())
-            return pa.table(cols)
-        return t
-
-    return ds.map_batches(partial_nonempty, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def finalize_partial_group(df, config: DetectorConfig):

@@ -36,7 +36,10 @@ class ModelCache:
         if self.store is not None:
             return self.store
         if self._spill is None:
-            self._spill = CheckpointStore(tempfile.mkdtemp(prefix="adr_model_spill_"))
+            # TemporaryDirectory cleans itself up on finalization, so
+            # long-lived scoring actors don't leak spilled model pickles
+            self._spill_dir = tempfile.TemporaryDirectory(prefix="adr_model_spill_")
+            self._spill = CheckpointStore(self._spill_dir.name)
         return self._spill
 
     def get(self, model_id: str) -> TRCFModel:

@@ -30,11 +30,11 @@ class CheckpointStore:
     def _path(self, model_id: str) -> str:
         # two-level fan-out by hash prefix: 1M models in one flat dir
         # makes listing/GC and many filesystems miserable; 256 shards
-        # keep each directory ~4k files at that scale
+        # keep each directory ~4k files at that scale. Side-effect free:
+        # only save_state() creates the shard dir, so pure reads (cache
+        # misses, profile lookups) never pollute the store.
         h = sha256_hex(model_id)
-        shard = os.path.join(self.root, h[:2])
-        os.makedirs(shard, exist_ok=True)
-        return os.path.join(shard, h[:32] + ".pkl")
+        return os.path.join(self.root, h[:2], h[:32] + ".pkl")
 
     # ---- generic state blobs (shared by the AD and forecast sides) ----
 
@@ -51,6 +51,7 @@ class CheckpointStore:
     def save_state(self, model_id: str, state: dict, n_points: int | None = None,
                    last_window_end: int | None = None) -> dict:
         p = self._path(model_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
         state = dict(state, model_id=model_id)
         blob = pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
         tmp = f"{p}.tmp.{os.getpid()}"

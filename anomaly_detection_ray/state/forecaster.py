@@ -86,7 +86,12 @@ class _ErrorBoundForecaster:
             half[i] = last if last > 0 else self._fallback_half(i)
         # bounds must not shrink with horizon
         half = np.maximum.accumulate(half)
-        if self._record_on_forecast:
+        if self._record_on_forecast and not (
+            self._pending and self._pending[-1][0] == self.n_points
+        ):
+            # dedupe by stream position: callers that did record_forecast()
+            # for this point already hold a pending here, and appending a
+            # second would double-count this position's error samples
             self._pending.append((self.n_points, vals.copy()))
         return {
             "values": vals,

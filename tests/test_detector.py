@@ -654,3 +654,20 @@ def test_read_events_formats_equivalent(ray_session, tmp_path):
             f.write(f"{r['entity']},{r['ts'] // 1000},{r['value']}\n")
     secs = detect(read_events(csv2), cfg, concurrency=1).to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(outs["parquet"], secs)
+
+
+def test_normalize_ts_float_epochs(ray_session, tmp_path):
+    """Fractional epoch-seconds (float CSV timestamps) must not crash the
+    int64 cast and must keep sub-second precision after the ms scaling."""
+    import pyarrow as pa
+
+    from anomaly_detection_ray.sources.files import normalize_ts
+
+    t = pa.table({"ts": pa.array([1_700_000_000.25, 1_700_000_001.75, 0.0], pa.float64())})
+    out = normalize_ts(t, "ts")
+    ms = out["ts"].cast(pa.int64()).to_pylist()
+    assert ms == [1_700_000_000_250, 1_700_000_001_750, 0]
+    # float epoch-MILLIS stay millis (magnitude auto-detect on floats)
+    t2 = pa.table({"ts": pa.array([1_700_000_000_250.0, 1_700_000_001_750.0], pa.float64())})
+    assert normalize_ts(t2, "ts")["ts"].cast(pa.int64()).to_pylist() == [
+        1_700_000_000_250, 1_700_000_001_750]
