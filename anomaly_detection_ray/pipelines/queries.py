@@ -285,6 +285,46 @@ def q_value_percentile(sf_dir: str) -> pd.DataFrame:
     return _round(out, {"p50": 6})
 
 
+def q_entity_cardinality_hll(sf_dir: str) -> pd.DataFrame:
+    """A12 at scale: HLL-sketch distinct count per group — the mergeable
+    partial the reference's profile cardinality agg is backed by
+    (``ProfileRunner.java:271,301``). Rows-only (approximate by design);
+    pytest bounds the relative error vs the exact twin."""
+    cfg = DetectorConfig(
+        config_id="q",
+        interval_s=10**9,
+        category_fields=("event_type",),
+        features=(FeatureSpec("n_users", "user_id", "cardinality_hll"),),
+    )
+    from ..stages.window import window_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "user_id"])
+    out = window_aggregate(ds, cfg, ts_col="ts").to_pandas()
+    out = out[["event_type", "n_users"]].sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_users": "int64"})
+
+
+def q_value_percentile_tdigest(sf_dir: str) -> pd.DataFrame:
+    """A6 at scale: t-digest p50 per group — matches the reference's
+    ``InternalTDigestPercentiles`` feature path
+    (``AbstractRetriever.java:80-89``). Rows-only; pytest bounds the
+    error vs the exact twin."""
+    cfg = DetectorConfig(
+        config_id="q",
+        interval_s=10**9,
+        category_fields=("event_type",),
+        features=(FeatureSpec("p50", "value", "percentile_tdigest", percentile=0.5),),
+    )
+    from ..stages.window import window_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["ts", "event_type", "value"])
+    out = window_aggregate(ds, cfg, ts_col="ts").to_pandas()
+    out = out[["event_type", "p50"]].sort_values("event_type").reset_index(drop=True)
+    return _round(out, {"p50": 6})
+
+
 def q_interval_suggest(sf_dir: str) -> pd.DataFrame:
     """A14: median gap between consecutive distinct timestamps — the
     one-pass replacement for the reference's recursive histogram probing
@@ -738,6 +778,8 @@ REGISTRY = {
     "decayed_top_entities": q_decayed_top_entities,
     "entity_cardinality": q_entity_cardinality,
     "value_percentile": q_value_percentile,
+    "entity_cardinality_hll": q_entity_cardinality_hll,
+    "value_percentile_tdigest": q_value_percentile_tdigest,
     "interval_suggest": q_interval_suggest,
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,

@@ -26,7 +26,15 @@ import pyarrow.compute as pc
 
 from ..config import DetectorConfig, FeatureSpec
 
-_BUILTIN_AGGS = {"min", "max", "sum", "avg", "value_count", "cardinality", "percentile"}
+_BUILTIN_AGGS = {"min", "max", "sum", "avg", "value_count", "cardinality", "percentile",
+                 "cardinality_hll", "percentile_tdigest"}
+
+# sketch-backed aggs: mergeable fixed-size partials (functions/sketches.py)
+# matching the reference's scalability class — t-digest percentiles
+# (AbstractRetriever.java:80-89 unwraps InternalTDigestPercentiles) and
+# HLL cardinality (ProfileRunner.java:271,301). ``cardinality`` /
+# ``percentile`` stay EXACT (small-data oracle twins).
+SKETCH_AGGS = {"cardinality_hll", "percentile_tdigest"}
 
 
 def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Table:
@@ -84,6 +92,14 @@ def window_aggregate(
     time_range_ms: tuple[int, int] | None = None,
 ):
     """events Dataset → one row per (entities…, window) with feature columns."""
+    if any(f.agg in SKETCH_AGGS for f in config.features):
+        # sketch aggs have no Ray builtin: run the mergeable-partial plan
+        # (combiner → shuffle of window-level sketch rows → merge) — the
+        # same single-shuffle shape the fused detect plan uses
+        part = partial_window_aggregate(ds, config, ts_col, time_range_ms)
+        group_keys = list(config.category_fields) or ["window_start_ms"]
+        return part.groupby(group_keys).map_groups(
+            lambda df: finalize_partial_group(df, config), batch_format="pandas")
     interval_ms = config.interval_s * 1000
     needed = {ts_col, *config.category_fields, *(f.column for f in config.features)}
     ds = ds.select_columns([c for c in ds.schema().names if c in needed])
@@ -127,11 +143,58 @@ def normalize_features(batch: pa.Table, feature_names: list[str]) -> pa.Table:
     return batch
 
 
-MERGEABLE_AGGS = {"min", "max", "sum", "avg", "value_count"}
+MERGEABLE_AGGS = {"min", "max", "sum", "avg", "value_count"} | SKETCH_AGGS
 
 
 def mergeable(config: DetectorConfig) -> bool:
     return all(f.agg in MERGEABLE_AGGS for f in config.features)
+
+
+def _group_codes(b: pa.Table, keys: list[str]) -> tuple[np.ndarray, int]:
+    """Exact per-row group codes over the key columns: Arrow dictionary
+    encode per column + mixed-radix combine with compaction (no pandas
+    round-trip, so key dtypes can't be coerced; nulls get their own code).
+    Returns (codes aligned with rows, n_groups)."""
+    if b.num_rows == 0:
+        return np.empty(0, dtype=np.int64), 0
+    codes = None
+    for k in keys:
+        col = b[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        idx = pc.fill_null(d.indices, len(d.dictionary)).to_numpy(zero_copy_only=False).astype(np.int64)
+        if codes is None:
+            codes = idx
+        else:
+            codes = np.unique(codes * np.int64(len(d.dictionary) + 1) + idx, return_inverse=True)[1]
+    codes = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    return codes, int(codes.max()) + 1
+
+
+def _sketch_partial_columns(b: pa.Table, keys: list[str], sketch_feats, g: pa.Table) -> dict:
+    """Per-group sketch partial columns for one batch, aligned with the
+    Arrow group_by output ``g`` (which carries a ``__rowidx_min``
+    first-occurrence column for the alignment)."""
+    from ..functions import sketches as sk
+
+    out: dict[str, pa.Array] = {}
+    codes, n_groups = _group_codes(b, keys)
+    first = g["__rowidx_min"].to_numpy(zero_copy_only=False).astype(np.int64) if g.num_rows else np.empty(0, np.int64)
+    out_codes = codes[first] if first.size else np.empty(0, np.int64)
+    for f in sketch_feats:
+        col = b[f.column]
+        colc = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        mask = np.asarray(pc.is_valid(colc)) if b.num_rows else np.empty(0, bool)
+        npvals = colc.to_numpy(zero_copy_only=False) if b.num_rows else np.empty(0)
+        vcodes, vvals = codes[mask], npvals[mask]
+        if f.agg == "cardinality_hll":
+            regs = sk.hll_build_grouped(vcodes, n_groups, sk.hash64_values(vvals))
+            out[f"{f.name}__hll"] = pa.array([regs[c].tobytes() for c in out_codes], pa.binary())
+        else:  # percentile_tdigest
+            td = sk.tdigest_build_grouped(vcodes, n_groups, vvals.astype(np.float64))
+            out[f"{f.name}__td"] = pa.array([td[c] for c in out_codes], pa.binary())
+    return out
 
 
 def partial_window_aggregate(
@@ -172,7 +235,10 @@ def partial_window_aggregate(
         # one arrow aggregation per distinct (column, fn); several features
         # may share one (e.g. sum + avg of the same column)
         wanted: dict[tuple[str, str], list[str]] = {}
+        sketch_feats = [f for f in config.features if f.agg in SKETCH_AGGS]
         for f in config.features:
+            if f.agg in SKETCH_AGGS:
+                continue  # fixed-size mergeable sketches, built below
             if f.agg == "min":
                 wanted.setdefault((f.column, "min"), []).append(f"{f.name}__min")
             elif f.agg == "max":
@@ -184,18 +250,43 @@ def partial_window_aggregate(
             else:  # avg
                 wanted.setdefault((f.column, "sum"), []).append(f"{f.name}__sum")
                 wanted.setdefault((f.column, "count"), []).append(f"{f.name}__cnt")
+        aggs_list = sorted(wanted)
+        if sketch_feats:
+            # first-occurrence row index per group → aligns the code-grouped
+            # sketch rows with Arrow's group_by output order
+            b = b.append_column("__rowidx", pa.array(np.arange(b.num_rows, dtype=np.int64)))
+            aggs_list = aggs_list + [("__rowidx", "min")]
         # use_threads=False: threaded accumulation order would make the
         # float partials 1-ulp nondeterministic run-to-run
-        g = b.group_by(keys, use_threads=False).aggregate(sorted(wanted))
+        g = b.group_by(keys, use_threads=False).aggregate(aggs_list)
         cols = {k: g[k] for k in keys}
         for (col_name, fn), targets in wanted.items():
             col = g[f"{col_name}_{fn}"]
             col = pc.cast(col, pa.int64() if fn == "count" else pa.float64())
             for t in targets:
                 cols[t] = col
+        if sketch_feats:
+            cols.update(_sketch_partial_columns(b, keys, sketch_feats, g))
         return pa.table(cols)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hll_count(series) -> float:
+    """Merge one window's HLL register blobs → estimated distinct count."""
+    from ..functions import sketches as sk
+
+    regs = [np.frombuffer(b, dtype=np.uint8) for b in series if b]
+    if not regs:
+        return float("nan")
+    return float(round(sk.hll_estimate(sk.hll_merge(np.stack(regs)))))
+
+
+def _tdigest_q(series, q: float) -> float:
+    """Merge one window's t-digest blobs → quantile estimate."""
+    from ..functions import sketches as sk
+
+    return sk.tdigest_quantile(sk.tdigest_merge([b for b in series if b]), q)
 
 
 def finalize_partial_group(df, config: DetectorConfig):
@@ -222,6 +313,11 @@ def finalize_partial_group(df, config: DetectorConfig):
             out[f.name] = gb[f"{f.name}__sum"].sum(min_count=1)
         elif f.agg == "value_count":
             out[f.name] = gb[f"{f.name}__cnt"].sum()
+        elif f.agg == "cardinality_hll":
+            out[f.name] = gb[f"{f.name}__hll"].agg(_hll_count)
+        elif f.agg == "percentile_tdigest":
+            out[f.name] = gb[f"{f.name}__td"].agg(
+                lambda s, q=f.percentile: _tdigest_q(s, q))
         else:  # avg
             s = gb[f"{f.name}__sum"].sum(min_count=1)
             c = gb[f"{f.name}__cnt"].sum()
