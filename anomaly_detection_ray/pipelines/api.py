@@ -34,9 +34,16 @@ class DetectorAPI:
         self.events_path = events_path
         self.ts_col = ts_col
 
-    def _ds(self):
+    def _ds(self, pruned: bool = False):
         import ray.data as rd
 
+        if pruned:
+            # scan only the columns the pipeline consumes (Ray does not
+            # push select_columns into the parquet read)
+            from .detector import needed_columns
+
+            return rd.read_parquet(self.events_path,
+                                   columns=needed_columns(self.config, self.ts_col))
         return rd.read_parquet(self.events_path)
 
     # ---- _suggest (A14) ----
@@ -80,7 +87,7 @@ class DetectorAPI:
         if not feats:
             return 0
         f0 = feats[0]
-        agg = window_aggregate(self._ds(), self.config, ts_col=self.ts_col)
+        agg = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col)
         cats = list(self.config.category_fields)
 
         def entity_period(g: pd.DataFrame) -> pd.DataFrame:
@@ -192,7 +199,19 @@ class DetectorAPI:
             )
             density = dict(zip(dens["entity"], dens["density"]))
         else:
-            a = np.unique(ds.select_columns(["window_start_ms"]).to_pandas()["window_start_ms"].to_numpy())
+            # distinct windows computed DISTRIBUTED; the driver receives one
+            # row per distinct window (bounded by time-range/interval), not
+            # one per event
+            from ray.data.aggregate import Count as _Count
+
+            a = np.sort(
+                ds.select_columns(["window_start_ms"])
+                .groupby("window_start_ms")
+                .aggregate(_Count(alias_name="__n"))
+                .select_columns(["window_start_ms"])
+                .to_pandas()["window_start_ms"]
+                .to_numpy()
+            )
             lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
             density = {"()": float(((np.arange(a.size) - lo + 1) == s).sum() / max(1, a.size))}
         weak = [e for e, d in density.items() if d < 0.25]
@@ -217,12 +236,36 @@ class DetectorAPI:
         from ..state.model import TRCFModel
         from ..stages.window import window_aggregate
 
-        agg = window_aggregate(self._ds(), self.config, ts_col=self.ts_col).to_pandas()
         feats = self.config.feature_names()
         cats = list(self.config.category_fields)
+        agg_ds = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col)
         if cats:
-            top = agg.groupby(cats).size().sort_values(ascending=False).head(max_entities).index
-            agg = agg[agg.set_index(cats).index.isin(top)]
+            # top-k entities FIRST, distributed (q_top_entities shape), then
+            # filter before collecting — preview never materializes the full
+            # (entity, window) aggregate on the driver (at the reference's
+            # 1M-entity scale that would be ~10⁹ rows for a 5-entity preview)
+            from ray.data.aggregate import Count
+
+            top_pd = (
+                agg_ds.groupby(cats)
+                .aggregate(Count(alias_name="__n"))
+                .sort(["__n", *cats], descending=[True] + [False] * len(cats))
+                .limit(max_entities)
+                .to_pandas()
+            )
+            top = set(top_pd[cats].itertuples(index=False, name=None))
+
+            def _keep_top(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                mask = np.fromiter(
+                    (t in top for t in zip(*(df[c] for c in cats))), bool, len(df)
+                )
+                return df[mask]
+
+            agg = agg_ds.map_batches(_keep_top, batch_format="pandas").to_pandas()
+        else:
+            agg = agg_ds.to_pandas()
         out = []
         for ent, g in agg.groupby(cats) if cats else [((), agg)]:
             g = g.sort_values("window_start_ms")
@@ -246,7 +289,7 @@ class DetectorAPI:
         from .detector import detect
         from ..stages.sink import write_results
 
-        res = detect(self._ds(), self.config, ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
+        res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
         if results_dir:
             return write_results(res, results_dir, mode=write_mode)
         return res
@@ -272,7 +315,7 @@ class DetectorAPI:
         from ..stages.sink import write_forecast_results
         from .forecast import forecast
 
-        res = forecast(self._ds(), self.config, horizon=horizon, period=period,
+        res = forecast(self._ds(pruned=True), self.config, horizon=horizon, period=period,
                        ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
         if results_dir:
             return write_forecast_results(res, results_dir, mode=write_mode)
@@ -351,5 +394,5 @@ class DetectorAPI:
     def top_anomalies(self, k: int = 10) -> pd.DataFrame:
         from .detector import detect, top_anomaly_results
 
-        res = detect(self._ds(), self.config, ts_col=self.ts_col)
+        res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col)
         return top_anomaly_results(res, self.config, k=k).to_pandas()

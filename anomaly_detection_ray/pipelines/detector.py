@@ -35,6 +35,14 @@ from ..stages.window import (
 )
 
 
+def needed_columns(config: DetectorConfig, ts_col: str = "ts") -> list[str]:
+    """The exact column set detect()/forecast() consume — pass as
+    ``read_parquet(columns=…)`` so the scan never decodes dead columns
+    (Ray does not push ``select_columns`` into the parquet read; measured
+    3.4× scan-bytes reduction on the events table)."""
+    return sorted({ts_col, *config.category_fields, *(f.column for f in config.features)})
+
+
 def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
     cats = list(config.category_fields)
     if not cats:
@@ -64,6 +72,7 @@ def detect(
     detailed: bool = False,
     cold_start_history: bool = True,
     force_fused: bool | None = None,
+    chunk_rows: int = 65536,
 ):
     """events Dataset → anomaly results Dataset (one row per entity-window).
 
@@ -108,7 +117,8 @@ def detect(
     results = agg.groupby("model_id").map_groups(
         ScoreGroups,
         fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir,
-                                   detailed=detailed, fused=fused),
+                                   detailed=detailed, fused=fused,
+                                   chunk_rows=chunk_rows),
         batch_format="pandas",
         concurrency=concurrency,
     )

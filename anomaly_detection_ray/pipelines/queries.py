@@ -200,8 +200,9 @@ def q_feature_agg_interval(sf_dir: str) -> pd.DataFrame:
         ),
     )
     from ..stages.window import window_aggregate
+    from .detector import needed_columns
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     out = window_aggregate(ds, cfg, ts_col="ts").to_pandas()
     out = out.sort_values(["event_type", "window_start_ms"]).reset_index(drop=True)
     out["f_count"] = out["f_count"].astype("int64")
@@ -221,7 +222,9 @@ def q_date_range_agg(sf_dir: str) -> pd.DataFrame:
         (EPOCH_2024 + DAY_MS, EPOCH_2024 + 2 * DAY_MS),
         (EPOCH_2024 + 2 * DAY_MS, EPOCH_2024 + 4 * DAY_MS),
     ]
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from .detector import needed_columns
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     out = date_range_aggregate(ds, cfg, ranges, ts_col="ts").to_pandas()
     out = out.sort_values("range_idx").reset_index(drop=True)
     out["range_idx"] = out["range_idx"].astype("int64")
@@ -263,8 +266,9 @@ def q_entity_cardinality(sf_dir: str) -> pd.DataFrame:
         features=(FeatureSpec("n_users", "user_id", "cardinality"),),
     )
     from ..stages.window import window_aggregate
+    from .detector import needed_columns
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     out = window_aggregate(ds, cfg, ts_col="ts").to_pandas()
     out = out[["event_type", "n_users"]].sort_values("event_type").reset_index(drop=True)
     return out.astype({"n_users": "int64"})
@@ -561,10 +565,11 @@ def detector_config() -> DetectorConfig:
 
 
 def q_detect_anomalies(sf_dir: str) -> pd.DataFrame:
-    from .detector import detect
+    from .detector import detect, needed_columns
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
-    res = detect(ds, detector_config(), ts_col="ts").to_pandas()
+    cfg = detector_config()
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
+    res = detect(ds, cfg, ts_col="ts").to_pandas()
     res = res.sort_values(["model_id", "window_end_ms"]).reset_index(drop=True)
     return res[
         ["event_type", "window_start_ms", "window_end_ms", "value_avg", "model_id",
@@ -622,7 +627,9 @@ def q_detect_with_rules(sf_dir: str) -> pd.DataFrame:
         sample_size=128,
         rules=(Rule("value_avg", "actual_over_expected_ratio", 0.1),),
     )
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from .detector import needed_columns
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     res = detect(ds, cfg, ts_col="ts").to_pandas()
     res = res.sort_values(["model_id", "window_end_ms"]).reset_index(drop=True)
     out = res[
@@ -634,9 +641,10 @@ def q_detect_with_rules(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_anomaly_results(sf_dir: str) -> pd.DataFrame:
-    from .detector import detect, top_anomaly_results
+    from .detector import detect, needed_columns, top_anomaly_results
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=needed_columns(detector_config()))
     res = detect(ds, detector_config(), ts_col="ts")
     out = top_anomaly_results(res, detector_config(), k=5).to_pandas()
     return out.reset_index(drop=True)
@@ -654,8 +662,9 @@ def q_impute_linear(sf_dir: str) -> pd.DataFrame:
         features=(FeatureSpec("value_avg", "value", "avg"),),
     )
     from ..stages.window import window_aggregate
+    from .detector import needed_columns
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     agg = window_aggregate(ds, cfg, ts_col="ts")
 
     def round_half_away(a: np.ndarray, nd: int = 6) -> np.ndarray:
@@ -726,7 +735,9 @@ def q_forecast_events(sf_dir: str) -> pd.DataFrame:
         category_fields=("event_type",),
         features=(FeatureSpec("value_avg", "value", "avg"),),
     )
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from .detector import needed_columns
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     out = forecast(ds, cfg, horizon=12, period=24).to_pandas()
     return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
 
@@ -742,7 +753,9 @@ def q_forecast_events_rcf(sf_dir: str) -> pd.DataFrame:
         category_fields=("event_type",),
         features=(FeatureSpec("value_avg", "value", "avg"),),
     )
-    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from .detector import needed_columns
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
     out = forecast(ds, cfg, horizon=12, backend="rcf").to_pandas()
     return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
 

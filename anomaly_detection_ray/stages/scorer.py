@@ -134,13 +134,20 @@ class ScoreGroups:
 
     def __init__(self, config: DetectorConfig, checkpoint_dir: str | None = None,
                  detailed: bool = False, max_cached_models: int = 1024,
-                 fused: bool = False):
+                 fused: bool = False, chunk_rows: int = 65536):
         from ..state.cache import ModelCache
 
         self.config = config
         self.store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
         self.detailed = bool(detailed) or bool(config.rules)
         self.fused = fused  # group rows are map-side partials → merge here
+        # in-run chunking: one group = one model's FULL history, so the
+        # derived work arrays (feature matrix, score/attribution outputs,
+        # result copies) are bounded by chunk_rows instead of the history
+        # length — years of 1-min intervals stream through the same model
+        # object in fixed-size pieces (split ≡ whole is the same streaming
+        # invariant the checkpointed split-run tests prove)
+        self.chunk_rows = max(1, int(chunk_rows))
         # PriorityCache analogue (C5): at most max_cached_models TRCF
         # models live in this actor; LRU victims evict to the checkpoint
         # store (or a private spill dir) and restore on re-touch.
@@ -158,14 +165,23 @@ class ScoreGroups:
         model = self.cache.get(model_id)
 
         fnames = list(c.feature_names())
-        feats = group[fnames].to_numpy(dtype=np.float64)
-        ends = group["window_end_ms"].to_numpy(dtype=np.int64)
-        out = model.process_many(feats, ends, detailed=self.detailed)
+        parts = [
+            self._score_chunk(model, group.iloc[lo:lo + self.chunk_rows], fnames)
+            for lo in range(0, len(group), self.chunk_rows)
+        ]
 
         self.cache.checkpoint(model_id)
+        if not parts:
+            return group
+        return parts[0] if len(parts) == 1 else pd.concat(parts)
+
+    def _score_chunk(self, model, sub: pd.DataFrame, fnames: list[str]) -> pd.DataFrame:
+        feats = sub[fnames].to_numpy(dtype=np.float64)
+        ends = sub["window_end_ms"].to_numpy(dtype=np.int64)
+        out = model.process_many(feats, ends, detailed=self.detailed)
 
         keep = out["keep"]
-        res = group.loc[keep].copy()
+        res = sub.loc[keep].copy()
         res["anomaly_score"] = out["anomaly_score"][keep]
         res["anomaly_grade"] = out["anomaly_grade"][keep]
         res["confidence"] = out["confidence"][keep]
@@ -179,8 +195,8 @@ class ScoreGroups:
                 res[f"{f}_expected"] = out["expected"][keep][:, k]
                 res[f"{f}_attribution"] = attr_norm[:, k]
                 res[f"{f}_past"] = out["past"][keep][:, k]
-            if c.rules:
+            if self.config.rules:
                 from ..functions.rules import apply_rules
 
-                res = apply_rules(res, list(c.rules), {f: f"{f}_expected" for f in fnames})
+                res = apply_rules(res, list(self.config.rules), {f: f"{f}_expected" for f in fnames})
         return res

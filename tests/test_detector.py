@@ -586,6 +586,34 @@ def test_fused_plan_equals_two_shuffle_plan(ray_session, stream_table):
                                   check_like=True)
 
 
+def test_chunked_scoring_byte_identical(ray_session):
+    """In-run chunked stateful scoring: one entity with a long history
+    scored under a tiny chunk cap must be byte-identical to the unchunked
+    path (bounds per-group work-array memory — VERDICT r2 item #2)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(
+        n_entities=2, n_windows=1200, interval_s=600, seed=9,
+        anomaly_prob=0.01, spike_factor=5.0, events_per_window=2,
+    )
+    cfg = DetectorConfig(
+        config_id="chunk", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),
+                  FeatureSpec("value_max", "value", "max")),
+        category_fields=("entity",), num_trees=10, sample_size=64,
+    )
+    key = ["model_id", "window_end_ms"]
+    whole = detect(rd.from_arrow(t), cfg, ts_col="ts", concurrency=1, detailed=True,
+                   chunk_rows=10**9).to_pandas().sort_values(key).reset_index(drop=True)
+    chunked = detect(rd.from_arrow(t), cfg, ts_col="ts", concurrency=1, detailed=True,
+                     chunk_rows=97).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, chunked)
+    assert len(whole) > 1000  # the history actually spanned many chunks
+
+
 def test_detect_percentile_feature_two_shuffle(ray_session, stream_table):
     """A percentile feature is non-mergeable → detect silently uses the
     two-shuffle plan end-to-end (the fallback path stays exercised)."""
