@@ -39,7 +39,93 @@ def hash_shingles(shingles: list[str]) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     import pandas as pd
 
-    return pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False).astype(np.uint64)
+    # categorize=True factorizes first and hashes only distinct strings —
+    # pure optimization, hash values identical (tokens repeat heavily)
+    return pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=True).astype(np.uint64)
+
+
+def shingle_hashes_ref(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Per-doc scalar REFERENCE of the k-gram shingle hash: each shingle's
+    64-bit id is a splitmix chain over its tokens' hashes (token_shingles
+    semantics: docs shorter than k yield one shingle over all tokens).
+    Returns the sorted distinct hash set. The batched
+    :func:`batch_shingle_hashes` must be value-identical (tested)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = hash_shingles(tokens)
+    m = min(k, len(tokens))
+    n_win = len(tokens) - m + 1
+    out = np.empty(n_win, dtype=np.uint64)
+    for i in range(n_win):
+        acc = np.uint64(0)
+        for j in range(m):
+            acc = _mix64(np.asarray([acc ^ th[i + j]], dtype=np.uint64))[0]
+        out[i] = acc
+    return np.unique(out)
+
+
+def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0) ++ [0..l1) ++ … as one array (vectorized arange-per-row)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(cs, lengths)
+
+
+def batch_shingle_hashes(token_lists: list[list[str]], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted distinct k-gram shingle hashes for a BATCH of token lists —
+    value-identical to per-doc :func:`shingle_hashes_ref`, with no
+    per-position string building: one string-hash call over the batch's
+    concatenated tokens, then k vectorized mix steps over all window
+    starts at once (short docs handled per length class).
+
+    Returns ``(values, offsets)``: doc d's set is
+    ``values[offsets[d]:offsets[d+1]]`` (int64 view of the uint64 hash)."""
+    D = len(token_lists)
+    counts = np.fromiter((len(t) for t in token_lists), np.int64, D)
+    offsets0 = np.concatenate(([0], np.cumsum(counts)))
+    flat: list[str] = [tok for toks in token_lists for tok in toks]
+    th = hash_shingles(flat)
+
+    win_starts: list[np.ndarray] = []
+    win_docs: list[np.ndarray] = []
+    win_hashes: list[np.ndarray] = []
+    # full k-windows for docs with ≥ k tokens
+    nw = np.where(counts >= k, counts - k + 1, 0)
+    if nw.sum():
+        starts = np.repeat(offsets0[:-1], nw) + _concat_ranges(nw)
+        acc = np.zeros(starts.size, dtype=np.uint64)
+        for j in range(k):
+            acc = _mix64(acc ^ th[starts + j])
+        win_docs.append(np.repeat(np.arange(D, dtype=np.int64), nw))
+        win_hashes.append(acc)
+    # short docs (0 < n < k): one shingle over all n tokens, per length class
+    for m in range(1, k):
+        sel = np.flatnonzero(counts == m)
+        if sel.size == 0:
+            continue
+        starts = offsets0[sel]
+        acc = np.zeros(starts.size, dtype=np.uint64)
+        for j in range(m):
+            acc = _mix64(acc ^ th[starts + j])
+        win_docs.append(sel.astype(np.int64))
+        win_hashes.append(acc)
+
+    if not win_docs:
+        return np.empty(0, dtype=np.int64), np.zeros(D + 1, dtype=np.int64)
+    dcode = np.concatenate(win_docs)
+    h = np.concatenate(win_hashes)
+    order = np.lexsort((h, dcode))
+    dcode, h = dcode[order], h[order]
+    # distinct per doc: drop rows equal to their predecessor within a doc
+    keep = np.empty(dcode.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (dcode[1:] != dcode[:-1]) | (h[1:] != h[:-1])
+    dcode, h = dcode[keep], h[keep]
+    out_counts = np.bincount(dcode, minlength=D)
+    offsets = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int64)
+    return h.view(np.int64), offsets
 
 
 class MinHasher:

@@ -440,7 +440,11 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 def q_ngram_jaccard_dup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import ngram_jaccard_pairs
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    # block count sized to the doc-table scale (auto-split would make 64
+    # blocks of a small file; 3 chained groupby shuffles each pay per-block
+    # scheduling overhead — at cluster scale size this to the cluster)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                            override_num_blocks=16)
     sample = ds.map_batches(
         lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 10 == 0)),
         batch_format="pyarrow",
@@ -455,7 +459,8 @@ def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup (probabilistic recall → rows-only check)."""
     from ..stages.dedup import minhash_near_dup_pairs
 
-    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                            override_num_blocks=16)
     out = minhash_near_dup_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

@@ -311,3 +311,25 @@ def test_multimodal_real_decode_pipeline(ray_session):
     resized = resize_images(rd.from_arrow(t), out_h=8, out_w=8, batch_size=8).to_pandas()
     for _, row in resized[resized["kind"] == "image"].iterrows():
         assert decode_pgm(row["payload"]).shape == (8, 8)
+
+
+def test_batch_shingle_hashes_matches_reference():
+    """The batched rolling shingle-hash (one token-hash call + k mix
+    steps) is value-identical to the per-doc scalar reference, incl.
+    short docs (<k tokens) and empty docs."""
+    from anomaly_detection_ray.functions.minhash import (
+        batch_shingle_hashes,
+        shingle_hashes_ref,
+    )
+
+    rng = np.random.default_rng(4)
+    docs = [[f"w{rng.integers(0, 30)}" for _ in range(n)]
+            for n in (0, 1, 2, 3, 7, 64, 300)]
+    vals, offs = batch_shingle_hashes(docs, 3)
+    for d, toks in enumerate(docs):
+        got = np.sort(vals[offs[d]:offs[d + 1]].view(np.uint64))
+        assert np.array_equal(got, shingle_hashes_ref(toks, 3)), d
+    # distinct token sequences get distinct shingle ids (order sensitivity)
+    a = shingle_hashes_ref(["x", "y", "z"], 3)
+    b = shingle_hashes_ref(["z", "y", "x"], 3)
+    assert not np.array_equal(a, b)
