@@ -197,7 +197,9 @@ class DetectorAPI:
                 .map_groups(entity_density, batch_format="pandas")
                 .to_pandas()
             )
-            density = dict(zip(dens["entity"], dens["density"]))
+            # empty input → map_groups yields a columnless empty frame
+            density = (dict(zip(dens["entity"], dens["density"]))
+                       if "entity" in dens.columns else {})
         else:
             # distinct windows computed DISTRIBUTED; the driver receives one
             # row per distinct window (bounded by time-range/interval), not
@@ -331,6 +333,62 @@ class DetectorAPI:
                                       results_dir=results_dir,
                                       checkpoint_dir=checkpoint_dir,
                                       write_mode="append")
+
+    MAX_SHINGLE_SIZE = 128              # TimeSeriesSettings.java:22
+    HORIZON_SHINGLE_RATIO = 3           # Forecaster.java:108
+
+    def forecast_validate(self, horizon: int | None = None, period: int = 0) -> dict:
+        """Forecast-side _validate (``RestValidateForecasterAction.java:
+        1-116`` routes into the same validation surface as the detector;
+        ``forecast/rest/handler/*``): the detector checks (feature source
+        columns exist, recent-window NaN rate, interval sanity vs the
+        suggested interval) plus the forecaster-specific rules —
+        ``invalidHorizon`` (``Forecaster.java:235-238``: 1 ≤ horizon ≤
+        MAX_SHINGLE_SIZE × 3), the suggested horizon (``suggestHorizon``
+        = shingle × 3, ``Forecaster.java:561-563``) and a seasonality
+        suggestion from the windowed feature autocorrelation."""
+        base = self.validate()            # shared detector-side surface
+        issues = list(base["issues"])
+        suggested_horizon = self.config.shingle_size * self.HORIZON_SHINGLE_RATIO
+        if horizon is not None and not (
+            1 <= horizon <= self.MAX_SHINGLE_SIZE * self.HORIZON_SHINGLE_RATIO
+        ):
+            issues.append(
+                f"horizon {horizon} outside [1, "
+                f"{self.MAX_SHINGLE_SIZE * self.HORIZON_SHINGLE_RATIO}]"
+            )
+        if len(self.config.features) != 1:
+            issues.append("forecasting expects exactly one feature")
+        suggested_period = 0
+        if not issues or all("horizon" in i or "feature" in i for i in issues):
+            # only probe data when the config shape itself is sane
+            suggested_period = self.suggest_period()
+            if period and suggested_period and period != suggested_period:
+                issues.append(
+                    f"configured period {period} differs from detected "
+                    f"seasonality {suggested_period}"
+                )
+        return {
+            **base,
+            "ok": not issues,
+            "issues": issues,
+            "suggested_horizon": suggested_horizon,
+            "suggested_period": suggested_period,
+        }
+
+    def top_forecasts(self, k: int = 5, build_in_query: str = "MAX_VALUE_WITHIN_THE_HORIZON",
+                      horizon: int = 24, period: int = 0, threshold: float | None = None,
+                      relation: str = "GREATER_THAN"):
+        """_topForecasts (``SearchTopForecastResultTransportAction``):
+        run the forecast and rank entities by the built-in sub-agg."""
+        from .forecast import forecast, top_forecast_results
+
+        fc = forecast(self._ds(pruned=True), self.config, horizon=horizon, period=period,
+                      ts_col=self.ts_col)
+        return top_forecast_results(
+            fc, self.config, k=k, build_in_query=build_in_query,
+            horizon=horizon, threshold=threshold, relation=relation,
+        ).to_pandas()
 
     # ---- _profile / _stats / _topAnomalies ----
 

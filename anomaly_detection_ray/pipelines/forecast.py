@@ -125,6 +125,90 @@ class ForecastGroups:
         return out
 
 
+BUILD_IN_QUERIES = (
+    "MIN_CONFIDENCE_INTERVAL_WIDTH",
+    "MAX_CONFIDENCE_INTERVAL_WIDTH",
+    "MIN_VALUE_WITHIN_THE_HORIZON",
+    "MAX_VALUE_WITHIN_THE_HORIZON",
+    "DISTANCE_TO_THRESHOLD_VALUE",
+)
+
+
+def top_forecast_results(
+    forecast_ds,
+    config: DetectorConfig,
+    k: int = 5,
+    build_in_query: str = "MAX_VALUE_WITHIN_THE_HORIZON",
+    horizon: int | None = None,
+    threshold: float | None = None,
+    relation: str = "GREATER_THAN",
+):
+    """Top-k entities over forecast rows — the forecast analogue of
+    _topAnomalies (``forecast/transport/SearchTopForecastResult
+    TransportAction.java:601-830``): a terms aggregation over the entity
+    split ordered by one built-in sub-aggregation, tie-broken by entity
+    key ascending (``_key: asc``).
+
+    Built-ins mirror ``BuildInQuery``:
+    - MIN/MAX_CONFIDENCE_INTERVAL_WIDTH: only the latest forecast rows
+      (``horizon_index == horizon``, the reference's term filter on the
+      configured horizon), agg min/max of ``upper − lower``, asc/desc.
+    - MIN/MAX_VALUE_WITHIN_THE_HORIZON: no extra filter, min/max of
+      ``forecast_value``, asc/desc.
+    - DISTANCE_TO_THRESHOLD_VALUE: range-filter ``forecast_value``
+      vs ``threshold`` per ``relation`` (GREATER_THAN[_OR_EQUAL_TO] →
+      max desc; LESS_THAN[_OR_EQUAL_TO] → min asc).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    if build_in_query not in BUILD_IN_QUERIES:
+        raise ValueError(f"unknown build_in_query {build_in_query!r}")
+    cats = list(config.category_fields)
+    if not cats:
+        raise ValueError("top_forecast_results needs category fields (entity split)")
+
+    def width_and_filter(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "interval_width", pc.subtract(b["forecast_upper"], b["forecast_lower"])
+        )
+        if build_in_query.endswith("CONFIDENCE_INTERVAL_WIDTH") and horizon is not None:
+            b = b.filter(pc.equal(b["horizon_index"], horizon))
+        if build_in_query == "DISTANCE_TO_THRESHOLD_VALUE":
+            if threshold is None:
+                raise ValueError("DISTANCE_TO_THRESHOLD_VALUE needs a threshold")
+            op = {
+                "GREATER_THAN": pc.greater,
+                "GREATER_THAN_OR_EQUAL_TO": pc.greater_equal,
+                "LESS_THAN": pc.less,
+                "LESS_THAN_OR_EQUAL_TO": pc.less_equal,
+            }[relation]
+            b = b.filter(op(b["forecast_value"], threshold))
+        return b
+
+    ds = forecast_ds.map_batches(width_and_filter, batch_format="pyarrow", zero_copy_batch=True)
+    name = build_in_query
+    if build_in_query == "MIN_CONFIDENCE_INTERVAL_WIDTH":
+        agg, descending = Min("interval_width", alias_name=name), False
+    elif build_in_query == "MAX_CONFIDENCE_INTERVAL_WIDTH":
+        agg, descending = Max("interval_width", alias_name=name), True
+    elif build_in_query == "MIN_VALUE_WITHIN_THE_HORIZON":
+        agg, descending = Min("forecast_value", alias_name=name), False
+    elif build_in_query == "MAX_VALUE_WITHIN_THE_HORIZON":
+        agg, descending = Max("forecast_value", alias_name=name), True
+    elif relation in ("GREATER_THAN", "GREATER_THAN_OR_EQUAL_TO"):
+        agg, descending = Max("forecast_value", alias_name=name), True
+    else:
+        agg, descending = Min("forecast_value", alias_name=name), False
+    return (
+        ds.groupby(cats)
+        .aggregate(agg)
+        .sort([name, *cats], descending=[descending] + [False] * len(cats))
+        .limit(k)
+    )
+
+
 def forecast(
     events_ds,
     config: DetectorConfig,

@@ -765,6 +765,33 @@ def q_forecast_events_rcf(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "horizon_index"]).reset_index(drop=True)
 
 
+def q_top_forecast_results(sf_dir: str) -> pd.DataFrame:
+    """Forecast analogue of _topAnomalies
+    (``SearchTopForecastResultTransportAction.java:601-830``): top
+    entities by max forecast value within the horizon + min confidence-
+    interval width at the final horizon step — rows-only (model output)."""
+    from .detector import needed_columns
+    from .forecast import forecast, top_forecast_results
+
+    cfg = DetectorConfig(
+        config_id="fc-top",
+        interval_s=3600,
+        category_fields=("event_type",),
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+    )
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg))
+    fc = forecast(ds, cfg, horizon=12).materialize()
+    by_val = top_forecast_results(fc, cfg, k=3, build_in_query="MAX_VALUE_WITHIN_THE_HORIZON").to_pandas()
+    by_width = top_forecast_results(fc, cfg, k=3, build_in_query="MIN_CONFIDENCE_INTERVAL_WIDTH",
+                                    horizon=12).to_pandas()
+    by_val["rank"] = np.arange(1, len(by_val) + 1)
+    by_width["rank"] = np.arange(1, len(by_width) + 1)
+    out = by_val.merge(by_width, on=["rank"], suffixes=("_val", "_width"))
+    out = out[["rank", "event_type_val", "MAX_VALUE_WITHIN_THE_HORIZON",
+               "event_type_width", "MIN_CONFIDENCE_INTERVAL_WIDTH"]]
+    return _round(out, {"MAX_VALUE_WITHIN_THE_HORIZON": 6, "MIN_CONFIDENCE_INTERVAL_WIDTH": 6})
+
+
 def q_detector_preview(sf_dir: str) -> pd.DataFrame:
     """§3.3 deterministic preview (stride sampling D7 + interpolation B6
     + fixed-seed scoring) via the DetectorAPI facade — rows-only."""
@@ -823,6 +850,7 @@ REGISTRY = {
     "correlate_anomalies": q_correlate_anomalies,
     "forecast_events": q_forecast_events,
     "forecast_events_rcf": q_forecast_events_rcf,
+    "top_forecast_results": q_top_forecast_results,
     "anomaly_insights": q_anomaly_insights,
     "detector_preview": q_detector_preview,
     "impute_linear": q_impute_linear,

@@ -277,3 +277,85 @@ def test_forecast_pipeline_rcf_backend(ray_session):
     truth = t.to_pandas()
     tv = truth[truth["entity"] == "entity000"]["value"]
     assert g["forecast_value"].between(tv.min() - 1, tv.max() + 1).all()
+
+
+def test_top_forecast_results_planted_extreme(ray_session):
+    """Forecast analogue of _topAnomalies: a planted entity whose level is
+    10x the rest must rank first under MAX_VALUE_WITHIN_THE_HORIZON, and
+    DISTANCE_TO_THRESHOLD filters + ranks per relation
+    (SearchTopForecastResultTransportAction.java:601-830)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.forecast import forecast, top_forecast_results
+
+    rng = np.random.default_rng(2)
+    n_win = 120
+    rows = []
+    for e, level in [("a", 10.0), ("b", 12.0), ("hot", 120.0), ("c", 9.0)]:
+        for w in range(n_win):
+            rows.append((e, (w + 1) * 600_000, level + rng.normal(0, 0.5)))
+    t = pa.table({
+        "entity": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("ms")),
+        "value": [r[2] for r in rows],
+    })
+    cfg = DetectorConfig(config_id="fc-top", interval_s=600, category_fields=("entity",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),))
+    fc = forecast(rd.from_arrow(t), cfg, horizon=6, concurrency=2).materialize()
+
+    top = top_forecast_results(fc, cfg, k=2, build_in_query="MAX_VALUE_WITHIN_THE_HORIZON").to_pandas()
+    assert list(top["entity"]) == ["hot", "b"]
+    assert top["MAX_VALUE_WITHIN_THE_HORIZON"].iloc[0] > 100
+
+    low = top_forecast_results(fc, cfg, k=2, build_in_query="MIN_VALUE_WITHIN_THE_HORIZON").to_pandas()
+    assert list(low["entity"]) == ["c", "a"]
+
+    # threshold filter: only 'hot' forecasts above 50; GREATER_THAN ranks desc
+    th = top_forecast_results(fc, cfg, k=5, build_in_query="DISTANCE_TO_THRESHOLD_VALUE",
+                              threshold=50.0, relation="GREATER_THAN").to_pandas()
+    assert list(th["entity"]) == ["hot"]
+
+    # interval width at the final horizon step only (term filter on horizon)
+    w = top_forecast_results(fc, cfg, k=4, build_in_query="MIN_CONFIDENCE_INTERVAL_WIDTH",
+                             horizon=6).to_pandas()
+    assert len(w) == 4 and (w["MIN_CONFIDENCE_INTERVAL_WIDTH"] >= 0).all()
+
+
+def test_forecast_validate_surface(ray_session, tmp_path):
+    """forecast_validate: detector checks + horizon bounds
+    (Forecaster.java:235-238) + suggested horizon (shingle x 3) +
+    seasonality hint; empty input doesn't crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+
+    t = generate_interval_stream(n_entities=2, n_windows=200, interval_s=600, seed=3,
+                                 anomaly_prob=0.0, period=24)
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(t, p)
+    cfg = DetectorConfig(config_id="fv", interval_s=600, shingle_size=8,
+                         category_fields=("entity",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),))
+    api = DetectorAPI(cfg, p)
+    res = api.forecast_validate(horizon=24, period=24)
+    assert res["suggested_horizon"] == 24  # shingle 8 x 3
+    assert res["suggested_period"] == 24   # planted seasonality
+    assert res["ok"], res["issues"]
+
+    bad = api.forecast_validate(horizon=1000)
+    assert not bad["ok"] and any("horizon" in i for i in bad["issues"])
+
+    two = DetectorAPI(DetectorConfig(config_id="fv2", interval_s=600,
+                                     category_fields=("entity",),
+                                     features=(FeatureSpec("a", "value", "avg"),
+                                               FeatureSpec("b", "value", "max"))), p)
+    assert any("one feature" in i for i in two.forecast_validate()["issues"])
+
+    # empty input edge: no crash, flags the empty data
+    pe = str(tmp_path / "empty.parquet")
+    pq.write_table(t.slice(0, 0), pe)
+    empty_res = DetectorAPI(cfg, pe).forecast_validate(horizon=24)
+    assert isinstance(empty_res, dict) and "suggested_horizon" in empty_res
