@@ -112,6 +112,44 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _near_dup_groups_sql() -> str:
+    """The jaccard pair CTE (same candidate/df-cap semantics as
+    ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
+    group_id = min doc id reachable through pairs with jaccard ≥ 0.01."""
+    return """
+WITH RECURSIVE
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents WHERE doc_id % 10 = 0),
+idx AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+                                   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE list_transform(generate_series(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM idx),
+dfq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b USING (shingle) JOIN dfq USING (shingle)
+         WHERE dfq.c <= 50 AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.01),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS group_id FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
 def _ann_sql(query_vec_id: int) -> str:
     # NOTE: duckdb's list_cosine_similarity computes in float32 even for
     # DOUBLE[] inputs (≈1e-7 noise → flips 6-dp rounding); spell the dot
@@ -239,6 +277,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
 GROUP BY text ORDER BY doc_id
 """,
         "ngram_jaccard_dup": _jaccard_sql(),
+        "near_dup_groups": _near_dup_groups_sql(),
         "ann_cosine_topk": _ann_sql(0),
         "ann_ivf_topk": _ann_sql(IVF_QUERY_VEC_ID),
         "embedding_near_dup": """

@@ -455,6 +455,25 @@ def q_ngram_jaccard_dup(sf_dir: str) -> pd.DataFrame:
     return _round(out.astype({"doc_a": "int64", "doc_b": "int64"}), {"jaccard": 6})
 
 
+def q_near_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERING: exact-Jaccard pairs → distributed connected
+    components (hash-min label propagation) → every doc labeled with its
+    cluster's min doc id. The 'keep one doc per near-dup group' pass;
+    DuckDB oracle = the same pair CTE + a recursive transitive closure."""
+    from ..stages.dedup import near_dup_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                            override_num_blocks=16)
+    sample = ds.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 10 == 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = near_dup_groups(sample, "text", "doc_id", k=3, threshold=0.01, max_shingle_df=50).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "group_id": "int64"})
+
+
 def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup (probabilistic recall → rows-only check)."""
     from ..stages.dedup import minhash_near_dup_pairs
@@ -835,6 +854,7 @@ REGISTRY = {
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
+    "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_sketch": q_simhash_sketch,
     "simhash_near_dup": q_simhash_near_dup,

@@ -226,6 +226,7 @@ def ngram_jaccard_pairs(
     concurrency: int | None = None,
     n_rows: int | None = None,
     collect: bool = True,
+    _doc_sh=None,
 ):
     """→ (doc_a, doc_b, jaccard): candidate pairs share ≥1 shingle with
     df ≤ max_shingle_df (the frequency-stop — hot shingles carry no
@@ -234,9 +235,15 @@ def ngram_jaccard_pairs(
 
     Everything runs as Datasets end-to-end: explode → coarse-bucketed
     candidate generation → distributed verify join; only the final
-    verified pairs are collected (``collect=False`` returns the Dataset)."""
+    verified pairs are collected (``collect=False`` returns the Dataset).
+
+    ``_doc_sh``: optionally a prebuilt (doc_id, shingles) Dataset — pass
+    a MATERIALIZED one when the returned Dataset will itself be
+    ``materialize()``d: Ray 2.49's executor deadlocks materializing a DAG
+    whose un-materialized source feeds two branches (the to_pandas path
+    handles the diamond via execution caching; materialize does not)."""
     concurrency = pool(concurrency)
-    doc_sh = _doc_shingles(ds, text_col, id_col, k, concurrency)
+    doc_sh = _doc_sh if _doc_sh is not None else _doc_shingles(ds, text_col, id_col, k, concurrency)
 
     def explode(b: pa.Table) -> pa.Table:
         offs = b["shingles"].combine_chunks().offsets.to_numpy(zero_copy_only=False)
@@ -497,3 +504,207 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
         )
     pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pairs.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}), preserve_index=False)
+
+
+# ---------------- near-dup grouping (connected components) ----------------
+
+def connected_components(pairs, max_rounds: int = 32, n_coarse: int | None = None):
+    """→ Dataset (node, label): label = MIN doc id in the node's connected
+    component of the pair graph — the clustering step of "keep one doc
+    per near-dup group".
+
+    Distributed hash-min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce", ICDE 2013 family): each round
+    every edge forwards its endpoint's current label to the neighbor and
+    every node takes the min; the min label travels one hop per round,
+    so rounds = component diameter (near-dup clusters are tiny — typical
+    convergence in 2–4 rounds; ``max_rounds`` is a safety cap and
+    non-convergence raises). Each round is two coarse-keyed shuffles
+    (hash of node id — one Ray group per node would pay per-group
+    overhead) and the label table MATERIALIZES per round: it is the
+    iterative working set (16 B/touched-node, spillable), and without it
+    the lineage re-executes all prior rounds.
+
+    Only nodes that appear in ``pairs`` are labeled (singletons are
+    trivially their own component — callers join them back, see
+    :func:`near_dup_groups`)."""
+    from ray.data.aggregate import Min, Sum
+
+    L = (
+        pairs.map_batches(_cc_endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    n_nodes = L.count()
+    if n_nodes == 0:
+        return L
+    nc = n_coarse if n_coarse is not None else max(8, n_nodes // 2_000)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        d = b["doc_b"].to_numpy().astype(np.int64)
+        key = np.concatenate([a, d])
+        return pa.table({
+            "key": pa.array(key),
+            "ckey": pa.array(_coarse_of_ids(key, nc)),
+            "nbr": pa.array(np.concatenate([d, a])),
+            "label": pa.array(np.full(key.size, -1, np.int64)),
+        })
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(ids),
+            "ckey": pa.array(_coarse_of_ids(ids, nc)),
+            "nbr": pa.array(np.full(ids.size, -1, np.int64)),
+            "label": pc_cast_i64(b["label"]),
+        })
+
+    def send(g: pd.DataFrame) -> pa.Table:
+        # emits ARROW: this stream unions with the arrow self_rows leg and
+        # Ray's sort sampler requires one block type per input
+        lab = g[g["nbr"] < 0][["key", "label"]]
+        ed = g[g["nbr"] >= 0][["key", "nbr"]]
+        out = ed.merge(lab, on="key", how="inner")
+        node = out["nbr"].to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "label": pa.array(out["label"].to_numpy(np.int64)),
+            "old": pa.array(np.full(node.size, -1, np.int64)),
+            "nkey": pa.array(_coarse_of_ids(node, nc)),
+        })
+
+    def label_edge_rows(b: pa.Table) -> pa.Table:
+        # pointer jumping: each (node → label) assignment acts as an extra
+        # undirected edge, so the min label travels along label links too —
+        # geometric diameter shrink, O(log d) rounds instead of O(d)
+        ids = b["node"].to_numpy().astype(np.int64)
+        lab = pc_cast_i64(b["label"]).to_numpy()
+        m = lab != ids
+        key = np.concatenate([ids[m], lab[m]])
+        return pa.table({
+            "key": pa.array(key),
+            "ckey": pa.array(_coarse_of_ids(key, nc)),
+            "nbr": pa.array(np.concatenate([lab[m], ids[m]])),
+            "label": pa.array(np.full(key.size, -1, np.int64)),
+        })
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy().astype(np.int64)
+        lab = pc_cast_i64(b["label"]).to_numpy()
+        return pa.table({
+            "node": pa.array(ids),
+            "label": pa.array(lab),
+            "old": pa.array(lab),
+            "nkey": pa.array(_coarse_of_ids(ids, nc)),
+        })
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False).agg(
+            label=("label", "min"), old=("old", "max")).reset_index()
+        m["changed"] = (m["label"] != m["old"]).astype(np.int64)
+        return m[["node", "label", "changed"]]
+
+    import pyarrow.compute as _pc
+
+    def pc_cast_i64(col):
+        return _pc.cast(col, pa.int64())
+
+    for _ in range(max_rounds):
+        edges_leg = pairs.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+        jump_leg = L.map_batches(label_edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+        labels_leg = L.map_batches(label_rows, batch_format="pyarrow", zero_copy_batch=True)
+        msgs = (
+            edges_leg.union(jump_leg).union(labels_leg)
+            .groupby("ckey")
+            .map_groups(send, batch_format="pandas")
+        )
+        L2 = (
+            msgs.union(L.map_batches(self_rows, batch_format="pyarrow", zero_copy_batch=True))
+            .groupby("nkey")
+            .map_groups(take_min, batch_format="pandas")
+            .materialize()
+        )
+        changed = L2.sum("changed") or 0
+        # bound the label table's block count: unions + sorts otherwise
+        # compound blocks every round (measured 4s → 9s → 26s → 96s per
+        # round at 50 nodes purely from scheduling overhead)
+        L = (
+            L2.select_columns(["node", "label"])
+            .repartition(min(nc, 64), shuffle=False)
+            .materialize()
+        )
+        if changed == 0:
+            return L
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def _cc_endpoints(b: pa.Table) -> pa.Table:
+    a = b["doc_a"].to_numpy().astype(np.int64)
+    d = b["doc_b"].to_numpy().astype(np.int64)
+    u = np.unique(np.concatenate([a, d]))
+    return pa.table({"node": pa.array(u), "label": pa.array(u)})
+
+
+def near_dup_groups(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+    concurrency: int | None = None,
+    n_rows: int | None = None,
+):
+    """→ Dataset (doc_id, group_id): every doc labeled with the MIN doc id
+    of its near-dup cluster (exact n-gram Jaccard pairs ≥ threshold →
+    connected components); docs with no near-dup are their own group.
+    ``group_id == doc_id`` marks the canonical keeper — filtering on it
+    IS the "one doc per near-dup cluster" dedup pass."""
+    # materialize the shingle table FIRST: the pair DAG consumes it in two
+    # branches, and materializing a diamond over an un-materialized source
+    # deadlocks Ray 2.49's executor (see ngram_jaccard_pairs docstring)
+    doc_sh = _doc_shingles(ds, text_col, id_col, k, concurrency).materialize()
+    pairs = ngram_jaccard_pairs(
+        ds, text_col, id_col, k=k, threshold=threshold,
+        max_shingle_df=max_shingle_df, concurrency=concurrency,
+        n_rows=n_rows, collect=False, _doc_sh=doc_sh,
+    ).materialize()
+    comp = connected_components(pairs)
+    n_all = n_rows if n_rows is not None else ds.count()
+    nc = max(8, n_all // 2_000)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy()
+        return pa.table({
+            "node": pa.array(ids),
+            "label": pa.array(np.full(ids.size, -1, np.int64)),
+            "ckey": pa.array(_coarse_of_ids(ids, nc)),
+        })
+
+    def comp_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(b["node"], pa.int64()).to_numpy()
+        return pa.table({
+            "node": pa.array(ids),
+            "label": pc.cast(b["label"], pa.int64()),
+            "ckey": pa.array(_coarse_of_ids(ids, nc)),
+        })
+
+    def join_groups(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["label"] < 0]
+        labs = g[g["label"] >= 0]
+        out = docs[["node"]].merge(labs[["node", "label"]], on="node", how="left")
+        gid = out["label"].fillna(out["node"]).astype(np.int64)
+        return pd.DataFrame({"doc_id": out["node"].to_numpy(np.int64), "group_id": gid})
+
+    return (
+        ds.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(comp.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("ckey")
+        .map_groups(join_groups, batch_format="pandas")
+    )

@@ -333,3 +333,38 @@ def test_batch_shingle_hashes_matches_reference():
     a = shingle_hashes_ref(["x", "y", "z"], 3)
     b = shingle_hashes_ref(["z", "y", "x"], 3)
     assert not np.array_equal(a, b)
+
+
+def test_connected_components_and_near_dup_groups(ray_session):
+    """Near-dup clustering: distributed hash-min + pointer-jumping CC over
+    the pair graph; group_id = min doc id in the component (keep-one-per-
+    cluster dedup). DuckDB recursive-CTE oracle covers it at sf0.01
+    (near_dup_groups query); here: planted structure + a long path
+    (log-rounds convergence)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import connected_components, near_dup_groups
+
+    # components {1,2,3,4} (path), {10,11}
+    pairs = pa.table({"doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+                      "doc_b": pa.array([2, 3, 4, 11], pa.int64())})
+    lab = connected_components(rd.from_arrow(pairs)).to_pandas().sort_values("node")
+    assert dict(zip(lab["node"], lab["label"])) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # diameter-19 path converges (pointer jumping: O(log d) rounds, capped)
+    chain = pa.table({"doc_a": pa.array(np.arange(19), pa.int64()),
+                      "doc_b": pa.array(np.arange(1, 20), pa.int64())})
+    lab2 = connected_components(rd.from_arrow(chain), max_rounds=10).to_pandas()
+    assert (lab2["label"] == 0).all()
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [base, base + " extra", "totally different words entirely now",
+                 base, "another unique document body here"],
+    })
+    g = near_dup_groups(rd.from_arrow(docs), threshold=0.5).to_pandas().sort_values("doc_id")
+    assert dict(zip(g["doc_id"], g["group_id"])) == {0: 0, 1: 0, 2: 2, 3: 0, 4: 4}
+    # filtering group_id == doc_id keeps exactly one doc per cluster
+    keep = g[g["group_id"] == g["doc_id"]]
+    assert sorted(keep["doc_id"]) == [0, 2, 4]
