@@ -112,6 +112,36 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _quality_filter_sql() -> str:
+    from anomaly_detection_ray.functions.textstats import GOPHER_BOUNDS, QUALITY_STOPWORDS
+
+    b = GOPHER_BOUNDS
+    sw = ", ".join(f"'{w}'" for w in sorted(QUALITY_STOPWORDS))
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mlen,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS dratio,
+             len(list_filter(list_distinct(toks), x -> list_contains([{sw}], x))) AS stopword_hits,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END AS sratio
+      FROM t)
+SELECT doc_id, n_tokens,
+       round(mlen, 6) AS mean_token_len,
+       round(dratio, 6) AS distinct_ratio,
+       stopword_hits,
+       round(sratio, 6) AS symbol_ratio,
+       (n_tokens >= {b['min_tokens']} AND n_tokens <= {b['max_tokens']}
+        AND mlen >= {b['min_mean_len']} AND mlen <= {b['max_mean_len']}
+        AND dratio >= {b['min_distinct_ratio']} AND sratio <= {b['max_symbol_ratio']}
+        AND stopword_hits >= {b['min_stopword_hits']}) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def _near_dup_groups_sql() -> str:
     """The jaccard pair CTE (same candidate/df-cap semantics as
     ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
@@ -278,6 +308,7 @@ GROUP BY text ORDER BY doc_id
 """,
         "ngram_jaccard_dup": _jaccard_sql(),
         "near_dup_groups": _near_dup_groups_sql(),
+        "quality_filter": _quality_filter_sql(),
         "ann_cosine_topk": _ann_sql(0),
         "ann_ivf_topk": _ann_sql(IVF_QUERY_VEC_ID),
         "embedding_near_dup": """

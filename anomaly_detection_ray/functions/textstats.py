@@ -48,6 +48,65 @@ def token_stats(texts: list[str]) -> dict[str, np.ndarray]:
     return out
 
 
+# Gopher-style quality-filter rule bounds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1.1 — public heuristics),
+# adapted to the simple tokenizer so every rule has an exact SQL twin.
+GOPHER_BOUNDS = dict(
+    min_tokens=50,
+    max_tokens=100_000,
+    min_mean_len=3.0,
+    max_mean_len=10.0,
+    min_distinct_ratio=0.3,     # repetition filter: distinct/total tokens
+    max_symbol_ratio=0.25,      # non-alphanumeric, non-whitespace chars
+    min_stopword_hits=2,        # distinct english stopwords present
+)
+
+_SYMBOL_RE = None
+
+
+def quality_flags(texts: list[str], **overrides) -> dict[str, np.ndarray]:
+    """Gopher-rule quality filter: per-doc metrics + the keep decision.
+    Columns: n_tokens, mean_token_len, distinct_ratio, stopword_hits,
+    symbol_ratio, keep. Every metric/rule is SQL-expressible (oracle in
+    ``__ray_entry__._quality_filter_sql``)."""
+    import re
+
+    global _SYMBOL_RE
+    if _SYMBOL_RE is None:
+        _SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]")
+    b = dict(GOPHER_BOUNDS, **overrides)
+    n = len(texts)
+    out = {
+        "n_tokens": np.zeros(n, dtype=np.int64),
+        "mean_token_len": np.zeros(n, dtype=np.float64),
+        "distinct_ratio": np.zeros(n, dtype=np.float64),
+        "stopword_hits": np.zeros(n, dtype=np.int64),
+        "symbol_ratio": np.zeros(n, dtype=np.float64),
+    }
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _simple.tokens(t)
+        nt = len(toks)
+        out["n_tokens"][i] = nt
+        if nt:
+            out["mean_token_len"][i] = sum(map(len, toks)) / nt
+            distinct = set(toks)
+            out["distinct_ratio"][i] = len(distinct) / nt
+            out["stopword_hits"][i] = len(distinct & QUALITY_STOPWORDS)
+        if t:
+            out["symbol_ratio"][i] = len(_SYMBOL_RE.findall(t)) / len(t)
+    out["keep"] = (
+        (out["n_tokens"] >= b["min_tokens"])
+        & (out["n_tokens"] <= b["max_tokens"])
+        & (out["mean_token_len"] >= b["min_mean_len"])
+        & (out["mean_token_len"] <= b["max_mean_len"])
+        & (out["distinct_ratio"] >= b["min_distinct_ratio"])
+        & (out["symbol_ratio"] <= b["max_symbol_ratio"])
+        & (out["stopword_hits"] >= b["min_stopword_hits"])
+    )
+    return out
+
+
 def lang_id(texts: list[str]) -> list[str]:
     """argmax of per-language stopword hit counts (token multiset);
     ties → first profile in LANG_PROFILES order; zero hits → 'und'."""

@@ -420,6 +420,32 @@ def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rule quality filter (token count / mean length / repetition
+    / symbol ratio / stopword presence bounds — Rae et al. 2021 A1.1):
+    per-doc metrics + keep decision, value-exact vs the SQL twin."""
+    from ..functions.textstats import quality_flags
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        q = quality_flags(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(q["n_tokens"]),
+                "mean_token_len": pa.array(np.round(q["mean_token_len"], 6)),
+                "distinct_ratio": pa.array(np.round(q["distinct_ratio"], 6)),
+                "stopword_hits": pa.array(q["stopword_hits"]),
+                "symbol_ratio": pa.array(np.round(q["symbol_ratio"], 6)),
+                "keep": pa.array(q["keep"]),
+            }
+        )
+
+    out = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -851,6 +877,7 @@ REGISTRY = {
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
     "doc_token_stats": q_doc_token_stats,
+    "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,

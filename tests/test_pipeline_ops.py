@@ -368,3 +368,28 @@ def test_connected_components_and_near_dup_groups(ray_session):
     # filtering group_id == doc_id keeps exactly one doc per cluster
     keep = g[g["group_id"] == g["doc_id"]]
     assert sorted(keep["doc_id"]) == [0, 2, 4]
+
+
+def test_quality_flags_rules():
+    """Gopher-rule quality filter: each bound rejects its crafted doc."""
+    from anomaly_detection_ray.functions.textstats import quality_flags
+
+    # 60 distinct content words + stopwords: passes every bound
+    good = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    docs = [
+        good,                                    # passes all rules
+        "short doc only",                        # too few tokens
+        ("x " * 200).strip(),                    # mean token len 1 < 3
+        ("the " * 200).strip(),                  # distinct_ratio 1/200 < 0.3
+        good + "!@#$%^&*" * 300,                 # symbol ratio > 0.25
+        (" ".join(f"palabra{i:02d}" for i in range(60))),  # no english stopwords
+        "",                                      # empty
+    ]
+    q = quality_flags(docs)
+    assert list(q["keep"]) == [True, False, False, False, False, False, False]
+    assert q["n_tokens"][0] == 68 and q["stopword_hits"][0] >= 2
+    assert q["symbol_ratio"][4] > 0.25
+    assert q["distinct_ratio"][3] < 0.3
+    # override loosens a bound
+    q2 = quality_flags(["short doc only"], min_tokens=1, min_stopword_hits=0)
+    assert bool(q2["keep"][0])
