@@ -124,6 +124,14 @@ class QueryEngine:
         self._postings_cache: OrderedDict[str, tuple] = OrderedDict()
         self._postings_cache_bytes = 0
         self._postings_cache_cap = int(postings_cache_bytes)
+        # per-BLOCK decoded cache for the PRUNED path (LRU, byte-capped):
+        # pruning touches only the blocks that can beat theta, so caching
+        # whole terms wastes budget — repeated query vocab re-decodes just
+        # the few competitive blocks. Keyed (term, chunk first_doc, block):
+        # stable across queries, unique within the index.
+        self._block_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._block_cache_bytes = 0
+        self._block_cache_cap = int(postings_cache_bytes) // 2
 
     # ---------- postings access ----------
 
@@ -263,9 +271,20 @@ class QueryEngine:
             hit = block_cache.get(key)
             if hit is None:
                 row = rows[ri]
-                w = float(bm25_idf(self.df(row["term"]), self.n_docs))
-                docs, tfs, dls = decode_block(row, bi)
-                hit = (docs, w * tf_norm(tfs, dls, self.avgdl))
+                pkey = (row["term"], row["first_doc"], bi)
+                hit = self._block_cache.get(pkey)
+                if hit is not None:
+                    self._block_cache.move_to_end(pkey)
+                else:
+                    w = float(bm25_idf(self.df(row["term"]), self.n_docs))
+                    docs, tfs, dls = decode_block(row, bi)
+                    hit = (docs, w * tf_norm(tfs, dls, self.avgdl))
+                    self._block_cache[pkey] = hit
+                    self._block_cache_bytes += hit[0].nbytes * 2
+                    while (self._block_cache_bytes > self._block_cache_cap
+                           and len(self._block_cache) > 1):
+                        _, (d, _) = self._block_cache.popitem(last=False)
+                        self._block_cache_bytes -= d.nbytes * 2
                 block_cache[key] = hit
             return hit
 
