@@ -142,6 +142,82 @@ FROM m ORDER BY doc_id
 """
 
 
+def _corpus_clean_sql() -> str:
+    """Three-stage twin of ``pipelines.clean.corpus_clean``: the quality
+    CTE (same bounds), exact dedup via a min-id window over identical
+    text among quality survivors, the jaccard pair CTE at threshold 0.5
+    over the exact survivors, and the recursive transitive closure."""
+    from anomaly_detection_ray.functions.textstats import GOPHER_BOUNDS, QUALITY_STOPWORDS
+
+    b = GOPHER_BOUNDS
+    sw = ", ".join(f"'{w}'" for w in sorted(QUALITY_STOPWORDS))
+    return f"""
+WITH RECURSIVE
+qt AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+qm AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mlen,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS dratio,
+             len(list_filter(list_distinct(toks), x -> list_contains([{sw}], x))) AS stopword_hits,
+             CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END AS sratio
+      FROM qt),
+q AS (SELECT doc_id,
+             (n_tokens >= {b['min_tokens']} AND n_tokens <= {b['max_tokens']}
+              AND mlen >= {b['min_mean_len']} AND mlen <= {b['max_mean_len']}
+              AND dratio >= {b['min_distinct_ratio']} AND sratio <= {b['max_symbol_ratio']}
+              AND stopword_hits >= {b['min_stopword_hits']}) AS keep
+      FROM qm),
+ek AS (SELECT d.doc_id, min(d.doc_id) OVER (PARTITION BY d.text) AS keeper
+       FROM documents d JOIN q USING (doc_id) WHERE q.keep),
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM ek WHERE doc_id = keeper)),
+idx AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+                                   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE list_transform(generate_series(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+        FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM idx),
+dfq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b USING (shingle) JOIN dfq USING (shingle)
+         WHERE dfq.c <= 50 AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS gid FROM walk GROUP BY node)
+SELECT d.doc_id,
+       CASE WHEN NOT q.keep THEN 'quality'
+            WHEN ek.doc_id != ek.keeper THEN 'exact_dup'
+            WHEN cc.gid < d.doc_id THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN NOT q.keep THEN -1
+            WHEN ek.doc_id != ek.keeper THEN ek.keeper
+            ELSE cc.gid END AS group_id
+FROM documents d
+JOIN q USING (doc_id)
+LEFT JOIN ek ON ek.doc_id = d.doc_id
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _near_dup_groups_sql() -> str:
     """The jaccard pair CTE (same candidate/df-cap semantics as
     ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
@@ -309,6 +385,7 @@ GROUP BY text ORDER BY doc_id
         "ngram_jaccard_dup": _jaccard_sql(),
         "near_dup_groups": _near_dup_groups_sql(),
         "quality_filter": _quality_filter_sql(),
+        "corpus_clean": _corpus_clean_sql(),
         "ann_cosine_topk": _ann_sql(0),
         "ann_ivf_topk": _ann_sql(IVF_QUERY_VEC_ID),
         "embedding_near_dup": """
@@ -322,6 +399,26 @@ c AS (SELECT va AS vec_a, vb AS vec_b, d / (na.n * nb.n) AS cos
       FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
 SELECT vec_a, vec_b, round(cos, 6) AS cosine_r FROM c
 WHERE cos >= 0.4 ORDER BY vec_a, vec_b
+""",
+        "embedding_dedup_groups": """
+WITH RECURSIVE
+x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM x GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS d
+         FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+pairs AS (SELECT va AS vec_a, vb AS vec_b
+          FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+          WHERE d / (na.n * nb.n) >= 0.4),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS vec_id, min(label) AS group_id FROM walk GROUP BY node ORDER BY vec_id
 """,
         "impute_linear": """
 WITH w AS (

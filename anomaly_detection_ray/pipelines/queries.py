@@ -446,6 +446,21 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_corpus_clean(sf_dir: str) -> pd.DataFrame:
+    """Flagship corpus-cleaning composition: Gopher quality filter →
+    exact dedup → near-dup connected components → per-doc disposition
+    (kept / quality / exact_dup / near_dup + group_id). Value-exact vs
+    the three-stage SQL twin (``_corpus_clean_sql``)."""
+    from .clean import corpus_clean
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"], override_num_blocks=16)
+    ids = _rd().read_parquet(path, columns=["doc_id"], override_num_blocks=4)
+    out = corpus_clean(ds, ids=ids, threshold=0.5).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "status": "str", "group_id": "int64"})
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -585,6 +600,31 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     out = out.rename(columns={"cosine": "cosine_r"})
     return _round(out.astype({"vec_a": "int64", "vec_b": "int64"}), {"cosine_r": 6})
+
+
+def q_embedding_dedup_groups(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup CLUSTERING: exact cosine ≥ τ pair graph
+    (block-pair tiling) → distributed connected components → every
+    vector labeled with its cluster's min vec_id (keep-one-per-cluster
+    embedding dedup). Recursive-CTE oracle mirrors pairs + closure."""
+    from ..stages.ann import embedding_near_dup_pairs
+    from ..stages.dedup import attach_group_labels, connected_components
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = _rd().read_parquet(path)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.4)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": pc.cast(b["vec_a"], pa.int64()),
+                         "doc_b": pc.cast(b["vec_b"], pa.int64())})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    )
+    ids = _rd().read_parquet(path, columns=["vec_id"])
+    out = attach_group_labels(ids, comp, id_col="vec_id", out_id_col="vec_id").to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return out.astype({"vec_id": "int64", "group_id": "int64"})
 
 
 def q_embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
@@ -878,6 +918,8 @@ REGISTRY = {
     "term_stats": q_term_stats,
     "doc_token_stats": q_doc_token_stats,
     "quality_filter": q_quality_filter,
+    "corpus_clean": q_corpus_clean,
+    "embedding_dedup_groups": q_embedding_dedup_groups,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,

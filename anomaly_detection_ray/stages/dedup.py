@@ -96,7 +96,8 @@ def _doc_shingles(ds, text_col: str, id_col: str, k: int, concurrency=None):
     )
 
 
-def _verify_pairs_exact(doc_sh, cand, threshold: float, n_rows: int | None = None) -> "object":
+def _verify_pairs_exact(doc_sh, cand, threshold: float, n_rows: int | None = None,
+                        min_shared: int = 1) -> "object":
     """Exact-Jaccard verification of candidate pairs over the docs' FULL
     distinct-shingle sets — Dataset end-to-end (the round-2 version
     collected the candidate list to the driver between generation and
@@ -113,9 +114,39 @@ def _verify_pairs_exact(doc_sh, cand, threshold: float, n_rows: int | None = Non
     the driver-built ``is_in`` value set). A second coarse co-group on
     hash(doc_a, doc_b) computes |A∩B| / |A∪B| per pair with sorted-array
     intersects; duplicate candidates dedupe there
-    (``drop_duplicates('side')``). No driver round-trip anywhere; coarse
-    reducer memory is its ~2000 docs' shingle arrays."""
+    No driver round-trip anywhere; coarse reducer memory is its ~2000
+    docs' shingle arrays.
+
+    ``cand`` may contain the same pair many times (candidate generation
+    re-emits a pair once per shared shingle / LSH band); the first step
+    collapses it to DISTINCT pairs with a shared-count — an 8-byte-key
+    shuffle that keeps the duplicates OUT of the expensive array-bearing
+    attach join (426k instances → 30k pairs at the 5k-doc bench shape).
+    ``min_shared`` additionally drops pairs sharing fewer than that many
+    qualifying shingles — a declared semantic parameter (mirror it in
+    any SQL twin via GROUP BY pair HAVING count(*) >= m)."""
     n_coarse = max(32, (n_rows if n_rows is not None else doc_sh.count()) // 2_000)
+
+    # distinct-pair pre-aggregation via the same coarse-pair-hash co-group
+    # used below (Ray's native multi-key groupby is a full sort shuffle —
+    # measured 139 s on 426k rows at this shape vs <1 s for this pattern)
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        a_ = b["doc_a"].to_numpy().astype(np.int64)
+        d_ = b["doc_b"].to_numpy().astype(np.int64)
+        return pa.table({"doc_a": pa.array(a_), "doc_b": pa.array(d_),
+                         "dkey": pa.array(_coarse_of_pairs(a_, d_, n_coarse))})
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="n_shared")
+        if min_shared > 1:
+            m = m[m["n_shared"] >= min_shared]
+        return m[["doc_a", "doc_b"]]
+
+    cand = (
+        cand.map_batches(add_pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dkey")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )
 
     def pairs_leg(b: pa.Table) -> pa.Table:
         da = b["doc_a"].to_numpy().astype(np.int64)
@@ -156,22 +187,37 @@ def _verify_pairs_exact(doc_sh, cand, threshold: float, n_rows: int | None = Non
         return out
 
     def jaccard_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # candidates are distinct upstream → exactly one row per (pair,
+        # side); vectorized lexsort segmentation replaces a per-pair
+        # pandas groupby (the old Python loop was the verify hot spot)
         empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                               "doc_b": pd.Series(dtype="int64"),
                               "jaccard": pd.Series(dtype="float64")})
+        if not len(g):
+            return empty
+        a = g["doc_a"].to_numpy(np.int64)
+        b = g["doc_b"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int32)
+        sh = g["shingles"].to_numpy()
+        order = np.lexsort((s, b, a))
+        a, b, s, sh = a[order], b[order], s[order], sh[order]
+        new = np.empty(a.size, bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], a.size)
         out_a, out_b, out_j = [], [], []
-        for (da, db), gg in g.groupby(["doc_a", "doc_b"], sort=False):
-            gg = gg.drop_duplicates("side").sort_values("side")
-            if len(gg) != 2:
+        for st, en in zip(starts, ends):
+            if en - st != 2 or s[st] == s[st + 1]:
                 continue
-            a_s = np.asarray(gg["shingles"].iloc[0], dtype=np.int64)
-            b_s = np.asarray(gg["shingles"].iloc[1], dtype=np.int64)
+            a_s = np.asarray(sh[st], dtype=np.int64)
+            b_s = np.asarray(sh[st + 1], dtype=np.int64)
             inter = np.intersect1d(a_s, b_s, assume_unique=True).size
             union = a_s.size + b_s.size - inter
             ja = inter / union if union else 1.0
             if ja >= threshold:
-                out_a.append(int(da))
-                out_b.append(int(db))
+                out_a.append(int(a[st]))
+                out_b.append(int(b[st]))
                 out_j.append(ja)
         if not out_a:
             return empty
@@ -226,12 +272,13 @@ def ngram_jaccard_pairs(
     concurrency: int | None = None,
     n_rows: int | None = None,
     collect: bool = True,
+    min_shared: int = 1,
     _doc_sh=None,
 ):
-    """→ (doc_a, doc_b, jaccard): candidate pairs share ≥1 shingle with
-    df ≤ max_shingle_df (the frequency-stop — hot shingles carry no
-    dedup signal but quadratic pair cost), then exact Jaccard over the
-    docs' FULL distinct-shingle sets, kept when ≥ threshold.
+    """→ (doc_a, doc_b, jaccard): candidate pairs share ≥ ``min_shared``
+    shingles with df ≤ max_shingle_df (the frequency-stop — hot shingles
+    carry no dedup signal but quadratic pair cost), then exact Jaccard
+    over the docs' FULL distinct-shingle sets, kept when ≥ threshold.
 
     Everything runs as Datasets end-to-end: explode → coarse-bucketed
     candidate generation → distributed verify join; only the final
@@ -287,7 +334,7 @@ def ngram_jaccard_pairs(
         .groupby("ckey")
         .map_groups(pairs_of_coarse, batch_format="pandas")
     )
-    verified = _verify_pairs_exact(doc_sh, cand, threshold, n_rows=n_all)
+    verified = _verify_pairs_exact(doc_sh, cand, threshold, n_rows=n_all, min_shared=min_shared)
     return _collect_pairs(verified) if collect else verified
 
 
@@ -385,8 +432,8 @@ def minhash_near_dup_pairs(
         .groupby("ckey")
         .map_groups(pairs_of_coarse, batch_format="pandas")
     )
-    # cross-band duplicate candidates dedupe inside the verify's pair
-    # co-group (drop_duplicates('side')) — no driver collection
+    # cross-band duplicate candidates dedupe in the verify's distinct-
+    # pair pre-aggregation — no driver collection
     verified = _verify_pairs_exact(doc_sh, cand, threshold, n_rows=n_all)
     return _collect_pairs(verified) if collect else verified
 
@@ -508,7 +555,27 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
 
 # ---------------- near-dup grouping (connected components) ----------------
 
-def connected_components(pairs, max_rounds: int = 32, n_coarse: int | None = None):
+def _cc_one_block(b: pa.Table) -> pa.Table:
+    """In-memory connected components of one edge block: vectorized
+    hash-min + pointer jumping over index arrays (no Python per-edge
+    loop). Exact; used for pair graphs under the small-graph threshold."""
+    a = b["doc_a"].to_numpy().astype(np.int64)
+    d = b["doc_b"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, d]), return_inverse=True)
+    ai, di = inv[: a.size], inv[a.size:]
+    label = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        prev = label.copy()
+        np.minimum.at(label, ai, label[di])
+        np.minimum.at(label, di, label[ai])
+        label = np.minimum(label, label[label])  # pointer jump
+        if np.array_equal(label, prev):
+            break
+    return pa.table({"node": pa.array(nodes), "label": pa.array(nodes[label])})
+
+
+def connected_components(pairs, max_rounds: int = 32, n_coarse: int | None = None,
+                         small_graph_rows: int = 2_000_000):
     """→ Dataset (node, label): label = MIN doc id in the node's connected
     component of the pair graph — the clustering step of "keep one doc
     per near-dup group".
@@ -527,8 +594,28 @@ def connected_components(pairs, max_rounds: int = 32, n_coarse: int | None = Non
 
     Only nodes that appear in ``pairs`` are labeled (singletons are
     trivially their own component — callers join them back, see
-    :func:`near_dup_groups`)."""
+    :func:`near_dup_groups`).
+
+    Pair graphs at or under ``small_graph_rows`` edges take a one-task
+    fast path instead (:func:`_cc_one_block` — vectorized in-memory
+    pointer jumping inside a single worker): near-dup edge sets are
+    bounded by the dup rate, not the corpus, so even petabyte corpora
+    usually produce graphs far below this threshold, and the iterative
+    path's per-round shuffle overhead dominates its runtime there. At
+    the 2M-edge default the single block is ~32 MB. Set
+    ``small_graph_rows=0`` to force the iterative path (tests do)."""
     from ray.data.aggregate import Min, Sum
+
+    n_pairs = pairs.count()
+    if n_pairs <= small_graph_rows:
+        import ray.data as _rd
+
+        if n_pairs == 0:
+            return _rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                            "label": pa.array([], pa.int64())}))
+        return pairs.repartition(1, shuffle=False).map_batches(
+            _cc_one_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
 
     L = (
         pairs.map_batches(_cc_endpoints, batch_format="pyarrow", zero_copy_batch=True)
@@ -656,6 +743,7 @@ def near_dup_groups(
     max_shingle_df: int = 50,
     concurrency: int | None = None,
     n_rows: int | None = None,
+    min_shared: int = 1,
 ):
     """→ Dataset (doc_id, group_id): every doc labeled with the MIN doc id
     of its near-dup cluster (exact n-gram Jaccard pairs ≥ threshold →
@@ -669,9 +757,18 @@ def near_dup_groups(
     pairs = ngram_jaccard_pairs(
         ds, text_col, id_col, k=k, threshold=threshold,
         max_shingle_df=max_shingle_df, concurrency=concurrency,
-        n_rows=n_rows, collect=False, _doc_sh=doc_sh,
+        n_rows=n_rows, collect=False, min_shared=min_shared, _doc_sh=doc_sh,
     ).materialize()
     comp = connected_components(pairs)
+    return attach_group_labels(ds, comp, id_col=id_col, n_rows=n_rows)
+
+
+def attach_group_labels(ds, comp, id_col: str = "doc_id", n_rows: int | None = None,
+                        out_id_col: str = "doc_id"):
+    """→ Dataset (out_id_col, group_id): every id in ``ds`` labeled with
+    its component's min id from ``comp`` (node, label); ids absent from
+    ``comp`` (singletons — no pair touched them) label themselves. One
+    coarse-keyed co-group shuffle of 8-byte ids."""
     n_all = n_rows if n_rows is not None else ds.count()
     nc = max(8, n_all // 2_000)
 
@@ -700,7 +797,7 @@ def near_dup_groups(
         labs = g[g["label"] >= 0]
         out = docs[["node"]].merge(labs[["node", "label"]], on="node", how="left")
         gid = out["label"].fillna(out["node"]).astype(np.int64)
-        return pd.DataFrame({"doc_id": out["node"].to_numpy(np.int64), "group_id": gid})
+        return pd.DataFrame({out_id_col: out["node"].to_numpy(np.int64), "group_id": gid})
 
     return (
         ds.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)

@@ -75,22 +75,23 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
     return out_dir
 
 
-def _write_replacing_partitions(ds, out_dir: str) -> None:
-    """Date-partitioned write with PARTITION REPLACEMENT: the run streams
-    ONCE into a staging directory, then each staged ``result_date=`` dir
-    atomically swaps into place (old partition removed first) — rerunning
-    a day replaces it instead of appending duplicate files, with no
-    materialization and no double execution of the pipeline (the
-    rollover/replace semantics the reference gets from index management)."""
+def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_date") -> None:
+    """Partitioned write with PARTITION REPLACEMENT: the run streams
+    ONCE into a staging directory, then each staged ``<partition_col>=``
+    dir atomically swaps into place (old partition removed first) —
+    rerunning a partition replaces it instead of appending duplicate
+    files, with no materialization and no double execution of the
+    pipeline (the rollover/replace semantics the reference gets from
+    index management)."""
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, f".staging-{os.getpid()}")
     shutil.rmtree(staging, ignore_errors=True)
     try:
-        ds.write_parquet(staging, partition_cols=["result_date"])
+        ds.write_parquet(staging, partition_cols=[partition_col])
         for name in sorted(os.listdir(staging)):
-            if not name.startswith("result_date="):
+            if not name.startswith(f"{partition_col}="):
                 continue
             dst = os.path.join(out_dir, name)
             shutil.rmtree(dst, ignore_errors=True)

@@ -345,17 +345,25 @@ def test_connected_components_and_near_dup_groups(ray_session):
 
     from anomaly_detection_ray.stages.dedup import connected_components, near_dup_groups
 
-    # components {1,2,3,4} (path), {10,11}
+    # components {1,2,3,4} (path), {10,11} — BOTH paths must agree:
+    # the small-graph one-task fast path and the iterative hash-min
     pairs = pa.table({"doc_a": pa.array([1, 2, 3, 10], pa.int64()),
                       "doc_b": pa.array([2, 3, 4, 11], pa.int64())})
-    lab = connected_components(rd.from_arrow(pairs)).to_pandas().sort_values("node")
-    assert dict(zip(lab["node"], lab["label"])) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for sgr in (2_000_000, 0):
+        lab = connected_components(rd.from_arrow(pairs), small_graph_rows=sgr)
+        lab = lab.to_pandas().sort_values("node")
+        assert dict(zip(lab["node"], lab["label"])) == expect, f"small_graph_rows={sgr}"
 
-    # diameter-19 path converges (pointer jumping: O(log d) rounds, capped)
+    # diameter-19 path converges on the ITERATIVE path too (pointer
+    # jumping: O(log d) rounds, capped)
     chain = pa.table({"doc_a": pa.array(np.arange(19), pa.int64()),
                       "doc_b": pa.array(np.arange(1, 20), pa.int64())})
-    lab2 = connected_components(rd.from_arrow(chain), max_rounds=10).to_pandas()
+    lab2 = connected_components(rd.from_arrow(chain), max_rounds=10,
+                                small_graph_rows=0).to_pandas()
     assert (lab2["label"] == 0).all()
+    lab3 = connected_components(rd.from_arrow(chain)).to_pandas()
+    assert (lab3["label"] == 0).all()
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = pa.table({
@@ -393,3 +401,63 @@ def test_quality_flags_rules():
     # override loosens a bound
     q2 = quality_flags(["short doc only"], min_tokens=1, min_stopword_hits=0)
     assert bool(q2["keep"][0])
+
+
+def test_corpus_clean_dispositions(ray_session):
+    """Flagship cleaning pipeline: quality filter -> exact dedup ->
+    near-dup CC -> one disposition row per doc. Planted corpus hits all
+    four statuses; sf0.01 value-parity is the corpus_clean oracle row."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import corpus_clean
+
+    good = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    near = good + " trailing extra words appended here"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            good,              # kept (canonical)
+            good,              # exact_dup of 0
+            near,              # near_dup of 0 (high jaccard, not identical)
+            "short doc only",  # quality reject
+            "the of and is was be are " + " ".join(f"uniq{i:03d}" for i in range(70)),  # kept, distinct
+        ],
+    })
+    out = corpus_clean(rd.from_arrow(docs), threshold=0.5).to_pandas().sort_values("doc_id")
+    got = list(zip(out["doc_id"], out["status"], out["group_id"]))
+    assert got == [
+        (0, "kept", 0),
+        (1, "exact_dup", 0),
+        (2, "near_dup", 0),
+        (3, "quality", -1),
+        (4, "kept", 4),
+    ]
+
+    # loosened bounds pull doc 3 back in as its own kept group
+    out2 = corpus_clean(rd.from_arrow(docs), threshold=0.5,
+                        bounds=dict(min_tokens=1, min_stopword_hits=0)).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["status"]))[3] == "kept"
+
+
+def test_clean_and_write_kept_corpus(ray_session, tmp_path):
+    """clean_and_write persists exactly the kept docs, hash-sharded;
+    rerunning over the same input reproduces the same layout."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import clean_and_write
+
+    good = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [good, good, "short doc only"],
+    })
+    out = str(tmp_path / "clean")
+    res = clean_and_write(rd.from_arrow(docs), out, n_shards=4, threshold=0.5)
+    assert res == {"kept": 1, "total": 3}
+    t = pads.dataset(out, partitioning="hive").to_table()
+    assert t.num_rows == 1 and t["doc_id"][0].as_py() == 0
+    # idempotent rerun
+    res2 = clean_and_write(rd.from_arrow(docs), out, n_shards=4, threshold=0.5)
+    assert res2 == res
+    assert pads.dataset(out, partitioning="hive").count_rows() == 1
