@@ -386,6 +386,19 @@ GROUP BY text ORDER BY doc_id
         "near_dup_groups": _near_dup_groups_sql(),
         "quality_filter": _quality_filter_sql(),
         "corpus_clean": _corpus_clean_sql(),
+        "decontaminate": """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
+                                 WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                                 ELSE list_transform(generate_series(1, len(toks) - 7),
+                                                     i -> array_to_string(toks[i:i+7], ' ')) END) AS shingle
+      FROM t),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM w),
+bsh AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 25 = 0),
+ov AS (SELECT d.doc_id, count(*) AS n FROM dsh d JOIN bsh USING (shingle) GROUP BY d.doc_id)
+SELECT t.doc_id, coalesce(ov.n, 0) AS n_overlap, coalesce(ov.n, 0) >= 1 AS contaminated
+FROM t LEFT JOIN ov USING (doc_id) ORDER BY t.doc_id
+""",
         "ann_cosine_topk": _ann_sql(0),
         "ann_ivf_topk": _ann_sql(IVF_QUERY_VEC_ID),
         "embedding_near_dup": """

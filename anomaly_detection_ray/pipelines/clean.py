@@ -54,6 +54,7 @@ def corpus_clean(
     k: int = 3,
     max_shingle_df: int = 50,
     min_shared: int = 2,
+    pair_backend: str = "exact",
     bounds: dict | None = None,
     concurrency=None,
     n_rows: int | None = None,
@@ -184,12 +185,24 @@ def corpus_clean(
     # min_shared=2 default: a qualifying pair at threshold 0.5 over
     # ≥50-token docs shares ≥24 shingles, so requiring 2 low-df shared
     # shingles costs no recall while pruning the generic-shingle
-    # candidate flood (mirrored in the SQL twin's HAVING clause)
-    groups = near_dup_groups(
-        SE, text_col, "doc_id", k=k, threshold=threshold,
-        max_shingle_df=max_shingle_df, concurrency=concurrency, n_rows=n_se,
-        min_shared=min_shared,
-    )
+    # candidate flood (mirrored in the SQL twin's HAVING clause).
+    # pair_backend='minhash' swaps in LSH candidate generation — the
+    # 10^12-doc path (probabilistic recall; no SQL twin — pytest-covered)
+    if pair_backend == "exact":
+        groups = near_dup_groups(
+            SE, text_col, "doc_id", k=k, threshold=threshold,
+            max_shingle_df=max_shingle_df, concurrency=concurrency, n_rows=n_se,
+            min_shared=min_shared,
+        )
+    elif pair_backend == "minhash":
+        from ..stages.dedup import near_dup_groups_minhash
+
+        groups = near_dup_groups_minhash(
+            SE, text_col, "doc_id", k=k, threshold=threshold,
+            concurrency=concurrency, n_rows=n_se,
+        )
+    else:
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
 
     # ---- resolve: one status row per input doc ----
     # Default leg gives every doc 'quality'; the exact/near legs override

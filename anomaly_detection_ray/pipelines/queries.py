@@ -446,6 +446,24 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥1 distinct
+    8-token shingle with the benchmark subset (doc_id % 25 == 0 — a
+    deterministic stand-in for an eval set). Broadcast small side, one
+    stateless corpus pass, no shuffle; value-exact vs the SQL twin."""
+    from ..stages.dedup import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"])
+    bench = _rd().read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 25 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = decontaminate(ds, bench, k=8, min_overlap=1).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_overlap": "int64", "contaminated": "bool"})
+
+
 def q_corpus_clean(sf_dir: str) -> pd.DataFrame:
     """Flagship corpus-cleaning composition: Gopher quality filter →
     exact dedup → near-dup connected components → per-doc disposition
@@ -920,6 +938,7 @@ REGISTRY = {
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,

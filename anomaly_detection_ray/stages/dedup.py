@@ -381,15 +381,18 @@ def minhash_near_dup_pairs(
     concurrency: int | None = None,
     n_rows: int | None = None,
     collect: bool = True,
+    _doc_sh=None,
 ):
     """LSH candidates → exact-Jaccard verification → (doc_a, doc_b, jaccard).
 
     Dataset end-to-end: the shared shingle-id stage feeds both the band
     leg (signatures) and the verify leg (full shingle sets); candidates
     flow straight into the distributed doc-id-keyed verify join
-    (``_verify_pairs_exact``) — no driver round-trip, no text fetch."""
+    (``_verify_pairs_exact``) — no driver round-trip, no text fetch.
+    Pass a MATERIALIZED ``_doc_sh`` when the returned Dataset will be
+    ``materialize()``d (same Ray 2.49 diamond caveat as the ngram path)."""
     concurrency = pool(concurrency)
-    doc_sh = _doc_shingles(ds, text_col, id_col, k, concurrency)
+    doc_sh = _doc_sh if _doc_sh is not None else _doc_shingles(ds, text_col, id_col, k, concurrency)
     bands = doc_sh.map_batches(
         _MinHashBands,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, n_bands=n_bands, seed=seed),
@@ -551,6 +554,87 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
         )
     pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pairs.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}), preserve_index=False)
+
+
+# ---------------- decontamination (benchmark-overlap removal) ----------------
+
+class _OverlapCount:
+    """Counts each doc's distinct k-shingles that appear in the broadcast
+    benchmark shingle set. The set ships ONCE via ``ray.put`` and each
+    pool actor fetches it once in ``__init__`` (zero-copy plasma read),
+    never per batch."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, k: int):
+        import ray
+
+        self.bench = bench_ref if isinstance(bench_ref, np.ndarray) else ray.get(bench_ref)
+        self.sh = _ShingleHashes(text_col, id_col, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.sh(batch)
+        lst = t["shingles"].combine_chunks()
+        vals = lst.values.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if vals.size:
+            # int64: np.add.reduceat over a BOOL array computes logical
+            # OR per segment, not counts
+            hit = np.isin(vals, self.bench, assume_unique=False).astype(np.int64)
+            # clip: reduceat rejects start == len(hit) (empty trailing docs);
+            # empty segments are zeroed right after
+            idx = np.minimum(offs[:-1], vals.size - 1)
+            n_overlap = np.add.reduceat(hit, idx)
+            n_overlap = np.where(np.diff(offs) > 0, n_overlap, 0).astype(np.int64)
+        else:
+            n_overlap = np.zeros(len(t["doc_id"]), np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_overlap": pa.array(n_overlap),
+        })
+
+
+def decontaminate(ds, bench_ds, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8, min_overlap: int = 1, concurrency=None):
+    """Training-data DECONTAMINATION: flag corpus docs whose distinct
+    k-token shingle sets overlap a benchmark/eval set's shingles in ≥
+    ``min_overlap`` positions (the n-gram-collision test-set-removal
+    pass of public LLM data pipelines, e.g. GPT-3 App. C / PaLM-style
+    13-gram checks — here k=8 by default, tunable).
+
+    → Dataset (doc_id, n_overlap, contaminated). The benchmark side is
+    assumed SMALL (that's what benchmarks are): its distinct shingle
+    hashes are computed distributed, then collected and broadcast via
+    ``ray.put`` — the corpus side streams through one stateless
+    map_batches with NO shuffle at all. Deterministic; exact twin in SQL
+    via the same windowed-shingle construction."""
+    import ray
+
+    bsh = (
+        _doc_shingles(bench_ds, text_col, id_col, k, concurrency)
+        .map_batches(
+            lambda b: pa.table({"s": pa.array(np.unique(
+                b["shingles"].combine_chunks().values.to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    bench = np.unique(bsh["s"].to_numpy(np.int64))
+    ref = ray.put(bench)
+
+    out = ds.map_batches(
+        _OverlapCount,
+        fn_constructor_kwargs=dict(bench_ref=ref, text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+    mo = int(min_overlap)
+
+    def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column("contaminated", pc.greater_equal(b["n_overlap"], mo))
+
+    return out.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------- near-dup grouping (connected components) ----------------
@@ -758,6 +842,36 @@ def near_dup_groups(
         ds, text_col, id_col, k=k, threshold=threshold,
         max_shingle_df=max_shingle_df, concurrency=concurrency,
         n_rows=n_rows, collect=False, min_shared=min_shared, _doc_sh=doc_sh,
+    ).materialize()
+    comp = connected_components(pairs)
+    return attach_group_labels(ds, comp, id_col=id_col, n_rows=n_rows)
+
+
+def near_dup_groups_minhash(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    concurrency: int | None = None,
+    n_rows: int | None = None,
+):
+    """MinHash+LSH flavor of :func:`near_dup_groups` — identical output
+    contract (doc_id, group_id), probabilistic recall: candidate pairs
+    come from LSH banding instead of the exact shared-shingle join, so
+    clusters can miss pairs LSH doesn't surface (tunable via
+    n_hashes/n_bands). This is the 10^12-doc path: banding replaces the
+    exact candidate join's shingle-keyed pair explosion with a
+    bounded-signature shuffle; every surfaced pair is still
+    exact-Jaccard verified before clustering."""
+    doc_sh = _doc_shingles(ds, text_col, id_col, k, concurrency).materialize()
+    pairs = minhash_near_dup_pairs(
+        ds, text_col, id_col, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        threshold=threshold, seed=seed, concurrency=concurrency,
+        n_rows=n_rows, collect=False, _doc_sh=doc_sh,
     ).materialize()
     comp = connected_components(pairs)
     return attach_group_labels(ds, comp, id_col=id_col, n_rows=n_rows)

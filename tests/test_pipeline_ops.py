@@ -461,3 +461,50 @@ def test_clean_and_write_kept_corpus(ray_session, tmp_path):
     res2 = clean_and_write(rd.from_arrow(docs), out, n_shards=4, threshold=0.5)
     assert res2 == res
     assert pads.dataset(out, partitioning="hive").count_rows() == 1
+
+
+def test_decontaminate_overlap(ray_session):
+    """Benchmark decontamination: shared 8-gram flags the doc, disjoint
+    text does not; min_overlap raises the bar; short docs safe."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "x " + bench_text + " y",          # contains the benchmark 8-grams
+            "totally different content with no shared window at all here",
+            "",                                 # empty
+            "alpha beta gamma",                 # shares tokens but no 8-gram window
+        ],
+    })
+    bench = pa.table({"doc_id": pa.array([100], pa.int64()), "text": [bench_text]})
+    out = decontaminate(rd.from_arrow(corpus), rd.from_arrow(bench), k=8).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [True, False, False, False]
+    assert out["n_overlap"].iloc[0] == 3  # windows 1-8, 2-9, 3-10 of the 10-token bench doc
+    # min_overlap bar
+    out2 = decontaminate(rd.from_arrow(corpus), rd.from_arrow(bench), k=8, min_overlap=4).to_pandas()
+    assert not out2.sort_values("doc_id")["contaminated"].any()
+
+
+def test_corpus_clean_minhash_backend(ray_session):
+    """pair_backend='minhash' (LSH candidates, exact-verified) agrees
+    with the exact backend on a planted high-jaccard corpus."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import corpus_clean
+
+    good = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    near = good + " tail words"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [good, near,
+                 "the of and is was be are " + " ".join(f"uniq{i:03d}" for i in range(70))],
+    })
+    exact = corpus_clean(rd.from_arrow(docs), threshold=0.8).to_pandas().sort_values("doc_id")
+    mh = corpus_clean(rd.from_arrow(docs), threshold=0.8,
+                      pair_backend="minhash").to_pandas().sort_values("doc_id")
+    assert list(exact["status"]) == list(mh["status"]) == ["kept", "near_dup", "kept"]
+    assert list(mh["group_id"]) == [0, 0, 2]
