@@ -508,3 +508,18 @@ def test_corpus_clean_minhash_backend(ray_session):
                       pair_backend="minhash").to_pandas().sort_values("doc_id")
     assert list(exact["status"]) == list(mh["status"]) == ["kept", "near_dup", "kept"]
     assert list(mh["group_id"]) == [0, 0, 2]
+
+
+def test_corpus_clean_degenerate_inputs(ray_session):
+    """Empty corpus and all-rejected corpus both produce clean results."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import corpus_clean
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    assert len(corpus_clean(rd.from_arrow(empty)).to_pandas()) == 0
+
+    allbad = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": ["short", "tiny doc"]})
+    out = corpus_clean(rd.from_arrow(allbad)).to_pandas().sort_values("doc_id")
+    assert list(out["status"]) == ["quality", "quality"]
+    assert list(out["group_id"]) == [-1, -1]
