@@ -64,20 +64,43 @@ def run_ticks(
     on_tick=None,
     sleep=time.sleep,
     clock=time.monotonic,
+    tail_source=None,
 ) -> int:
     """The scheduler loop. ``n_ticks=0`` runs until interrupted; each
     tick fires at most once per ``interval_s`` of wall time (the job
     interval defaults to the detector interval). ``on_tick(i)`` runs
     after each tick (tests use it to append input data). Returns the
-    number of ticks executed."""
+    number of ticks executed.
+
+    With ``tail_source`` (a :class:`..sources.tailing.TailingSource`)
+    each tick reads ONLY the files that appeared/changed since the last
+    committed tick — the checkpointed model streams make that correct
+    (already-seen windows would drop as out-of-order anyway) — and a
+    tick with no new files skips the pipeline entirely. The manifest is
+    committed only after the tick's results are written, so a crash
+    between the two harmlessly reprocesses the same files. Caveat
+    (matches the reference's realtime behavior, which also queries only
+    the current window): an entity first appearing mid-stream cold-starts
+    from the files of ITS tick, not the full history."""
     interval = float(interval_s if interval_s is not None else api.config.interval_s)
     i = 0
     while n_ticks == 0 or i < n_ticks:
         t0 = clock()
-        if forecast:
-            api.forecast_start_job(results_dir, checkpoint_dir, horizon=horizon, period=period)
-        else:
-            api.start_job(results_dir, checkpoint_dir)
+        files = tail_source.poll() if tail_source is not None else None
+        if tail_source is None or files:
+            prev_path = api.events_path
+            if files:
+                api.events_path = files
+            try:
+                if forecast:
+                    api.forecast_start_job(results_dir, checkpoint_dir,
+                                           horizon=horizon, period=period)
+                else:
+                    api.start_job(results_dir, checkpoint_dir)
+            finally:
+                api.events_path = prev_path
+            if tail_source is not None:
+                tail_source.commit(files)
         i += 1
         if on_tick is not None:
             on_tick(i)
@@ -102,6 +125,9 @@ def main(argv=None) -> int:
     p.add_argument("--forecast", action="store_true", help="run forecast job ticks")
     p.add_argument("--horizon", type=int, default=24)
     p.add_argument("--period", type=int, default=0)
+    p.add_argument("--tail-manifest", default=None,
+                   help="JSON manifest path; when set, each tick reads only "
+                        "files new/changed since the last committed tick")
     args = p.parse_args(argv)
 
     import ray
@@ -114,10 +140,16 @@ def main(argv=None) -> int:
         with open(args.config) as f:
             config = config_from_json(json.load(f))
         api = DetectorAPI(config, args.events, ts_col=args.ts_col)
+        tail = None
+        if args.tail_manifest:
+            from .sources.tailing import TailingSource
+
+            tail = TailingSource(args.events, args.tail_manifest)
         n = run_ticks(
             api, args.results, args.checkpoints,
             n_ticks=args.max_ticks, interval_s=args.interval,
             forecast=args.forecast, horizon=args.horizon, period=args.period,
+            tail_source=tail,
         )
         print(json.dumps({"ticks": n, "results": args.results}))
         return 0

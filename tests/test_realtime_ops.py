@@ -235,3 +235,92 @@ def test_run_ticks_incremental(ray_session, tmp_path):
     full = api.run_once().to_pandas()
     assert len(got) == len(full)
     assert got["window_end_ms"].max() == full["window_end_ms"].max()
+
+
+def test_tailing_source_poll_commit(tmp_path):
+    """TailingSource unit semantics: new files appear in poll(), committed
+    files don't, a changed (appended) file reappears, manifest survives
+    re-instantiation (crash-restart)."""
+    from anomaly_detection_ray.sources.tailing import TailingSource
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    (d / "_staging.parquet").write_bytes(b"ignored")  # staging prefix skipped
+    manifest = str(tmp_path / "seen.json")
+
+    src = TailingSource(str(d), manifest)
+    files = src.poll()
+    assert files == [str(d / "a.parquet")]
+    src.commit(files)
+    assert src.poll() == []
+
+    # restart: manifest persists
+    src2 = TailingSource(str(d), manifest)
+    assert src2.poll() == []
+
+    (d / "b.csv").write_bytes(b"y")
+    (d / "a.parquet").write_bytes(b"xz")  # changed size -> wholly re-read
+    assert src2.poll() == [str(d / "a.parquet"), str(d / "b.csv")]
+    src2.commit(src2.poll())
+    assert src2.poll() == []
+
+
+def test_run_ticks_tailing(ray_session, tmp_path, monkeypatch):
+    """Tailing ticks: tick 1 reads part1, tick 2 reads ONLY part2, tick 3
+    (no new files) skips the pipeline entirely — and the accumulated
+    results equal a single full run."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+    from anomaly_detection_ray.sources.tailing import TailingSource
+    from anomaly_detection_ray.tick import config_from_json, run_ticks
+
+    t = generate_interval_stream(n_entities=2, n_windows=120, interval_s=600, seed=7,
+                                 anomaly_prob=0.02, events_per_window=2)
+    ts_ms = t.to_pandas()["ts"].astype("datetime64[ms]").astype("int64")
+    cut = int(ts_ms.quantile(0.7))
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    pq.write_table(t.filter((ts_ms <= cut).to_numpy()), str(evdir / "part1.parquet"))
+
+    cfg = config_from_json({
+        "config_id": "tick-tail", "interval_s": 600, "shingle_size": 8,
+        "category_fields": ["entity"],
+        "features": [{"name": "value_avg", "column": "value", "agg": "avg"}],
+        "num_trees": 5, "sample_size": 32,
+    })
+    api = DetectorAPI(cfg, str(evdir))
+    res_dir, ck_dir = str(tmp_path / "res"), str(tmp_path / "ck")
+    tail = TailingSource(str(evdir), str(tmp_path / "seen.json"))
+
+    paths_read = []
+    orig = api.start_job
+
+    def spy(results_dir, checkpoint_dir):
+        paths_read.append(api.events_path)
+        return orig(results_dir, checkpoint_dir)
+
+    monkeypatch.setattr(api, "start_job", spy)
+
+    def on_tick(i):
+        if i == 1:
+            pq.write_table(t.filter((ts_ms > cut).to_numpy()), str(evdir / "part2.parquet"))
+
+    n = run_ticks(api, res_dir, ck_dir, n_ticks=3, interval_s=0,
+                  sleep=lambda s: None, on_tick=on_tick, tail_source=tail)
+    assert n == 3
+    # tick 3 skipped the job; tick 2 read only part2
+    assert len(paths_read) == 2
+    assert paths_read[0] == [str(evdir / "part1.parquet")]
+    assert paths_read[1] == [str(evdir / "part2.parquet")]
+    assert api.events_path == str(evdir)  # restored after each tick
+
+    got = pq.read_table(glob.glob(res_dir + "/**/*.parquet", recursive=True)).to_pandas()
+    assert not got.duplicated(["model_id", "window_end_ms"]).any()
+    full = api.run_once().to_pandas()
+    assert len(got) == len(full)
+    assert got["window_end_ms"].max() == full["window_end_ms"].max()
