@@ -142,15 +142,28 @@ FROM m ORDER BY doc_id
 """
 
 
-def _corpus_clean_sql() -> str:
-    """Three-stage twin of ``pipelines.clean.corpus_clean``: the quality
-    CTE (same bounds), exact dedup via a min-id window over identical
-    text among quality survivors, the jaccard pair CTE at threshold 0.5
-    over the exact survivors, and the recursive transitive closure."""
+def _corpus_clean_sql(decontam: bool = False) -> str:
+    """Twin of ``pipelines.clean.corpus_clean``: the quality CTE (same
+    bounds), exact dedup via a min-id window over identical text among
+    surviving docs, the jaccard pair CTE at threshold 0.5 over the exact
+    survivors, and the recursive transitive closure. With ``decontam``,
+    the benchmark-overlap stage (8-token shingles vs the doc_id%25==0
+    subset, min_overlap=1) removes quality survivors BEFORE dedup —
+    mirroring ``corpus_clean(bench_ds=...)``."""
     from anomaly_detection_ray.functions.textstats import GOPHER_BOUNDS, QUALITY_STOPWORDS
 
     b = GOPHER_BOUNDS
     sw = ", ".join(f"'{w}'" for w in sorted(QUALITY_STOPWORDS))
+    w8 = ("CASE WHEN len(toks) = 0 THEN []"
+          " WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]"
+          " ELSE list_transform(generate_series(1, len(toks) - 7),"
+          " i -> array_to_string(toks[i:i+7], ' ')) END")
+    decontam_ctes = f"""
+bsh AS (SELECT DISTINCT unnest({w8}) AS shingle FROM qt WHERE doc_id % 25 = 0),
+csh AS (SELECT DISTINCT doc_id, unnest({w8}) AS shingle
+        FROM qt JOIN q USING (doc_id) WHERE q.keep),
+cont AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (shingle)),""" if decontam else """
+cont AS (SELECT NULL::BIGINT AS doc_id WHERE false),"""
     return f"""
 WITH RECURSIVE
 qt AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
@@ -169,9 +182,10 @@ q AS (SELECT doc_id,
               AND mlen >= {b['min_mean_len']} AND mlen <= {b['max_mean_len']}
               AND dratio >= {b['min_distinct_ratio']} AND sratio <= {b['max_symbol_ratio']}
               AND stopword_hits >= {b['min_stopword_hits']}) AS keep
-      FROM qm),
+      FROM qm),{decontam_ctes}
 ek AS (SELECT d.doc_id, min(d.doc_id) OVER (PARTITION BY d.text) AS keeper
-       FROM documents d JOIN q USING (doc_id) WHERE q.keep),
+       FROM documents d JOIN q USING (doc_id)
+       WHERE q.keep AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
 t AS (SELECT doc_id, {TOKS} AS toks FROM documents
       WHERE doc_id IN (SELECT doc_id FROM ek WHERE doc_id = keeper)),
 idx AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []
@@ -204,14 +218,16 @@ walk(node, label) AS (
 cc AS (SELECT node AS doc_id, min(label) AS gid FROM walk GROUP BY node)
 SELECT d.doc_id,
        CASE WHEN NOT q.keep THEN 'quality'
+            WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
             WHEN ek.doc_id != ek.keeper THEN 'exact_dup'
             WHEN cc.gid < d.doc_id THEN 'near_dup'
             ELSE 'kept' END AS status,
-       CASE WHEN NOT q.keep THEN -1
+       CASE WHEN NOT q.keep OR ct.doc_id IS NOT NULL THEN -1
             WHEN ek.doc_id != ek.keeper THEN ek.keeper
             ELSE cc.gid END AS group_id
 FROM documents d
 JOIN q USING (doc_id)
+LEFT JOIN cont ct ON ct.doc_id = d.doc_id
 LEFT JOIN ek ON ek.doc_id = d.doc_id
 LEFT JOIN cc ON cc.doc_id = d.doc_id
 ORDER BY d.doc_id
@@ -386,6 +402,7 @@ GROUP BY text ORDER BY doc_id
         "near_dup_groups": _near_dup_groups_sql(),
         "quality_filter": _quality_filter_sql(),
         "corpus_clean": _corpus_clean_sql(),
+        "corpus_clean_decontam": _corpus_clean_sql(decontam=True),
         "decontaminate": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
 w AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []

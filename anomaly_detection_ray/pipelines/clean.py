@@ -1,17 +1,22 @@
 """End-to-end corpus cleaning: the composition a training-data pipeline
 actually runs over raw documents —
 
-    quality filter  →  exact dedup  →  near-dup clustering  →  disposition
+    quality filter  [→ decontamination]  →  exact dedup
+        →  near-dup clustering  →  disposition
 
 Every doc receives exactly one status:
 
-- ``quality``   — failed the Gopher-rule quality bounds
-                  (:func:`..functions.textstats.quality_flags`);
-- ``exact_dup`` — byte-identical text to a lower-id quality survivor
-                  (sha256 groupby; text never shuffles for this stage);
-- ``near_dup``  — n-gram-Jaccard ≥ threshold connected-component with a
-                  lower-id member (:func:`..stages.dedup.near_dup_groups`);
-- ``kept``      — the canonical survivor.
+- ``quality``      — failed the Gopher-rule quality bounds
+                     (:func:`..functions.textstats.quality_flags`);
+- ``contaminated`` — (only with ``bench_ds``) a quality survivor whose
+                     distinct k-token shingles overlap the benchmark's
+                     in ≥ ``min_overlap`` positions
+                     (:func:`..stages.dedup.decontaminate` semantics);
+- ``exact_dup``    — byte-identical text to a lower-id surviving doc
+                     (sha256 groupby; text never shuffles for this stage);
+- ``near_dup``     — n-gram-Jaccard ≥ threshold connected-component with a
+                     lower-id member (:func:`..stages.dedup.near_dup_groups`);
+- ``kept``         — the canonical survivor.
 
 plus a ``group_id``: −1 for quality rejects, the keeper's id for exact
 dups, the near-dup cluster's min id otherwise (``group_id == doc_id``
@@ -40,9 +45,47 @@ import pyarrow as pa
 
 from ..stages.dedup import _coarse_of_ids, near_dup_groups
 
-# status codes travel the shuffles as int8; decoded to strings at the end
-_QUALITY, _EXACT_DUP, _NEAR_DUP, _KEPT = 0, 1, 2, 3
-_STATUS_NAMES = np.array(["quality", "exact_dup", "near_dup", "kept"])
+# status codes travel the shuffles as int8; decoded to strings at the end.
+# Numeric order IS the override priority in resolve() ('quality' the default).
+_QUALITY, _CONTAM, _EXACT_DUP, _NEAR_DUP, _KEPT = 0, 1, 2, 3, 4
+_STATUS_NAMES = np.array(["quality", "contaminated", "exact_dup", "near_dup", "kept"])
+
+
+class _QualityDecontam:
+    """Fused quality + decontamination pass: ONE read of the text computes
+    the Gopher flags and — for quality survivors only, so rejected docs
+    never pay the shingle work — the benchmark shingle-overlap count
+    against the broadcast bench set. Emits survivors with their text and
+    contaminated ids with null text; downstream splits on nullness, so
+    the corpus still streams through a single stage with no extra pass."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, k: int,
+                 min_overlap: int, bounds: dict):
+        from ..stages.dedup import _OverlapCount
+
+        self.ov = _OverlapCount(bench_ref, text_col, id_col, k)
+        self.text_col, self.id_col = text_col, id_col
+        self.min_overlap, self.bounds = int(min_overlap), bounds
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import quality_flags
+
+        q = quality_flags(batch[self.text_col].to_pylist(), **self.bounds)
+        surv = batch.select([self.id_col, self.text_col]).filter(pa.array(q["keep"]))
+        ov = self.ov(surv)  # (doc_id, n_overlap) — same row order as surv
+        contam = ov["n_overlap"].to_numpy() >= self.min_overlap
+        clean = surv.filter(pa.array(~contam))
+        n_c = int(contam.sum())
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                clean[self.id_col].cast(pa.int64()).combine_chunks(),
+                ov["doc_id"].filter(pa.array(contam)).combine_chunks(),
+            ]),
+            self.text_col: pa.concat_arrays([
+                clean[self.text_col].cast(pa.string()).combine_chunks(),
+                pa.array([None] * n_c, pa.string()),
+            ]),
+        })
 
 
 def corpus_clean(
@@ -59,6 +102,9 @@ def corpus_clean(
     concurrency=None,
     n_rows: int | None = None,
     ids=None,
+    bench_ds=None,
+    decontam_k: int = 8,
+    min_overlap: int = 1,
 ):
     """→ Dataset (doc_id, status, group_id) — one row per input doc.
 
@@ -69,6 +115,13 @@ def corpus_clean(
     supplies an id-only Dataset for the default-status leg (pass a
     pruned read so the final pass never re-decodes text).
 
+    ``bench_ds`` (optional) switches on the decontamination stage: a
+    small benchmark/eval Dataset whose distinct ``decontam_k``-token
+    shingles are broadcast once; quality survivors overlapping it in ≥
+    ``min_overlap`` shingles are removed (status ``contaminated``)
+    BEFORE dedup, so a contaminated doc can never become a keeper. The
+    check fuses into the quality pass — no extra corpus scan or shuffle.
+
     Mirrors the cleaning pass a reference user would express as a chain
     of ingest processors + dedup jobs; statuses are the audit trail
     (resumable: rerunning over the same input is idempotent).
@@ -76,16 +129,48 @@ def corpus_clean(
     from ..functions.textstats import quality_flags
 
     bounds = bounds or {}
+    contam_ids = None  # Dataset of contaminated doc ids (bench_ds only)
 
-    def keep_quality(batch: pa.Table) -> pa.Table:
-        q = quality_flags(batch[text_col].to_pylist(), **bounds)
-        return batch.select([id_col, text_col]).filter(pa.array(q["keep"]))
+    if bench_ds is not None:
+        from ..util import pool
+        from ..stages.dedup import bench_shingle_ref
 
-    # S: the quality-filtered corpus. Materialized because it fans out to
-    # the sha leg and the semi-join leg (consuming a lazy diamond would
-    # re-run the scan + flags once per consumer).
-    S = ds.map_batches(keep_quality, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    n_s = S.count()
+        ref = bench_shingle_ref(bench_ds, text_col, id_col, decontam_k, concurrency)
+        # FS: survivors carry text, contaminated ids carry null text —
+        # one materialization feeds both splits (filters over it are
+        # cheap re-runs; the text scan + flags + shingling run once).
+        FS = ds.map_batches(
+            _QualityDecontam,
+            fn_constructor_kwargs=dict(bench_ref=ref, text_col=text_col, id_col=id_col,
+                                       k=decontam_k, min_overlap=min_overlap, bounds=bounds),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=pool(concurrency),
+        ).materialize()
+        import pyarrow.compute as pc
+
+        S = FS.map_batches(
+            lambda b: b.filter(pc.is_valid(b[text_col])),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        contam_ids = FS.map_batches(
+            lambda b: b.filter(pc.is_null(b[text_col])).select(["doc_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()  # ids only — tiny; lets FS release once S is consumed
+        # rename to the caller's id column so sha_rows/s_leg read it uniformly
+        if id_col != "doc_id":
+            S = S.map_batches(lambda b: b.rename_columns([id_col, text_col]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+        n_s = S.count()
+    else:
+        def keep_quality(batch: pa.Table) -> pa.Table:
+            q = quality_flags(batch[text_col].to_pylist(), **bounds)
+            return batch.select([id_col, text_col]).filter(pa.array(q["keep"]))
+
+        # S: the quality-filtered corpus. Materialized because it fans out
+        # to the sha leg and the semi-join leg (consuming a lazy diamond
+        # would re-run the scan + flags once per consumer).
+        S = ds.map_batches(keep_quality, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        n_s = S.count()
     nc = max(16, n_s // 2_000)
 
     # ---- exact-dedup disposition: (doc_id, keeper) ----
@@ -249,14 +334,25 @@ def corpus_clean(
             "group_id": m["group_id"].to_numpy(np.int64),
         })
 
+    def contam_leg(batch: pa.Table) -> pa.Table:
+        cids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(cids),
+            "ckey": pa.array(_coarse_of_ids(cids, nc)),
+            "code": pa.array(np.full(cids.size, _CONTAM, np.int8)),
+            "group_id": pa.array(np.full(cids.size, -1, np.int64)),
+        })
+
     ids_ds = ids if ids is not None else ds.select_columns([id_col])
-    return (
+    legs = (
         ids_ds.map_batches(default_leg, batch_format="pyarrow", zero_copy_batch=True)
         .union(disp.map_batches(exact_leg, batch_format="pyarrow", zero_copy_batch=True))
         .union(groups.map_batches(group_leg, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby("ckey")
-        .map_groups(resolve, batch_format="pandas")
     )
+    if contam_ids is not None:
+        legs = legs.union(contam_ids.map_batches(contam_leg, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+    return legs.groupby("ckey").map_groups(resolve, batch_format="pandas")
 
 
 def clean_and_write(ds, out_dir: str, text_col: str = "text", id_col: str = "doc_id",

@@ -479,6 +479,27 @@ def q_corpus_clean(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "status": "str", "group_id": "int64"})
 
 
+def q_corpus_clean_decontam(sf_dir: str) -> pd.DataFrame:
+    """Corpus cleaning WITH the decontamination stage: quality → 8-gram
+    benchmark-overlap removal (bench = doc_id % 25 == 0 subset, broadcast
+    shingles, fused into the quality pass) → exact dedup → near-dup CC.
+    Value-exact vs the four-stage SQL twin
+    (``_corpus_clean_sql(decontam=True)``)."""
+    from .clean import corpus_clean
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"], override_num_blocks=16)
+    ids = _rd().read_parquet(path, columns=["doc_id"], override_num_blocks=4)
+    bench = _rd().read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() % 25 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = corpus_clean(ds, ids=ids, threshold=0.5, bench_ds=bench,
+                       decontam_k=8, min_overlap=1).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "status": "str", "group_id": "int64"})
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
@@ -937,6 +958,7 @@ REGISTRY = {
     "doc_token_stats": q_doc_token_stats,
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_decontam": q_corpus_clean_decontam,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,

@@ -592,6 +592,26 @@ class _OverlapCount:
         })
 
 
+def bench_shingle_ref(bench_ds, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8, concurrency=None):
+    """Distinct k-shingle hashes of a (small) benchmark/eval Dataset as a
+    sorted int64 array, broadcast once via ``ray.put`` — the shared
+    small-side of :func:`decontaminate` and the corpus-clean pipeline's
+    optional decontamination stage."""
+    import ray
+
+    bsh = (
+        _doc_shingles(bench_ds, text_col, id_col, k, concurrency)
+        .map_batches(
+            lambda b: pa.table({"s": pa.array(np.unique(
+                b["shingles"].combine_chunks().values.to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    return ray.put(np.unique(bsh["s"].to_numpy(np.int64)))
+
+
 def decontaminate(ds, bench_ds, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 8, min_overlap: int = 1, concurrency=None):
     """Training-data DECONTAMINATION: flag corpus docs whose distinct
@@ -606,19 +626,7 @@ def decontaminate(ds, bench_ds, text_col: str = "text", id_col: str = "doc_id",
     ``ray.put`` — the corpus side streams through one stateless
     map_batches with NO shuffle at all. Deterministic; exact twin in SQL
     via the same windowed-shingle construction."""
-    import ray
-
-    bsh = (
-        _doc_shingles(bench_ds, text_col, id_col, k, concurrency)
-        .map_batches(
-            lambda b: pa.table({"s": pa.array(np.unique(
-                b["shingles"].combine_chunks().values.to_numpy(zero_copy_only=False)))}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        .to_pandas()
-    )
-    bench = np.unique(bsh["s"].to_numpy(np.int64))
-    ref = ray.put(bench)
+    ref = bench_shingle_ref(bench_ds, text_col, id_col, k, concurrency)
 
     out = ds.map_batches(
         _OverlapCount,

@@ -439,6 +439,51 @@ def test_corpus_clean_dispositions(ray_session):
     assert dict(zip(out2["doc_id"], out2["status"]))[3] == "kept"
 
 
+def test_corpus_clean_decontam_stage(ray_session):
+    """Decontamination inside corpus_clean: a quality survivor sharing an
+    8-token shingle with the benchmark is 'contaminated' and — removed
+    BEFORE dedup — can no longer anchor a near-dup group, so its near
+    twin flips to 'kept'. min_overlap above the planted overlap switches
+    the stage off. sf0.01 value-parity is the corpus_clean_decontam
+    oracle row."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import corpus_clean
+
+    bench8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    tail = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    near8 = bench8.rsplit(" ", 1)[0] + " hotelx"   # one token off: no bench 8-gram
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "the of and is was be are " + " ".join(f"uniq{i:03d}" for i in range(70)),
+            f"{bench8} {tail}",    # contaminated (contains the bench shingle)
+            f"{near8} {tail}",     # near-dup of 1, but bench-clean
+            f"{near8} {tail}",     # exact_dup of 2
+            "short doc only",      # quality reject
+        ],
+    })
+    bench = pa.table({"doc_id": pa.array([100], pa.int64()), "text": [bench8]})
+
+    out = corpus_clean(rd.from_arrow(docs), threshold=0.5,
+                       bench_ds=rd.from_arrow(bench)).to_pandas().sort_values("doc_id")
+    got = list(zip(out["doc_id"], out["status"], out["group_id"]))
+    assert got == [
+        (0, "kept", 0),
+        (1, "contaminated", -1),
+        (2, "kept", 2),          # partner was decontaminated away
+        (3, "exact_dup", 2),
+        (4, "quality", -1),
+    ]
+
+    # without the bench (or with an unreachable min_overlap) doc 1 anchors
+    # the near-dup group instead
+    for kw in ({}, dict(bench_ds=rd.from_arrow(bench), min_overlap=2)):
+        out2 = corpus_clean(rd.from_arrow(docs), threshold=0.5, **kw).to_pandas()
+        st = dict(zip(out2["doc_id"], zip(out2["status"], out2["group_id"])))
+        assert st[1] == ("kept", 1) and st[2] == ("near_dup", 1) and st[3] == ("exact_dup", 2)
+
+
 def test_clean_and_write_kept_corpus(ray_session, tmp_path):
     """clean_and_write persists exactly the kept docs, hash-sharded;
     rerunning over the same input reproduces the same layout."""
