@@ -370,15 +370,32 @@ def build_index(
 ) -> dict:
     """Build a full index: input files → ``slices`` incremental slices →
     global stats + manifest. Returns the global manifest dict."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
     os.makedirs(out_dir, exist_ok=True)
     file_groups = [list(g) for g in np.array_split(sorted(input_files), slices) if len(g)]
     slice_manifests = []
     for i, files in enumerate(file_groups):
         slice_dir = os.path.join(out_dir, "segments", f"slice-{i:04d}")
         slice_manifests.append(build_slice(list(files), slice_dir, **kwargs))
+
+    return _finalize_index(
+        out_dir, slice_manifests,
+        mode=kwargs.get("mode", "code"),
+        bucket_shift=kwargs.get("bucket_shift", 17),
+        block_size=kwargs.get("block_size", DEFAULT_BLOCK_SIZE),
+    )
+
+
+def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
+                    mode: str, bucket_shift: int, block_size: int) -> dict:
+    """Global stats + manifest over the given slices (in slice-id order).
+    Pure recompute from the slices' chunk-stat columns — no dependence on
+    a previous ``stats.parquet``, so re-finalizing after a crash or a
+    segment add is idempotent. Stats and manifest write atomically
+    (tmp + replace); the manifest flip is what makes a new slice visible
+    to :class:`..query.QueryEngine` (which lists files FROM the manifest,
+    never by glob)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
     # global term stats (df, cttf): tiny groupby over the chunk-stat columns
     posting_files = sorted(
@@ -413,7 +430,9 @@ def build_index(
         stats_tbl = stats.to_pandas()
     stats_tbl = stats_tbl.sort_values("term").reset_index(drop=True)
     stats_path = os.path.join(out_dir, "stats.parquet")
-    pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), stats_path)
+    tmp_stats = f"{stats_path}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), tmp_stats)
+    os.replace(tmp_stats, stats_path)
 
     n_docs = int(sum(m["n_docs"] for m in slice_manifests))
     total_tokens = int(sum(m["total_tokens"] for m in slice_manifests))
@@ -423,9 +442,9 @@ def build_index(
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "n_terms": int(len(stats_tbl)),
-        "analyzer_mode": kwargs.get("mode", "code"),
-        "bucket_shift": kwargs.get("bucket_shift", 17),
-        "block_size": kwargs.get("block_size", DEFAULT_BLOCK_SIZE),
+        "analyzer_mode": mode,
+        "bucket_shift": bucket_shift,
+        "block_size": block_size,
         "stats_sha256": sha256_file(stats_path),
         "slices": [
             {
@@ -437,6 +456,91 @@ def build_index(
             for i, m in enumerate(slice_manifests)
         ],
     }
-    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+    manifest_path = os.path.join(out_dir, MANIFEST_NAME)
+    tmp_manifest = f"{manifest_path}.tmp-{os.getpid()}"
+    with open(tmp_manifest, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp_manifest, manifest_path)
     return manifest
+
+
+def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
+    """Append new documents to an EXISTING index as one additional slice
+    — the Lucene segment-add analogue (prior slices are never rewritten),
+    and the indexing half of a realtime/tailing pipeline (pair with
+    ``sources.tailing.TailingSource``: poll → extend_index → commit).
+
+    Builds ``segments/slice-{N}`` from ``new_files`` and re-finalizes the
+    global stats + manifest over ALL slices. A fresh
+    :class:`..query.QueryEngine` then serves the union with BM25 results
+    identical to a from-scratch build over every file (global df/avgdl
+    re-derived; postings are slice-local, so no old bytes are touched
+    beyond their chunk-stat columns in the stats pass). The manifest
+    rewrite is atomic and is what flips the new slice visible — a crash
+    mid-add leaves the old index serving and the rerun resumes the slice
+    by fingerprint.
+
+    Idempotent: if an existing slice already carries ``new_files``'s
+    fingerprint, returns the current manifest unchanged. Analyzer /
+    bucket_shift / block_size come from the existing manifest; passing a
+    conflicting override raises (mixed-analyzer slices would split the
+    term space). Caller owns doc-id uniqueness across slices.
+
+    Reference parity: the plugin's indexes take rolling writes +
+    rollover (``IndexManagement.java``); this is the batch-parquet
+    counterpart for the searchable corpus."""
+    manifest_path = os.path.join(index_dir, MANIFEST_NAME)
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+
+    for arg_key, manifest_key in (("mode", "analyzer_mode"),
+                                  ("bucket_shift", "bucket_shift"),
+                                  ("block_size", "block_size")):
+        if arg_key in kwargs and kwargs[arg_key] != manifest[manifest_key]:
+            raise ValueError(
+                f"{arg_key}={kwargs[arg_key]!r} conflicts with the index's "
+                f"{manifest[manifest_key]!r}; segment adds must match the build"
+            )
+        kwargs[arg_key] = manifest[manifest_key]
+
+    old_manifests = []
+    for s in manifest["slices"]:
+        with open(os.path.join(index_dir, s["dir"], "_slice_manifest.json")) as f:
+            old_manifests.append(json.load(f))
+
+    fp = _slice_fingerprint(new_files)
+    if any(m.get("input_fingerprint") == fp for m in old_manifests):
+        return manifest  # these files are already a slice — no-op
+
+    i = len(manifest["slices"])
+    slice_dir = os.path.join(index_dir, "segments", f"slice-{i:04d}")
+    sm = build_slice(sorted(new_files), slice_dir, **kwargs)
+    return _finalize_index(
+        index_dir, old_manifests + [sm],
+        mode=kwargs["mode"], bucket_shift=kwargs["bucket_shift"],
+        block_size=kwargs["block_size"],
+    )
+
+
+def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str, **kwargs) -> dict | None:
+    """One continuous-indexing tick: poll the growing ``input_dir`` for
+    parquet files not yet indexed, build (first tick) or segment-add
+    (later ticks) exactly those, then commit the seen-files manifest —
+    the search-index counterpart of the detector's tailing job tick.
+    Returns the updated index manifest, or None when nothing new arrived.
+
+    Commit happens only after the index manifest flip, so a crash
+    mid-tick reprocesses the same files on the rerun — harmless, because
+    ``extend_index`` de-dupes slices by input fingerprint."""
+    from ..sources.tailing import TailingSource
+
+    src = TailingSource(input_dir, seen_manifest, suffixes=(".parquet", ".pq"))
+    files = src.poll()
+    if not files:
+        return None
+    if os.path.exists(os.path.join(index_dir, MANIFEST_NAME)):
+        m = extend_index(index_dir, files, **kwargs)
+    else:
+        m = build_index(files, index_dir, **kwargs)
+    src.commit(files)
+    return m

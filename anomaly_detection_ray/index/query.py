@@ -88,7 +88,13 @@ class QueryEngine:
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
         self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
-        files = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "postings", "part-*.parquet")))
+        # file list comes FROM the manifest (not a glob): slices become
+        # visible only at the atomic manifest flip, so a crashed/partial
+        # segment add can never serve half-finalized postings
+        files = sorted(
+            os.path.join(index_dir, s["dir"], "postings", p["path"])
+            for s in self.manifest["slices"] for p in s["partitions"]
+        )
         self._files = files
         # A serving engine instance (one per query actor) holds the term
         # dictionary in memory always, and — when the index fits
@@ -116,7 +122,10 @@ class QueryEngine:
         stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
         self._stats_terms = stats["term"].combine_chunks()
         self._stats_df = stats["df"].to_numpy()
-        docmap = sorted(glob(os.path.join(index_dir, "segments", "slice-*", "docmap", "*.parquet")))
+        docmap = sorted(
+            f for s in self.manifest["slices"]
+            for f in glob(os.path.join(index_dir, s["dir"], "docmap", "*.parquet"))
+        )
         self._docmap = pads.dataset(docmap, format="parquet") if docmap else None
         # per-term DECODED postings cache (LRU, byte-capped): varint
         # decode of a dense term is the serving hot path's dominant cost

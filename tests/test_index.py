@@ -193,6 +193,81 @@ def test_hot_term_salted_across_partitions(built):
         assert len(meta["sha256"]) == 64 and meta["fingerprint"]
 
 
+def test_extend_index_segment_add(ray_session, tiny_corpus, tmp_path_factory):
+    """Segment add: build over files[:2], extend with files[2] — a fresh
+    engine is rank- AND score-identical to a from-scratch build over all
+    files (global df/avgdl re-derived). Re-adding the same files is a
+    no-op; conflicting analyzer params are rejected."""
+    import pytest as _pytest
+
+    from anomaly_detection_ray.index.build import extend_index
+
+    paths = tiny_corpus["paths"]
+    base = str(tmp_path_factory.mktemp("extend"))
+    kwargs = dict(num_partitions=8, batch_size=64, mode="code")
+    build_index(paths[:2], base, slices=1, **kwargs)
+    m = extend_index(base, [paths[2]], num_partitions=8, batch_size=64)
+    assert len(m["slices"]) == 2
+
+    full = str(tmp_path_factory.mktemp("full"))
+    mf = build_index(paths, full, slices=1, **kwargs)
+    assert m["n_docs"] == mf["n_docs"] and m["avgdl"] == _pytest.approx(mf["avgdl"])
+    assert m["n_terms"] == mf["n_terms"]
+
+    eng, eng_full = QueryEngine(base), QueryEngine(full)
+    n_nonempty = 0
+    for q in tiny_corpus["queries"]["query"].to_pylist():
+        exp = eng_full.bm25_topk(q, k=10)
+        for prune in (False, True):
+            got = eng.bm25_topk(q, k=10, prune=prune)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, prune)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert gs == _pytest.approx(es, abs=1e-9)
+        n_nonempty += bool(exp)
+    assert n_nonempty > 10
+
+    # idempotent re-add: same fingerprint → manifest unchanged
+    m2 = extend_index(base, [paths[2]])
+    assert len(m2["slices"]) == 2 and m2["stats_sha256"] == m["stats_sha256"]
+    # mixed-analyzer adds are refused
+    with _pytest.raises(ValueError, match="conflicts"):
+        extend_index(base, [paths[0]], mode="simple")
+
+
+def test_tail_index_ticks(ray_session, tiny_corpus, tmp_path_factory):
+    """Continuous indexing: tick 1 builds from the first file, tick 2
+    segment-adds the late arrivals, tick 3 is a no-op — and the result
+    ranks identically to indexing everything at once."""
+    import os
+    import shutil
+
+    from anomaly_detection_ray.index.build import tail_index_tick
+
+    d = tmp_path_factory.mktemp("tailidx")
+    inp, idx = str(d / "in"), str(d / "idx")
+    os.makedirs(inp)
+    paths = tiny_corpus["paths"]
+    kwargs = dict(num_partitions=8, batch_size=64, mode="code")
+    seen = str(d / "seen.json")
+
+    shutil.copy(paths[0], inp)
+    m1 = tail_index_tick(inp, idx, seen, **kwargs)
+    assert m1 is not None and len(m1["slices"]) == 1
+
+    shutil.copy(paths[1], inp)
+    shutil.copy(paths[2], inp)
+    m2 = tail_index_tick(inp, idx, seen, **kwargs)
+    assert len(m2["slices"]) == 2 and m2["n_docs"] == 200
+
+    assert tail_index_tick(inp, idx, seen, **kwargs) is None  # nothing new
+
+    full = str(d / "full")
+    build_index(paths, full, slices=1, **kwargs)
+    eng, eng_full = QueryEngine(idx), QueryEngine(full)
+    for q in tiny_corpus["queries"]["query"].to_pylist()[:10]:
+        assert eng.bm25_topk(q, k=10) == eng_full.bm25_topk(q, k=10), q
+
+
 def test_kill_mid_build_resume(ray_session, tiny_corpus, tmp_path_factory):
     """Simulated mid-build failure: one slice's outputs lost → rebuild
     recomputes ONLY that slice and the final index is byte-identical."""
