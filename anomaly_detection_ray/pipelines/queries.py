@@ -938,6 +938,56 @@ def q_media_decode(sf_dir: str) -> pd.DataFrame:
     return out[["media_id", "kind", "payload_bytes", "feat0"]].sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video frame extraction: RAWV rows explode into per-frame PGM rows
+    (uniform temporal stride), images pass through, audio drops —
+    rows-only (binary payload explosion has no SQL analogue)."""
+    from ..stages.multimodal import sample_frames, synthesize_media_table
+
+    media = synthesize_media_table(64, seed=42, real_payloads=True)
+    out = sample_frames(_rd().from_arrow(media), frame_samples=4, batch_size=16).to_pandas()
+    out["payload_bytes"] = out["payload"].map(len)
+    return (out[["media_id", "frame_idx", "height", "width", "payload_bytes"]]
+            .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+            .astype({"media_id": "int64", "frame_idx": "int64",
+                     "height": "int64", "width": "int64", "payload_bytes": "int64"}))
+
+
+def q_image_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup by perceptual hash (dHash + chunk-pair pigeonhole
+    buckets + hamming verify) over deterministic photo-like images with
+    planted resized/noised twins — rows-only (image decode + DCT/gradient
+    hashing has no SQL analogue; recall is pytest-asserted on the
+    planted pairs)."""
+    import numpy as np
+
+    from ..stages.multimodal import block_mean_resize, encode_pgm, image_near_dup_pairs
+
+    ids, payloads = [], []
+    for s in range(48):
+        rng = np.random.default_rng(s)
+        h, w = int(rng.integers(40, 96)), int(rng.integers(40, 96))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.full((h, w), 128.0)
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 2.0), rng.uniform(0.5, 2.0)
+            px, py = rng.uniform(0, 6.28), rng.uniform(0, 6.28)
+            img += rng.uniform(20, 50) * np.sin(2 * np.pi * fx * xx / w + px) * np.cos(2 * np.pi * fy * yy / h + py)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        ids.append(s)
+        payloads.append(encode_pgm(img))
+        if s % 3 == 0:  # every third image gets a half-size twin
+            twin = np.round(block_mean_resize(img, h // 2, w // 2)).clip(0, 255).astype(np.uint8)
+            ids.append(1000 + s)
+            payloads.append(encode_pgm(twin))
+    media = pa.table({"media_id": pa.array(ids, pa.int64()),
+                      "kind": pa.array(["image"] * len(ids)),
+                      "payload": pa.array(payloads, pa.binary())})
+    pairs = image_near_dup_pairs(_rd().from_arrow(media), batch_size=16).to_pandas()
+    return (pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}))
+
+
 REGISTRY = {
     "tpch_q1": q_tpch_q1,
     "min_max_time": q_min_max_time,
@@ -985,4 +1035,6 @@ REGISTRY = {
     "detector_preview": q_detector_preview,
     "impute_linear": q_impute_linear,
     "media_decode": q_media_decode,
+    "media_frame_sample": q_media_frame_sample,
+    "image_near_dup": q_image_near_dup,
 }

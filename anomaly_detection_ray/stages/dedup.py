@@ -477,22 +477,65 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
     within hamming ≤ 3 of 64 bits shares ≥1 identical chunk when ≤3 bits
     differ across 4 chunks — pigeonhole), verify hamming inside buckets."""
     sk = simhash_sketch(ds, text_col, id_col, concurrency)
+    # count the INPUT when unsized (cheap for parquet/from_arrow sources;
+    # counting the lazy sketch would execute the hash stage twice)
+    return hamming_near_dup_pairs(sk, id_col="doc_id", hash_col="simhash",
+                                  max_hamming=max_hamming,
+                                  n_rows=n_rows if n_rows is not None else ds.count())
+
+
+def hamming_near_dup_pairs(sk, id_col: str = "doc_id", hash_col: str = "simhash",
+                           max_hamming: int = 3, n_chunks: int = 4,
+                           n_rows: int | None = None, max_bucket: int = 500,
+                           chunk_pairs: bool = False):
+    """Generic pigeonhole near-dup over ANY 64-bit sketch column (SimHash
+    text sketches, image dHash/pHash, …): explode each hash into
+    ``n_chunks`` equal bit-chunks, bucket on (chunk, value), verify true
+    hamming inside buckets, dedupe pair instances distributed. Sound for
+    hamming ≤ ``n_chunks − 1`` (a pair differing in ≤ n_chunks−1 bits
+    must agree on some chunk).
+
+    ``chunk_pairs=True`` buckets on every PAIR of chunks instead
+    (multi-index hashing's second-order probe): sound for hamming ≤
+    ``n_chunks − 2`` and — the point — the bucket key carries 2×bits of
+    selectivity, so higher ``n_chunks`` (needed for larger radii) doesn't
+    collapse into giant single-chunk buckets. C(n_chunks, 2) replicas of
+    a 16-byte row per sketch; text/pixels never shuffle either way.
+
+    → pa.Table (doc_a, doc_b, hamming), sorted. Buckets over
+    ``max_bucket`` members are skipped (a degenerate all-equal sketch
+    value would otherwise go quadratic — same cap discipline as the
+    minhash path)."""
+    if not chunk_pairs and max_hamming >= n_chunks:
+        raise ValueError(f"pigeonhole needs max_hamming < n_chunks, got {max_hamming} >= {n_chunks}")
+    if chunk_pairs and max_hamming > n_chunks - 2:
+        raise ValueError(f"chunk-pair probing needs max_hamming <= n_chunks - 2, got {max_hamming} > {n_chunks - 2}")
+    bits = 64 // n_chunks
+    mask = np.uint64((1 << bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        h = batch["simhash"].to_numpy().astype(np.uint64)
-        ids = batch["doc_id"].to_numpy()
+        h = batch[hash_col].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy()
+        vals = [((h >> np.uint64(bits * c)) & mask).astype(np.int64) for c in range(n_chunks)]
         out_id, out_c, out_k = [], [], []
-        for c in range(4):
-            chunk = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_id.append(ids)
-            out_c.append(np.full(ids.size, c))
-            out_k.append(chunk)
+        if chunk_pairs:
+            for ci in range(n_chunks):
+                for cj in range(ci + 1, n_chunks):
+                    out_id.append(ids)
+                    out_c.append(np.full(ids.size, ci * n_chunks + cj))
+                    out_k.append((vals[ci] << np.int64(bits)) | vals[cj])
+        else:
+            for c in range(n_chunks):
+                out_id.append(ids)
+                out_c.append(np.full(ids.size, c))
+                out_k.append(vals[c])
+        reps = len(out_id)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_id)),
                 "chunk": pa.array(np.concatenate(out_c), type=pa.int32()),
                 "chunk_key": pa.array(np.concatenate(out_k)),
-                "simhash": pa.array(np.tile(batch["simhash"].to_numpy(), 4)),
+                "sketch": pa.array(np.tile(batch[hash_col].to_numpy(), reps)),
             }
         )
 
@@ -515,9 +558,9 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
         for _, gg in g.groupby(["chunk", "chunk_key"], sort=False):
             gg = gg.sort_values("doc_id")
             ids = gg["doc_id"].to_numpy()
-            if ids.size < 2 or ids.size > 500:
+            if ids.size < 2 or ids.size > max_bucket:
                 continue
-            a, b, h = _bucket_pairs(ids, gg["simhash"].to_numpy().astype(np.uint64))
+            a, b, h = _bucket_pairs(ids, gg["sketch"].to_numpy().astype(np.uint64))
             out_a.append(a)
             out_b.append(b)
             out_h.append(h)
@@ -527,7 +570,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
         return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
                              "hamming": np.concatenate(out_h)})
 
-    n_coarse = max(32, (n_rows if n_rows is not None else ds.count()) // 50_000)
+    n_coarse = max(32, (n_rows if n_rows is not None else sk.count()) // 50_000)
 
     def add_coarse(b: pa.Table) -> pa.Table:
         ck = (b["chunk"].to_numpy().astype(np.int64) * n_coarse

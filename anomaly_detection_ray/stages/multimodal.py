@@ -329,3 +329,158 @@ def resize_images(ds, out_h: int = 32, out_w: int = 32, batch_size: int = 64, co
         zero_copy_batch=True,
         concurrency=pool(concurrency),
     )
+
+
+# ----------------------------------------------------------------------
+# frame sampling (video → image rows)
+# ----------------------------------------------------------------------
+
+class SampleFrames:
+    """RAWV video rows → one PGM image row per uniformly sampled frame —
+    the frame-extraction stage of a video training pipeline (each output
+    row is then a normal image for resize / features / pHash). Image
+    rows pass through as frame_idx 0; audio rows drop. Actor-pool stage:
+    payload bytes, not row count, bound the batch."""
+
+    def __init__(self, frame_samples: int = 4):
+        self.frame_samples = frame_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, payloads, hs, ws = [], [], [], [], []
+        for mid, kind, p in zip(batch["media_id"].to_pylist(),
+                                batch["kind"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if p[:4] == b"RAWV":
+                frames = decode_rawv(p)
+                take = np.linspace(0, len(frames) - 1,
+                                   min(self.frame_samples, len(frames))).astype(int)
+                for k in take:
+                    ids.append(mid)
+                    fidx.append(int(k))
+                    payloads.append(encode_pgm(frames[k]))
+                    hs.append(frames.shape[1])
+                    ws.append(frames.shape[2])
+            elif p.startswith(b"P5"):
+                img = decode_pgm(p)
+                ids.append(mid)
+                fidx.append(0)
+                payloads.append(p)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+            # audio / foreign formats: not frames — drop
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+        })
+
+
+def sample_frames(ds, frame_samples: int = 4, batch_size: int = 64, concurrency: int | None = None):
+    from ..util import pool
+
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs=dict(frame_samples=frame_samples),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+
+
+# ----------------------------------------------------------------------
+# perceptual hashing (image near-dup)
+# ----------------------------------------------------------------------
+
+def _dct2(x: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D DCT-II via explicit cosine bases (inputs are tiny
+    32×32 resamples — two 32×32 matmuls beat any FFT plumbing and need
+    no external library)."""
+    def basis(n: int) -> np.ndarray:
+        k = np.arange(n)
+        c = np.cos(np.pi / n * (k[:, None] + 0.5) * k[None, :])  # (i, freq)
+        c *= np.sqrt(2.0 / n)
+        c[:, 0] = np.sqrt(1.0 / n)
+        return c
+
+    bh, bw = basis(x.shape[0]), basis(x.shape[1])
+    return bh.T @ x @ bw
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic DCT pHash): area-resample to
+    32×32, 2-D DCT, keep the 8×8 low-frequency block, drop the DC term,
+    threshold the 63 coefficients at their median (bit 63 is always 0).
+    Robust to resizing and mild noise; hamming distance ≈ visual
+    distance, so near-dup grouping reuses the SimHash pigeonhole
+    machinery (``stages.dedup.hamming_near_dup_pairs``)."""
+    small = block_mean_resize(np.asarray(img, dtype=np.float64), 32, 32)
+    coef = _dct2(small)[:8, :8].flatten()[1:]
+    bits = coef > np.median(coef)
+    return int(np.packbits(np.concatenate([bits, [False]])).view(">u8")[0])
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: area-resample to 8×9, bit = left-to-right
+    gradient sign per cell. More robust than DCT pHash on low-texture /
+    synthetic imagery (pHash thresholds 63 coefficients at their median,
+    so smooth images put most coefficients AT the median and resampling
+    jitter flips many bits; measured here: dHash twins ≤6 bits apart vs
+    ≥10 across distinct images, where pHash overlapped). Default sketch
+    for :func:`image_near_dup_pairs`."""
+    small = block_mean_resize(np.asarray(img, dtype=np.float64), 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class _ImagePHash:
+    """(media_id, payload) image rows → (media_id, phash int64)."""
+
+    def __init__(self, method: str = "dhash"):
+        self.hash_fn = {"dhash": dhash64, "phash": phash64}[method]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if p.startswith(b"P5"):
+                ids.append(mid)
+                hs.append(self.hash_fn(decode_pgm(p)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(np.asarray(hs, dtype=np.uint64).astype(np.int64)),
+        })
+
+
+def image_phash(ds, method: str = "dhash", batch_size: int = 64, concurrency: int | None = None):
+    """media table → (media_id, phash) for every PGM image row (other
+    kinds drop; run videos through :func:`sample_frames` first and treat
+    (media_id, frame_idx) as the id)."""
+    from ..util import pool
+
+    return ds.map_batches(
+        _ImagePHash,
+        fn_constructor_kwargs=dict(method=method),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=pool(concurrency),
+    )
+
+
+def image_near_dup_pairs(ds, max_hamming: int = 6, method: str = "dhash",
+                         batch_size: int = 64, concurrency: int | None = None,
+                         n_rows: int | None = None) -> pa.Table:
+    """Image near-duplicate pairs by perceptual hash: decode → dHash →
+    chunk-PAIR pigeonhole buckets (8 chunks → sound for hamming ≤ 6,
+    16-bit bucket keys keep selectivity at corpus scale) → in-bucket
+    hamming verify. The image-side counterpart of SimHash text near-dup;
+    same scale shape — 16-byte sketch rows shuffle, pixels never do.
+    → pa.Table (doc_a, doc_b, hamming)."""
+    from .dedup import hamming_near_dup_pairs
+
+    sk = image_phash(ds, method=method, batch_size=batch_size, concurrency=concurrency)
+    return hamming_near_dup_pairs(sk, id_col="media_id", hash_col="phash",
+                                  max_hamming=max_hamming, n_chunks=8,
+                                  chunk_pairs=True, n_rows=n_rows)

@@ -378,6 +378,109 @@ def test_connected_components_and_near_dup_groups(ray_session):
     assert sorted(keep["doc_id"]) == [0, 2, 4]
 
 
+def test_phash64_properties():
+    """DCT pHash invariants: identical and area-resized images hash
+    equal (or near), random/structurally different images land far —
+    the properties the hamming near-dup grouping relies on."""
+    from anomaly_detection_ray.stages.multimodal import block_mean_resize, phash64
+
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = (128 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0)).clip(0, 255).astype(np.uint8)
+    other = (128 + 100 * np.sin(xx / 3.0 + 2) * np.cos(yy / 11.0)).clip(0, 255).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    h0 = phash64(img)
+    assert ham(h0, phash64(img.copy())) == 0
+    resized = np.round(block_mean_resize(img, 48, 60)).clip(0, 255).astype(np.uint8)
+    assert ham(h0, phash64(resized)) <= 3
+    rng = np.random.default_rng(0)
+    mild = (img.astype(int) + rng.integers(-2, 3, img.shape)).clip(0, 255).astype(np.uint8)
+    assert ham(h0, phash64(mild)) <= 3
+    assert ham(h0, phash64(other)) > 10
+    assert ham(h0, phash64(rng.integers(0, 256, img.shape).astype(np.uint8))) > 10
+
+
+def test_sample_frames_explodes_videos(ray_session):
+    """Frame sampling: every video row explodes into min(frame_samples,
+    n_frames) decodable PGM rows with the video's dims; image rows pass
+    through; audio rows drop."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.multimodal import (
+        decode_pgm, sample_frames, synthesize_media_table)
+
+    media = synthesize_media_table(64, seed=42, real_payloads=True)
+    out = sample_frames(rd.from_arrow(media), frame_samples=4, batch_size=16).to_pandas()
+    src = media.to_pandas().set_index("media_id")
+    expected = sum(
+        min(4, int(r.n_frames)) if r.kind == "video" else (1 if r.kind == "image" else 0)
+        for r in src.itertuples()
+    )
+    assert len(out) == expected
+    assert (out["frame_idx"] >= 0).all()
+    for r in out.sample(8, random_state=0).itertuples():
+        img = decode_pgm(r.payload)
+        assert img.shape == (r.height, r.width)
+        if src.loc[r.media_id, "kind"] == "video":
+            assert r.frame_idx < src.loc[r.media_id, "n_frames"]
+
+
+def _photo_like_image(seed: int) -> np.ndarray:
+    """Deterministic low-frequency 'photo-like' image (a few smooth 2-D
+    waves): the regime perceptual hashes are built for — near-Nyquist
+    synthetic sinusoids alias under resampling and are adversarial for
+    ANY 64-bit sketch."""
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(40, 96)), int(rng.integers(40, 96))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.full((h, w), 128.0)
+    for _ in range(3):
+        fx, fy = rng.uniform(0.5, 2.0), rng.uniform(0.5, 2.0)
+        px, py = rng.uniform(0, 6.28), rng.uniform(0, 6.28)
+        img += rng.uniform(20, 50) * np.sin(2 * np.pi * fx * xx / w + px) * np.cos(2 * np.pi * fy * yy / h + py)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_image_near_dup_phash(ray_session):
+    """Planted image near-dups (half-size copies + noised copies) are
+    recovered by dHash chunk-pair pigeonhole pairing; distinct images
+    are not paired."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.multimodal import (
+        block_mean_resize, encode_pgm, image_near_dup_pairs)
+
+    ids, payloads = [], []
+    planted = set()
+    for s in range(20):
+        img = _photo_like_image(s)
+        ids.append(s)
+        payloads.append(encode_pgm(img))
+        rng = np.random.default_rng(100 + s)
+        if s % 2 == 0:  # half-size copy
+            twin = np.round(block_mean_resize(img, img.shape[0] // 2, img.shape[1] // 2))
+            twin = twin.clip(0, 255).astype(np.uint8)
+        else:           # noised copy
+            twin = (img.astype(int) + rng.integers(-4, 5, img.shape)).clip(0, 255).astype(np.uint8)
+        ids.append(1000 + s)
+        payloads.append(encode_pgm(twin))
+        planted.add((s, 1000 + s))
+    media = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["image"] * len(ids)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    pairs = image_near_dup_pairs(rd.from_arrow(media), batch_size=16).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    missed = planted - got
+    assert not missed, f"missed planted twins: {missed}"
+    # no pair between two distinct originals (dhash keeps them apart)
+    assert not [p for p in got if p[0] < 1000 and p[1] < 1000]
+    assert (pairs["hamming"] <= 6).all()
+
+
 def test_quality_flags_rules():
     """Gopher-rule quality filter: each bound rejects its crafted doc."""
     from anomaly_detection_ray.functions.textstats import quality_flags
