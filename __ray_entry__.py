@@ -234,6 +234,20 @@ ORDER BY d.doc_id
 """
 
 
+def _token_count_bpe_sql() -> str:
+    """Twin of ``q_token_count_bpe``: the IDENTICAL BPE pre-tokenizer
+    split pattern runs under DuckDB's RE2 (pattern is lookahead-free for
+    exactly this reason; verified match-for-match vs Python re)."""
+    from anomaly_detection_ray.functions.textstats import BPE_SPLIT_PATTERN
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, $$({BPE_SPLIT_PATTERN})$$)) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def _near_dup_groups_sql() -> str:
     """The jaccard pair CTE (same candidate/df-cap semantics as
     ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
@@ -393,6 +407,7 @@ SELECT doc_id,
                   ELSE len(list_filter(toks, x -> list_contains([{stop_list}], x))) * 1.0 / len(toks) END, 6) AS stopword_ratio
 FROM t ORDER BY doc_id
 """,
+        "token_count_bpe": _token_count_bpe_sql(),
         "lang_id": _lang_id_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents

@@ -48,6 +48,29 @@ def token_stats(texts: list[str]) -> dict[str, np.ndarray]:
     return out
 
 
+# BPE-style pre-tokenizer (the GPT-2 split pattern, ASCII-adapted and
+# with the trailing-space lookahead dropped so the IDENTICAL pattern
+# runs under both Python re and DuckDB's RE2 — verified match-for-match
+# on the sf corpora). Counting these splits is the standard cheap
+# "how many tokens will the tokenizer emit" budget estimate: each split
+# piece becomes >= 1 BPE token, and for ASCII English prose the piece
+# count tracks real BPE counts closely.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+import re as _re
+
+_bpe_split = _re.compile(BPE_SPLIT_PATTERN)
+
+
+def bpe_token_counts(texts: list[str]) -> np.ndarray:
+    """Per-text count of BPE pre-tokenizer pieces (token-budget
+    estimator). Exact SQL twin: ``len(regexp_extract_all(text,
+    BPE_SPLIT_PATTERN))``."""
+    return np.fromiter(
+        (len(_bpe_split.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+    )
+
+
 # Gopher-style quality-filter rule bounds (Rae et al. 2021, "Scaling
 # Language Models: ... Gopher", appendix A1.1 — public heuristics),
 # adapted to the simple tokenizer so every rule has an exact SQL twin.

@@ -420,6 +420,29 @@ def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """Token-budget counting: whitespace tokens + BPE pre-tokenizer
+    pieces (GPT-2-style split regex, identical pattern on the SQL side)
+    per document — the 'how many tokens is this corpus' pass every
+    training-data pipeline runs before mixing."""
+    from ..functions.textstats import bpe_token_counts
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ws = np.fromiter((len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(ws),
+            "n_bpe_tokens": pa.array(bpe_token_counts(texts)),
+        })
+
+    out = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}))
+
+
 def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality filter (token count / mean length / repetition
     / symbol ratio / stopword presence bounds — Rae et al. 2021 A1.1):
@@ -1006,6 +1029,7 @@ REGISTRY = {
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
     "doc_token_stats": q_doc_token_stats,
+    "token_count_bpe": q_token_count_bpe,
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_decontam": q_corpus_clean_decontam,

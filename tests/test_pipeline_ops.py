@@ -481,6 +481,34 @@ def test_image_near_dup_phash(ray_session):
     assert (pairs["hamming"] <= 6).all()
 
 
+def test_bpe_token_counts():
+    """BPE pre-tokenizer piece counting: contractions split, leading
+    spaces attach, runs of punctuation collapse — and the count matches
+    DuckDB running the identical pattern (the oracle contract)."""
+    import duckdb
+
+    from anomaly_detection_ray.functions.textstats import BPE_SPLIT_PATTERN, bpe_token_counts
+
+    texts = [
+        "don't stop",             # don | 't | _stop
+        "hello   world!!",        # hello | _world | !! (+ inner spaces)
+        "",                       # 0
+        "x" * 5,                  # 1
+        "a1b2 c3",                # a |1| b |2| _c |3
+        "tab\tand\nnewline",
+        "we've they'll it's I'm you're",
+    ]
+    got = bpe_token_counts(texts)
+    assert got[0] == 3
+    assert got[2] == 0 and got[3] == 1
+    con = duckdb.connect()
+    for t, n in zip(texts, got):
+        sql_n = con.execute(
+            f"SELECT len(regexp_extract_all(?, $$({BPE_SPLIT_PATTERN})$$))", [t]
+        ).fetchone()[0]
+        assert sql_n == int(n), t
+
+
 def test_quality_flags_rules():
     """Gopher-rule quality filter: each bound rejects its crafted doc."""
     from anomaly_detection_ray.functions.textstats import quality_flags
