@@ -248,6 +248,20 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _stratified_sample_sql() -> str:
+    """Twin of ``q_stratified_sample`` — the sampling module GENERATES
+    its own SQL from the same thresholds and hash formula."""
+    from anomaly_detection_ray.pipelines.queries import (
+        STRATIFIED_DEFAULT, STRATIFIED_FRACTIONS, STRATIFIED_SEED)
+    from anomaly_detection_ray.stages.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents", "doc_id", "lang", STRATIFIED_FRACTIONS,
+        default_fraction=STRATIFIED_DEFAULT, seed=STRATIFIED_SEED,
+        columns="doc_id, lang",
+    )
+
+
 def _near_dup_groups_sql() -> str:
     """The jaccard pair CTE (same candidate/df-cap semantics as
     ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
@@ -418,6 +432,7 @@ GROUP BY text ORDER BY doc_id
         "quality_filter": _quality_filter_sql(),
         "corpus_clean": _corpus_clean_sql(),
         "corpus_clean_decontam": _corpus_clean_sql(decontam=True),
+        "stratified_sample": _stratified_sample_sql(),
         "decontaminate": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
 w AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []

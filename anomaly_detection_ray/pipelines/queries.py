@@ -502,6 +502,28 @@ def q_corpus_clean(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "status": "str", "group_id": "int64"})
 
 
+# dataset-mixing recipe for the stratified_sample query (shared with the
+# SQL twin so both sides round thresholds identically)
+STRATIFIED_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25}
+STRATIFIED_DEFAULT, STRATIFIED_SEED = 0.1, 7
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling (dataset mixing): keep 50% of
+    en, 25% of de/fr, 10% of everything else — hash-of-id selection, no
+    shuffle, value-exact vs the SQL twin running the identical
+    multiplicative-hash formula."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "doc_id", "lang", STRATIFIED_FRACTIONS,
+                            default_fraction=STRATIFIED_DEFAULT,
+                            seed=STRATIFIED_SEED).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "lang": "str"}))
+
+
 def q_corpus_clean_decontam(sf_dir: str) -> pd.DataFrame:
     """Corpus cleaning WITH the decontamination stage: quality → 8-gram
     benchmark-overlap removal (bench = doc_id % 25 == 0 subset, broadcast
@@ -1033,6 +1055,7 @@ REGISTRY = {
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_decontam": q_corpus_clean_decontam,
+    "stratified_sample": q_stratified_sample,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,

@@ -481,6 +481,49 @@ def test_image_near_dup_phash(ray_session):
     assert (pairs["hamming"] <= 6).all()
 
 
+def test_stratified_sample_determinism_and_rates(ray_session):
+    """Hash-of-id stratified sampling: selection is invariant to block
+    layout, per-stratum rates track the requested fractions tightly
+    (low-discrepancy hash), and the module's own SQL twin selects the
+    identical rows in DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.sampling import (
+        stratified_sample, stratified_sample_sql)
+
+    n = 6000
+    strata = np.asarray(["en", "de", "xx"])[np.arange(n) % 3]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "lang": pa.array(strata.tolist())})
+    fr = {"en": 0.5, "de": 0.2}
+
+    out1 = stratified_sample(rd.from_arrow(tbl), "doc_id", "lang", fr,
+                             default_fraction=0.05, seed=3).to_pandas()
+    out2 = stratified_sample(rd.from_arrow(tbl).repartition(7), "doc_id", "lang", fr,
+                             default_fraction=0.05, seed=3).to_pandas()
+    a = out1.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # block layout can't change the sample
+
+    rates = a.groupby("lang")["doc_id"].count() / (n / 3)
+    assert abs(rates["en"] - 0.5) < 0.02
+    assert abs(rates["de"] - 0.2) < 0.02
+    assert abs(rates.get("xx", 0.0) - 0.05) < 0.02
+
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    sql = stratified_sample_sql("docs", "doc_id", "lang", fr,
+                                default_fraction=0.05, seed=3, columns="doc_id, lang")
+    sql_rows = con.execute(sql).fetchdf()
+    assert list(sql_rows["doc_id"]) == list(a["doc_id"])
+
+    # different seed → different (deterministic) sample
+    out3 = stratified_sample(rd.from_arrow(tbl), "doc_id", "lang", fr,
+                             default_fraction=0.05, seed=4).to_pandas()
+    assert set(out3["doc_id"]) != set(a["doc_id"])
+
+
 def test_bpe_token_counts():
     """BPE pre-tokenizer piece counting: contractions split, leading
     spaces attach, runs of punctuation collapse — and the count matches
