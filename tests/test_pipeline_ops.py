@@ -552,6 +552,51 @@ def test_bpe_token_counts():
         assert sql_n == int(n), t
 
 
+def test_hamming_near_dup_vs_bruteforce(ray_session):
+    """Property check of the generic pigeonhole pairer, both probe
+    modes, against brute force: single-chunk (sound to n_chunks−1) and
+    chunk-pair (sound to n_chunks−2) recover EXACTLY the pairs within
+    the radius — planted near pairs + random far hashes, several seeds."""
+    import itertools
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import hamming_near_dup_pairs
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 2**63, 30, dtype=np.int64)
+        hashes = list(base)
+        for h in base[:10]:  # plant near twins at hamming 1..6
+            flips = rng.choice(64, size=int(rng.integers(1, 7)), replace=False)
+            x = np.int64(h)
+            for f in flips:
+                x = np.bitwise_xor(x, np.int64(np.uint64(1 << int(f)).astype(np.int64)))
+            hashes.append(x)
+        hs = np.asarray(hashes, dtype=np.int64)
+        ids = np.arange(hs.size, dtype=np.int64)
+        sk = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "simhash": pa.array(hs)}))
+
+        def brute(radius):
+            out = set()
+            u = hs.astype(np.uint64)
+            for i, j in itertools.combinations(range(hs.size), 2):
+                if bin(int(u[i] ^ u[j])).count("1") <= radius:
+                    out.add((i, j))
+            return out
+
+        for kwargs, radius in (
+            (dict(max_hamming=3, n_chunks=4), 3),
+            (dict(max_hamming=6, n_chunks=8, chunk_pairs=True), 6),
+        ):
+            got = hamming_near_dup_pairs(sk, n_rows=hs.size, **kwargs).to_pandas()
+            got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+            assert got_pairs == brute(radius), (seed, kwargs)
+            u = hs.astype(np.uint64)
+            for a, b, hm in zip(got["doc_a"], got["doc_b"], got["hamming"]):
+                assert bin(int(u[a] ^ u[b])).count("1") == hm
+
+
 def test_quality_flags_rules():
     """Gopher-rule quality filter: each bound rejects its crafted doc."""
     from anomaly_detection_ray.functions.textstats import quality_flags
