@@ -436,14 +436,15 @@ def dhash64(img: np.ndarray) -> int:
 
 
 class _ImagePHash:
-    """(media_id, payload) image rows → (media_id, phash int64)."""
+    """(id, payload) image rows → (media_id, phash int64)."""
 
-    def __init__(self, method: str = "dhash"):
+    def __init__(self, method: str = "dhash", id_col: str = "media_id"):
         self.hash_fn = {"dhash": dhash64, "phash": phash64}[method]
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, hs = [], []
-        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+        for mid, p in zip(batch[self.id_col].to_pylist(), batch["payload"].to_pylist()):
             if p.startswith(b"P5"):
                 ids.append(mid)
                 hs.append(self.hash_fn(decode_pgm(p)))
@@ -453,15 +454,18 @@ class _ImagePHash:
         })
 
 
-def image_phash(ds, method: str = "dhash", batch_size: int = 64, concurrency: int | None = None):
+def image_phash(ds, method: str = "dhash", id_col: str = "media_id",
+                batch_size: int = 64, concurrency: int | None = None):
     """media table → (media_id, phash) for every PGM image row (other
-    kinds drop; run videos through :func:`sample_frames` first and treat
-    (media_id, frame_idx) as the id)."""
+    kinds drop). For frame-level dedup after :func:`sample_frames`,
+    first derive a UNIQUE per-frame id (e.g. ``media_id * 1000 +
+    frame_idx``) and pass it as ``id_col`` — the pairer assumes distinct
+    ids, and duplicate ids would pair a video's frames with themselves."""
     from ..util import pool
 
     return ds.map_batches(
         _ImagePHash,
-        fn_constructor_kwargs=dict(method=method),
+        fn_constructor_kwargs=dict(method=method, id_col=id_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -470,6 +474,7 @@ def image_phash(ds, method: str = "dhash", batch_size: int = 64, concurrency: in
 
 
 def image_near_dup_pairs(ds, max_hamming: int = 6, method: str = "dhash",
+                         id_col: str = "media_id",
                          batch_size: int = 64, concurrency: int | None = None,
                          n_rows: int | None = None) -> pa.Table:
     """Image near-duplicate pairs by perceptual hash: decode → dHash →
@@ -480,7 +485,8 @@ def image_near_dup_pairs(ds, max_hamming: int = 6, method: str = "dhash",
     → pa.Table (doc_a, doc_b, hamming)."""
     from .dedup import hamming_near_dup_pairs
 
-    sk = image_phash(ds, method=method, batch_size=batch_size, concurrency=concurrency)
+    sk = image_phash(ds, method=method, id_col=id_col,
+                     batch_size=batch_size, concurrency=concurrency)
     return hamming_near_dup_pairs(sk, id_col="media_id", hash_col="phash",
                                   max_hamming=max_hamming, n_chunks=8,
                                   chunk_pairs=True, n_rows=n_rows)

@@ -56,13 +56,20 @@ def stratified_sample(ds, id_col: str, strata_col: str, fractions: dict,
     default_thr = thr[None]
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         ids = batch[id_col].to_numpy().astype(np.int64)
         h = sample_hash_u32(ids, seed)
-        strata = np.asarray(batch[strata_col].to_pylist(), dtype=object)
-        u, inv = np.unique(strata, return_inverse=True)
-        thr_u = np.fromiter((thr.get(v, default_thr) for v in u),
-                            dtype=np.int64, count=u.size)
-        return batch.filter(pa.array(h < thr_u[inv]))
+        # factorize, not np.unique: tolerates null strata (code -1 →
+        # default fraction, matching the SQL CASE's ELSE on NULL)
+        codes, uniques = pd.factorize(np.asarray(batch[strata_col].to_pylist(), dtype=object))
+        if len(uniques) == 0:  # all-null stratum column
+            thr_row = np.full(ids.size, default_thr, np.int64)
+        else:
+            thr_u = np.fromiter((thr.get(v, default_thr) for v in uniques),
+                                dtype=np.int64, count=len(uniques))
+            thr_row = np.where(codes >= 0, thr_u[np.maximum(codes, 0)], default_thr)
+        return batch.filter(pa.array(h < thr_row))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -523,6 +523,19 @@ def test_stratified_sample_determinism_and_rates(ray_session):
                              default_fraction=0.05, seed=4).to_pandas()
     assert set(out3["doc_id"]) != set(a["doc_id"])
 
+    # null strata take the default fraction (SQL CASE ELSE on NULL)
+    tbl_null = pa.table({"doc_id": pa.array(np.arange(2000), pa.int64()),
+                         "lang": pa.array(["en", None] * 1000)})
+    out4 = stratified_sample(rd.from_arrow(tbl_null), "doc_id", "lang", fr,
+                             default_fraction=0.05, seed=3).to_pandas()
+    n_null = out4["lang"].isna().sum()
+    assert abs(n_null / 1000 - 0.05) < 0.03
+    all_null = pa.table({"doc_id": pa.array(np.arange(1000), pa.int64()),
+                         "lang": pa.array([None] * 1000, pa.string())})
+    out5 = stratified_sample(rd.from_arrow(all_null), "doc_id", "lang", fr,
+                             default_fraction=0.5, seed=3).to_pandas()
+    assert abs(len(out5) / 1000 - 0.5) < 0.03
+
 
 def test_bpe_token_counts():
     """BPE pre-tokenizer piece counting: contractions split, leading
