@@ -69,6 +69,27 @@ WHERE rank <= 10 ORDER BY rank
 """
 
 
+def _phrase_sql() -> str:
+    """Twin of ``q_phrase_search``: a doc matches iff the windowed k-gram
+    list of its analyzed tokens contains the phrase — the same windowed
+    construction the shingle oracles use."""
+    from anomaly_detection_ray.functions.analyzer import Analyzer
+    from anomaly_detection_ray.pipelines.queries import PHRASE_QUERY
+
+    toks = Analyzer("simple").tokens(PHRASE_QUERY)
+    k = len(toks)
+    phrase = " ".join(toks)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(toks) >= {k} AND list_contains(
+  list_transform(generate_series(1, len(toks) - {k - 1}),
+                 i -> array_to_string(toks[i:i+{k - 1}], ' ')),
+  '{phrase}')
+ORDER BY doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
@@ -394,6 +415,7 @@ SELECT event_type, count(CASE WHEN cnt = 8 THEN 1 END) AS n_full_shingles
 FROM c GROUP BY event_type ORDER BY event_type
 """,
         "bm25_topk": _bm25_sql(),
+        "phrase_search": _phrase_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

@@ -257,9 +257,16 @@ def build_slice(
     batch_size: int = 1024,
     concurrency: int | None = None,
     keep_cols=("repo", "path", "commit", "lang"),
+    store_positions: bool = False,
 ) -> dict:
     """Build one index slice; returns its manifest dict. Skips the whole
-    slice when a valid ``_slice_manifest.json`` already matches."""
+    slice when a valid ``_slice_manifest.json`` already matches.
+
+    ``store_positions=True`` additionally writes a positional sidecar
+    (``positions/part-*.parquet``: term, doc_id, positions) for phrase
+    queries — term-hash partitioned and term-sorted within each part so
+    a phrase lookup touches one file per term with row-group pruning.
+    The BM25 posting codec is untouched; non-phrase users pay nothing."""
     import ray.data as rd
 
     os.makedirs(slice_dir, exist_ok=True)
@@ -328,6 +335,28 @@ def build_slice(
     # for the same CPUs and finish later than back-to-back runs (measured)
     import time as _time
 
+    def run_positions():
+        from ..stages.tokenize import PositionRows
+
+        pos_dir = os.path.join(slice_dir, "positions")
+        extract = PositionRows(text_col=text_col, id_col=id_col, mode=mode)
+
+        def add_pk(b: pa.Table) -> pa.Table:
+            pk = hash_strings(b["term"].to_pylist()) % np.int64(num_partitions)
+            return b.append_column("pk", pa.array(pk.astype(np.int64)))
+
+        def sort_group(g: pa.Table) -> pa.Table:
+            return g.sort_by([("term", "ascending"), ("doc_id", "ascending")]).drop_columns(["pk"])
+
+        (
+            rd.read_parquet(files, columns=[id_col, text_col], override_num_blocks=n_blocks)
+            .map_batches(extract, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+            .map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pk")
+            .map_groups(sort_group, batch_format="pyarrow")
+            .write_parquet(pos_dir)
+        )
+
     timings: dict[str, float] = {}
     t_start = _time.perf_counter()
     # docmap FIRST: the exchange leaves the session with lingering
@@ -337,6 +366,10 @@ def build_slice(
     t0 = _time.perf_counter()
     run_docmap()
     timings["docmap_sec"] = round(_time.perf_counter() - t0, 2)
+    if store_positions:
+        t0 = _time.perf_counter()
+        run_positions()
+        timings["positions_sec"] = round(_time.perf_counter() - t0, 2)
     t0 = _time.perf_counter()
     manifest_rows = run_postings()
     timings["postings_sec"] = round(_time.perf_counter() - t0, 2)
@@ -352,6 +385,7 @@ def build_slice(
         "bucket_shift": bucket_shift,
         "block_size": block_size,
         "analyzer_mode": mode,
+        "store_positions": bool(store_positions),
         "partitions": sorted(manifest_rows, key=lambda r: r["kh"]),
         "timings": timings,
         "resumed": False,
@@ -382,11 +416,13 @@ def build_index(
         mode=kwargs.get("mode", "code"),
         bucket_shift=kwargs.get("bucket_shift", 17),
         block_size=kwargs.get("block_size", DEFAULT_BLOCK_SIZE),
+        store_positions=kwargs.get("store_positions", False),
     )
 
 
 def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
-                    mode: str, bucket_shift: int, block_size: int) -> dict:
+                    mode: str, bucket_shift: int, block_size: int,
+                    store_positions: bool = False) -> dict:
     """Global stats + manifest over the given slices (in slice-id order).
     Pure recompute from the slices' chunk-stat columns — no dependence on
     a previous ``stats.parquet``, so re-finalizing after a crash or a
@@ -445,6 +481,7 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
         "analyzer_mode": mode,
         "bucket_shift": bucket_shift,
         "block_size": block_size,
+        "store_positions": bool(store_positions),
         "stats_sha256": sha256_file(stats_path),
         "slices": [
             {
@@ -493,15 +530,19 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
     with open(manifest_path) as f:
         manifest = json.load(f)
 
+    defaults = {"analyzer_mode": "code", "bucket_shift": 17,
+                "block_size": DEFAULT_BLOCK_SIZE, "store_positions": False}
     for arg_key, manifest_key in (("mode", "analyzer_mode"),
                                   ("bucket_shift", "bucket_shift"),
-                                  ("block_size", "block_size")):
-        if arg_key in kwargs and kwargs[arg_key] != manifest[manifest_key]:
+                                  ("block_size", "block_size"),
+                                  ("store_positions", "store_positions")):
+        built_with = manifest.get(manifest_key, defaults[manifest_key])
+        if arg_key in kwargs and kwargs[arg_key] != built_with:
             raise ValueError(
                 f"{arg_key}={kwargs[arg_key]!r} conflicts with the index's "
-                f"{manifest[manifest_key]!r}; segment adds must match the build"
+                f"{built_with!r}; segment adds must match the build"
             )
-        kwargs[arg_key] = manifest[manifest_key]
+        kwargs[arg_key] = built_with
 
     old_manifests = []
     for s in manifest["slices"]:
@@ -519,6 +560,7 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
         index_dir, old_manifests + [sm],
         mode=kwargs["mode"], bucket_shift=kwargs["bucket_shift"],
         block_size=kwargs["block_size"],
+        store_positions=kwargs["store_positions"],
     )
 
 

@@ -23,9 +23,12 @@ class BruteForceIndex:
         self.analyzer = analyzer
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
+        self.doc_tokens: dict[int, list[str]] = {}
         for did, text in zip(doc_ids, texts):
             did = int(did)
-            tfs = Counter(analyzer.tokens(text))
+            toks = analyzer.tokens(text)
+            self.doc_tokens[did] = toks
+            tfs = Counter(toks)
             self.doc_len[did] = sum(tfs.values())
             for t, tf in tfs.items():
                 self.postings[t][did] = tf
@@ -58,4 +61,18 @@ class BruteForceIndex:
             return []
         sets = [set(self.postings.get(t, {})) for t in terms]
         out = set.intersection(*sets) if sets else set()
+        return sorted(out)
+
+    def phrase(self, query: str) -> list[int]:
+        """Docs whose token stream contains the query tokens consecutively
+        (naive scan — the match_phrase ground truth)."""
+        terms = self.analyzer.tokens(query)
+        if not terms:
+            return []
+        k = len(terms)
+        out = []
+        for did in self.conjunctive(query):
+            toks = self.doc_tokens[did]
+            if any(toks[i : i + k] == terms for i in range(len(toks) - k + 1)):
+                out.append(did)
         return sorted(out)

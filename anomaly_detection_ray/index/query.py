@@ -133,6 +133,8 @@ class QueryEngine:
         self._postings_cache: OrderedDict[str, tuple] = OrderedDict()
         self._postings_cache_bytes = 0
         self._postings_cache_cap = int(postings_cache_bytes)
+        self.store_positions = bool(self.manifest.get("store_positions", False))
+        self._positions_ds = None  # lazy: only phrase queries open the sidecar
         # per-BLOCK decoded cache for the PRUNED path (LRU, byte-capped):
         # pruning touches only the blocks that can beat theta, so caching
         # whole terms wastes budget — repeated query vocab re-decodes just
@@ -393,6 +395,58 @@ class QueryEngine:
 
     def term_docs(self, term: str) -> np.ndarray:
         return np.sort(self.term_arrays(term)[0])
+
+    # ---------- phrase queries (positional sidecar) ----------
+
+    def _position_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
+        """term → sorted int64 keys ``(doc_id << 32) | position`` from the
+        positional sidecar (``build_index(store_positions=True)``). The
+        sidecar is term-hash partitioned and term-sorted per part, so the
+        read prunes to the query terms' row groups."""
+        if not self.store_positions:
+            raise ValueError(
+                "index was built without store_positions=True; phrase queries unavailable"
+            )
+        if self._positions_ds is None:
+            from glob import glob as _glob
+
+            files = sorted(
+                f for s in self.manifest["slices"]
+                for f in _glob(os.path.join(self.index_dir, s["dir"], "positions", "*.parquet"))
+            )
+            self._positions_ds = pads.dataset(files, format="parquet")
+        tbl = self._positions_ds.to_table(filter=pads.field("term").isin(list(set(terms))))
+        out: dict[str, np.ndarray] = {}
+        import pyarrow.compute as pc
+
+        for t in set(terms):
+            sub = tbl.filter(pc.equal(tbl["term"], t))
+            lst = sub["positions"].combine_chunks()
+            pos = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.diff(lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+            docs = np.repeat(sub["doc_id"].to_numpy().astype(np.int64), counts)
+            out[t] = np.sort((docs << np.int64(32)) | pos)
+        return out
+
+    def phrase(self, query: str) -> np.ndarray:
+        """Sorted doc_ids whose analyzed token stream contains the query
+        tokens CONSECUTIVELY (match_phrase, filter context). One
+        vectorized key-walk verifies adjacency across every candidate
+        doc at once: start from the first term's (doc, pos) keys and
+        keep those whose successor key exists for each following term —
+        no per-doc loop, no text access."""
+        terms = self.analyzer.tokens(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if len(terms) == 1:
+            return self.term_docs(terms[0])
+        keys = self._position_keys(terms)
+        s = keys[terms[0]]
+        for i, t in enumerate(terms[1:], start=1):
+            if s.size == 0:
+                break
+            s = s[np.isin(s + np.int64(i), keys[t], assume_unique=False)]
+        return np.unique(s >> np.int64(32)).astype(np.int64)
 
     def docmap(self) -> pads.Dataset:
         if self._docmap is None:

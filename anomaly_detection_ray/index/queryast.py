@@ -9,6 +9,7 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"term":  {"<field>": value}}             # docmap column or indexed term
     {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
     {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
+    {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...]}}
 
 Evaluation returns a sorted int64 array of doc_ids. Metadata predicates
@@ -73,6 +74,9 @@ class QueryCompiler:
         if kind == "match":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.conjunctive(str(text)), dtype=np.int64)
+        if kind == "match_phrase":
+            ((_field, text),) = body.items()
+            return np.asarray(self.engine.phrase(str(text)), dtype=np.int64)
         if kind == "bool":
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")

@@ -12,6 +12,7 @@ SURVEY.md §2 operator ids are noted on each query.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -30,6 +31,7 @@ EPOCH_2024 = 1_704_067_200_000  # 2024-01-01T00:00:00Z in epoch ms
 DAY_MS = 86_400_000
 
 BM25_QUERY = "merge sort window"
+PHRASE_QUERY = "part filter"
 CONJ_TERMS = ("data", "query")
 IVF_QUERY_VEC_ID = 7
 
@@ -55,7 +57,14 @@ def index_for(sf_dir: str, rebuild: bool = False) -> QueryEngine:
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CACHE_ROOT, f"index_docs_{tag}")
     manifest = os.path.join(out, "manifest.json")
+    if not rebuild and os.path.exists(manifest):
+        with open(manifest) as f:
+            # cached pre-positions builds must refresh for phrase queries
+            rebuild = not json.load(f).get("store_positions", False)
     if rebuild or not os.path.exists(manifest):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         build_index(
             [os.path.join(sf_dir, "documents.parquet")],
             out,
@@ -66,6 +75,7 @@ def index_for(sf_dir: str, rebuild: bool = False) -> QueryEngine:
             num_partitions=8,
             bucket_shift=13,
             keep_cols=("lang", "source"),
+            store_positions=True,
         )
     return QueryEngine(out)
 
@@ -105,6 +115,15 @@ def q_filtered_search(sf_dir: str) -> pd.DataFrame:
             }
         }
     )
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """match_phrase over the positional sidecar: docs whose analyzed
+    token stream contains the query tokens CONSECUTIVELY — verified
+    value-exact against the windowed-n-gram SQL twin."""
+    eng = index_for(sf_dir)
+    docs = eng.phrase(PHRASE_QUERY)
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
@@ -1047,6 +1066,7 @@ REGISTRY = {
     "interval_suggest": q_interval_suggest,
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
+    "phrase_search": q_phrase_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

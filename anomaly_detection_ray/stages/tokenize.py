@@ -164,3 +164,65 @@ class DocMap:
                 cols[c] = batch[c]
         cols["content_sha256"] = pa.array(sha)
         return pa.table(cols)
+
+
+POSITIONS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+class PositionRows:
+    """corpus batch → positional-posting rows (term, doc_id, positions)
+    for the OPTIONAL phrase-query sidecar (``build_index(
+    store_positions=True)``). Lucene keeps positions inline in its
+    postings; here they live in a separate parquet sidecar so the
+    BM25/conjunctive hot path's codec and block-max layout stay
+    untouched and non-phrase users pay nothing.
+
+    Vectorized per batch: one global lexsort of (term code, doc) over
+    the concatenated token stream, positions per (term, doc) are the
+    stable-order run segments — no per-term Python loop."""
+
+    def __init__(self, text_col: str = "content", id_col: str = "doc_id", mode: str = "code"):
+        self.analyzer = Analyzer(mode=mode)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.id_col].to_numpy().astype(np.int64)
+        toks_per_doc = [self.analyzer.tokens(t or "") for t in texts]
+        lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+        total = int(lens.sum())
+        if total == 0:
+            return POSITIONS_SCHEMA.empty_table()
+        all_toks = np.empty(total, dtype=object)
+        i = 0
+        for toks in toks_per_doc:
+            all_toks[i : i + len(toks)] = toks
+            i += len(toks)
+        doc_rep = np.repeat(doc_ids, lens)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = (np.arange(total) - np.repeat(offs, lens)).astype(np.int32)
+
+        uniq, codes = np.unique(all_toks, return_inverse=True)
+        order = np.lexsort((doc_rep, codes))  # stable: positions stay ascending
+        codes, doc_rep, pos = codes[order], doc_rep[order], pos[order]
+        change = np.empty(codes.size, dtype=bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        change[1:] |= doc_rep[1:] != doc_rep[:-1]
+        starts = np.flatnonzero(change)
+        list_offs = np.append(starts, codes.size).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(uniq[codes[starts]]),
+                "doc_id": pa.array(doc_rep[starts]),
+                "positions": pa.ListArray.from_arrays(pa.array(list_offs), pa.array(pos)),
+            },
+            schema=POSITIONS_SCHEMA,
+        )

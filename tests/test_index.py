@@ -268,6 +268,58 @@ def test_tail_index_ticks(ray_session, tiny_corpus, tmp_path_factory):
         assert eng.bm25_topk(q, k=10) == eng_full.bm25_topk(q, k=10), q
 
 
+def test_phrase_queries_vs_oracle(ray_session, tiny_corpus, tmp_path_factory):
+    """match_phrase over the positional sidecar: set-identical to the
+    brute-force naive-scan oracle for real in-corpus phrases (guaranteed
+    hits), shuffled non-phrases (mostly misses), and the fixture query
+    set; single-term degrades to term_docs; an index built WITHOUT
+    positions refuses phrase queries."""
+    from anomaly_detection_ray.index.queryast import QueryCompiler
+
+    out = str(tmp_path_factory.mktemp("posidx"))
+    build_index(tiny_corpus["paths"], out, slices=2, num_partitions=8,
+                batch_size=64, mode="code", store_positions=True)
+    eng = QueryEngine(out)
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+
+    rng = np.random.default_rng(5)
+    phrases, n_hits = [], 0
+    for did in rng.choice(table["doc_id"].to_pylist(), size=12, replace=False):
+        toks = oracle.doc_tokens[int(did)]
+        if len(toks) < 6:
+            continue
+        i = int(rng.integers(0, len(toks) - 4))
+        phrases.append(" ".join(toks[i : i + int(rng.integers(2, 5))]))  # real phrase
+        phrases.append(" ".join(rng.permutation(toks[:6])))              # scrambled
+    phrases += tiny_corpus["queries"]["query"].to_pylist()[:10]
+    for q in phrases:
+        got = list(eng.phrase(q))
+        exp = oracle.phrase(q)
+        assert got == exp, q
+        n_hits += bool(exp)
+    assert n_hits >= 12  # the planted phrases really match
+
+    # every phrase hit also satisfies plain conjunctive containment
+    q0 = next(p for p in phrases if oracle.phrase(p))
+    assert set(eng.phrase(q0)) <= set(eng.conjunctive(q0))
+
+    # single term → term_docs; DSL match_phrase routes here
+    t0 = oracle.doc_tokens[int(table["doc_id"][0].as_py())][0]
+    assert list(eng.phrase(t0)) == list(eng.term_docs(t0))
+    qc = QueryCompiler(eng)
+    assert list(qc.execute({"match_phrase": {"content": q0}})) == oracle.phrase(q0)
+
+    # no sidecar → clear refusal
+    plain = str(tmp_path_factory.mktemp("noposidx"))
+    build_index(tiny_corpus["paths"][:1], plain, slices=1, num_partitions=4,
+                batch_size=64, mode="code")
+    with pytest.raises(ValueError, match="store_positions"):
+        QueryEngine(plain).phrase("a b")
+
+
 def test_kill_mid_build_resume(ray_session, tiny_corpus, tmp_path_factory):
     """Simulated mid-build failure: one slice's outputs lost → rebuild
     recomputes ONLY that slice and the final index is byte-identical."""
