@@ -170,7 +170,20 @@ def bench_suite() -> dict:
     # ---- driver-table pipelines ----
     docs_idx = os.path.join(Q.CACHE_ROOT, f"index_docs_{os.path.basename(os.path.normpath(SF_DIR))}")
     shutil.rmtree(docs_idx, ignore_errors=True)
-    timed("docs_index_build", lambda: Q.index_for(SF_DIR, rebuild=True))
+    timed("docs_index_build", lambda: Q.index_for(SF_DIR, rebuild=True))  # incl. positional sidecar (r3)
+    deng = Q.index_for(SF_DIR)
+    phrases = ["part filter", "merge group", "slow key", "customer join", "table hash"] * 10
+
+    def run_phrases():
+        lat = []
+        for q in phrases:
+            t0 = time.perf_counter()
+            deng.phrase(q)
+            lat.append(time.perf_counter() - t0)
+        return np.asarray(lat)
+
+    plat = timed("phrase_50_queries", run_phrases)
+    extra["phrase_p50_ms"] = round(float(np.percentile(plat, 50)) * 1000, 2)
     timed("tpch_q1", lambda: Q.q_tpch_q1(SF_DIR))
     timed("feature_agg_interval", lambda: Q.q_feature_agg_interval(SF_DIR))
     timed("top_entities", lambda: Q.q_top_entities(SF_DIR))
