@@ -90,6 +90,19 @@ ORDER BY doc_id
 """
 
 
+def _prefix_sql() -> str:
+    """Twin of ``q_prefix_search``: any analyzed token starts with the
+    prefix."""
+    from anomaly_detection_ray.pipelines.queries import PREFIX_QUERY
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(toks, x -> starts_with(x, '{PREFIX_QUERY}'))) > 0
+ORDER BY doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
@@ -416,6 +429,7 @@ FROM c GROUP BY event_type ORDER BY event_type
 """,
         "bm25_topk": _bm25_sql(),
         "phrase_search": _phrase_sql(),
+        "prefix_search": _prefix_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

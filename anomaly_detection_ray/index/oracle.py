@@ -63,6 +63,14 @@ class BruteForceIndex:
         out = set.intersection(*sets) if sets else set()
         return sorted(out)
 
+    def prefix(self, prefix: str) -> list[int]:
+        """Docs containing any term that starts with ``prefix``."""
+        out: set[int] = set()
+        for t, plist in self.postings.items():
+            if t.startswith(prefix):
+                out.update(plist)
+        return sorted(out)
+
     def phrase(self, query: str) -> list[int]:
         """Docs whose token stream contains the query tokens consecutively
         (naive scan — the match_phrase ground truth)."""

@@ -396,6 +396,29 @@ class QueryEngine:
     def term_docs(self, term: str) -> np.ndarray:
         return np.sort(self.term_arrays(term)[0])
 
+    def prefix_terms(self, prefix: str, max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms starting with ``prefix`` — a binary-search
+        range over the term-sorted global stats (the reason the
+        dictionary is stored sorted), like Lucene's TermRangeEnum."""
+        lo = _arrow_bisect(self._stats_terms, prefix, "left")
+        hi = _arrow_bisect(self._stats_terms, prefix + "\U0010ffff", "left")
+        terms = self._stats_terms[lo:hi].to_pylist()
+        if max_expansions is not None and len(terms) > max_expansions:
+            # deterministic: keep the most selective? Lucene keeps first-N
+            # by term order — match that
+            terms = terms[:max_expansions]
+        return terms
+
+    def prefix_docs(self, prefix: str, max_expansions: int | None = None) -> np.ndarray:
+        """Sorted doc_ids containing ANY term with the given prefix
+        (filter-context prefix query): dictionary range scan → union of
+        the matched terms' postings."""
+        terms = self.prefix_terms(prefix, max_expansions)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        parts = [self.term_arrays(t)[0] for t in terms]
+        return np.unique(np.concatenate(parts)).astype(np.int64)
+
     # ---------- phrase queries (positional sidecar) ----------
 
     def _position_keys(self, terms: list[str]) -> dict[str, np.ndarray]:

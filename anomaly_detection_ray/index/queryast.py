@@ -10,6 +10,7 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
     {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
     {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
+    {"prefix": {"<field>": "val"}}            # dictionary range scan / starts_with
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...]}}
 
 Evaluation returns a sorted int64 array of doc_ids. Metadata predicates
@@ -77,6 +78,13 @@ class QueryCompiler:
         if kind == "match_phrase":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.phrase(str(text)), dtype=np.int64)
+        if kind == "prefix":
+            ((field, value),) = body.items()
+            if self._is_meta_field(field):
+                return self._docmap_filter(
+                    pc.starts_with(pc.field(field), pattern=str(value))
+                )
+            return self.engine.prefix_docs(str(value))
         if kind == "bool":
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")

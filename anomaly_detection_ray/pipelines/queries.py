@@ -118,6 +118,17 @@ def q_filtered_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+PREFIX_QUERY = "sl"  # matches 'slow' + any other sl* vocab
+
+
+def q_prefix_search(sf_dir: str) -> pd.DataFrame:
+    """Prefix query: dictionary range scan over the term-sorted stats +
+    postings union — value-exact vs the SQL starts_with twin."""
+    eng = index_for(sf_dir)
+    docs = eng.prefix_docs(PREFIX_QUERY)
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 def q_phrase_search(sf_dir: str) -> pd.DataFrame:
     """match_phrase over the positional sidecar: docs whose analyzed
     token stream contains the query tokens CONSECUTIVELY — verified
@@ -1067,6 +1078,7 @@ REGISTRY = {
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "phrase_search": q_phrase_search,
+    "prefix_search": q_prefix_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

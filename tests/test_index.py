@@ -320,6 +320,65 @@ def test_phrase_queries_vs_oracle(ray_session, tiny_corpus, tmp_path_factory):
         QueryEngine(plain).phrase("a b")
 
 
+def test_prefix_queries_vs_oracle(built, tiny_corpus):
+    """Prefix queries: dictionary range scan + postings union is
+    set-identical to the brute-force oracle; max_expansions truncates by
+    term order (Lucene semantics); DSL routes both text and metadata."""
+    from anomaly_detection_ray.index.queryast import QueryCompiler
+
+    out, _, oracle = built
+    eng = QueryEngine(out)
+    vocab = sorted(oracle.postings)
+    prefixes = sorted({t[:2] for t in vocab[::7]} | {t[:4] for t in vocab[::11]} | {"zzz_none"})
+    n_hits = 0
+    for p in prefixes:
+        got = list(eng.prefix_docs(p))
+        exp = oracle.prefix(p)
+        assert got == exp, p
+        n_hits += bool(exp)
+    assert n_hits >= 5
+    # max_expansions keeps the FIRST terms in dictionary order
+    p = prefixes[0]
+    terms_all = eng.prefix_terms(p)
+    if len(terms_all) > 1:
+        assert eng.prefix_terms(p, max_expansions=1) == terms_all[:1]
+    qc = QueryCompiler(eng)
+    assert list(qc.execute({"prefix": {"content": p}})) == oracle.prefix(p)
+
+
+def test_extend_index_with_positions(ray_session, tiny_corpus, tmp_path_factory):
+    """Segment adds preserve the positional sidecar: phrases spanning
+    both the original and the appended slice resolve identically to a
+    from-scratch positional build."""
+    from anomaly_detection_ray.index.build import extend_index
+
+    paths = tiny_corpus["paths"]
+    kwargs = dict(num_partitions=8, batch_size=64, mode="code", store_positions=True)
+    base = str(tmp_path_factory.mktemp("posext"))
+    build_index(paths[:2], base, slices=1, **kwargs)
+    m = extend_index(base, [paths[2]])  # store_positions inherited from manifest
+    assert m["store_positions"] is True
+
+    full = str(tmp_path_factory.mktemp("posfull"))
+    build_index(paths, full, slices=1, **kwargs)
+    eng, eng_full = QueryEngine(base), QueryEngine(full)
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+    rng = np.random.default_rng(9)
+    n_hits = 0
+    for did in rng.choice(table["doc_id"].to_pylist(), size=8, replace=False):
+        toks = oracle.doc_tokens[int(did)]
+        if len(toks) < 4:
+            continue
+        i = int(rng.integers(0, len(toks) - 3))
+        q = " ".join(toks[i : i + 3])
+        assert list(eng.phrase(q)) == list(eng_full.phrase(q)) == oracle.phrase(q), q
+        n_hits += bool(oracle.phrase(q))
+    assert n_hits >= 6
+
+
 def test_kill_mid_build_resume(ray_session, tiny_corpus, tmp_path_factory):
     """Simulated mid-build failure: one slice's outputs lost → rebuild
     recomputes ONLY that slice and the final index is byte-identical."""
