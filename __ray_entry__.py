@@ -103,6 +103,26 @@ ORDER BY doc_id
 """
 
 
+def _phrase_prefix_sql() -> str:
+    """Twin of ``q_phrase_prefix_search``: some window has the head
+    tokens consecutively and a last token starting with the prefix."""
+    from anomaly_detection_ray.functions.analyzer import Analyzer
+    from anomaly_detection_ray.pipelines.queries import PHRASE_PREFIX_QUERY
+
+    toks = Analyzer("simple").tokens(PHRASE_PREFIX_QUERY)
+    head, pre = toks[:-1], toks[-1]
+    k = len(toks)
+    head_eq = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(head))
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(toks) >= {k} AND len(list_filter(
+  generate_series(1, len(toks) - {k - 1}),
+  i -> {head_eq} AND starts_with(toks[i + {k - 1}], '{pre}'))) > 0
+ORDER BY doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
@@ -430,6 +450,7 @@ FROM c GROUP BY event_type ORDER BY event_type
         "bm25_topk": _bm25_sql(),
         "phrase_search": _phrase_sql(),
         "prefix_search": _prefix_sql(),
+        "phrase_prefix_search": _phrase_prefix_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

@@ -84,3 +84,21 @@ class BruteForceIndex:
             if any(toks[i : i + k] == terms for i in range(len(toks) - k + 1)):
                 out.append(did)
         return sorted(out)
+
+    def phrase_prefix(self, query: str) -> list[int]:
+        """match_phrase_prefix ground truth (no expansion cap): first
+        k−1 tokens match consecutively, the k-th starts with the last
+        query token."""
+        terms = self.analyzer.tokens(query)
+        if not terms:
+            return []
+        head, pre = terms[:-1], terms[-1]
+        k = len(terms)
+        out = []
+        for did, toks in self.doc_tokens.items():
+            if any(
+                toks[i : i + k - 1] == head and toks[i + k - 1].startswith(pre)
+                for i in range(len(toks) - k + 1)
+            ):
+                out.append(did)
+        return sorted(out)

@@ -471,6 +471,31 @@ class QueryEngine:
             s = s[np.isin(s + np.int64(i), keys[t], assume_unique=False)]
         return np.unique(s >> np.int64(32)).astype(np.int64)
 
+    def phrase_prefix(self, query: str, max_expansions: int | None = 50) -> np.ndarray:
+        """match_phrase_prefix (autocomplete): the query's last token is a
+        PREFIX — it expands to dictionary terms (first ``max_expansions``
+        in term order, Lucene semantics; ``None`` = all, the exact-twin
+        mode) and the phrase key-walk's final step accepts any of them."""
+        terms = self.analyzer.tokens(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        expansions = self.prefix_terms(terms[-1], max_expansions)
+        if not expansions:
+            return np.empty(0, dtype=np.int64)
+        if len(terms) == 1:
+            parts = [self.term_arrays(t)[0] for t in expansions]
+            return np.unique(np.concatenate(parts)).astype(np.int64)
+        keys = self._position_keys(terms[:-1] + expansions)
+        last_keys = np.unique(np.concatenate([keys[t] for t in expansions]))
+        s = keys[terms[0]]
+        for i, t in enumerate(terms[1:-1], start=1):
+            if s.size == 0:
+                break
+            s = s[np.isin(s + np.int64(i), keys[t])]
+        if s.size:
+            s = s[np.isin(s + np.int64(len(terms) - 1), last_keys)]
+        return np.unique(s >> np.int64(32)).astype(np.int64)
+
     def docmap(self) -> pads.Dataset:
         if self._docmap is None:
             raise FileNotFoundError("index has no docmap")

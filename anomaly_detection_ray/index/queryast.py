@@ -78,6 +78,9 @@ class QueryCompiler:
         if kind == "match_phrase":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.phrase(str(text)), dtype=np.int64)
+        if kind == "match_phrase_prefix":
+            ((_field, text),) = body.items()
+            return np.asarray(self.engine.phrase_prefix(str(text)), dtype=np.int64)
         if kind == "prefix":
             ((field, value),) = body.items()
             if self._is_meta_field(field):

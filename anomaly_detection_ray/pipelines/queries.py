@@ -138,6 +138,17 @@ def q_phrase_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+PHRASE_PREFIX_QUERY = "part fil"  # 'part' then any fil*-prefixed token
+
+
+def q_phrase_prefix_search(sf_dir: str) -> pd.DataFrame:
+    """match_phrase_prefix (autocomplete): 'part' followed by any token
+    starting with 'fil' — uncapped expansion so the SQL twin is exact."""
+    eng = index_for(sf_dir)
+    docs = eng.phrase_prefix(PHRASE_PREFIX_QUERY, max_expansions=None)
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 def q_term_stats(sf_dir: str) -> pd.DataFrame:
     """Term dictionary stats (df, cttf) — top 20 by df desc, term asc."""
     import pyarrow.parquet as pq
@@ -1079,6 +1090,7 @@ REGISTRY = {
     "bm25_topk": q_bm25_topk,
     "phrase_search": q_phrase_search,
     "prefix_search": q_prefix_search,
+    "phrase_prefix_search": q_phrase_prefix_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

@@ -320,6 +320,38 @@ def test_phrase_queries_vs_oracle(ray_session, tiny_corpus, tmp_path_factory):
         QueryEngine(plain).phrase("a b")
 
 
+def test_phrase_prefix_vs_oracle(ray_session, tiny_corpus, tmp_path_factory):
+    """match_phrase_prefix: planted real phrases with the last token
+    truncated to a prefix are set-identical to the naive-scan oracle in
+    uncapped mode; the capped (Lucene default) mode returns a subset."""
+    out = str(tmp_path_factory.mktemp("ppidx"))
+    build_index(tiny_corpus["paths"], out, slices=2, num_partitions=8,
+                batch_size=64, mode="code", store_positions=True)
+    eng = QueryEngine(out)
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+    rng = np.random.default_rng(11)
+    n_hits = 0
+    for did in rng.choice(table["doc_id"].to_pylist(), size=10, replace=False):
+        toks = oracle.doc_tokens[int(did)]
+        if len(toks) < 5:
+            continue
+        i = int(rng.integers(0, len(toks) - 3))
+        win = toks[i : i + 3]
+        q = " ".join(win[:-1] + [win[-1][: max(1, len(win[-1]) // 2)]])
+        got = list(eng.phrase_prefix(q, max_expansions=None))
+        exp = oracle.phrase_prefix(q)
+        assert got == exp, q
+        assert set(eng.phrase_prefix(q, max_expansions=2)) <= set(exp), q
+        n_hits += bool(exp)
+    assert n_hits >= 8
+    # single-token prefix query degrades to prefix_docs
+    t0 = oracle.doc_tokens[int(table["doc_id"][0].as_py())][0]
+    assert list(eng.phrase_prefix(t0[:2], max_expansions=None)) == list(eng.prefix_docs(t0[:2]))
+
+
 def test_prefix_queries_vs_oracle(built, tiny_corpus):
     """Prefix queries: dictionary range scan + postings union is
     set-identical to the brute-force oracle; max_expansions truncates by
