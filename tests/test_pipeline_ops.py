@@ -716,6 +716,66 @@ def test_corpus_clean_decontam_stage(ray_session):
         assert st[1] == ("kept", 1) and st[2] == ("near_dup", 1) and st[3] == ("exact_dup", 2)
 
 
+def test_corpus_clean_custom_column_names(ray_session):
+    """corpus_clean with id/text columns named differently (both with
+    and without the decontamination stage, which internally rebuilds the
+    id column) produces the same dispositions as the default names."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import corpus_clean
+
+    good = "the dog and the cat of it went " + " ".join(f"token{i:02d}" for i in range(60))
+    texts = [good, good, "short doc only",
+             "the of and is was be are " + " ".join(f"uniq{i:03d}" for i in range(70))]
+    default = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    renamed = pa.table({"item_id": pa.array(range(4), pa.int64()), "body": texts})
+    bench = pa.table({"item_id": pa.array([99], pa.int64()), "body": [good]})
+
+    base = corpus_clean(rd.from_arrow(default), threshold=0.5).to_pandas().sort_values("doc_id")
+    got = corpus_clean(rd.from_arrow(renamed), text_col="body", id_col="item_id",
+                       threshold=0.5).to_pandas().sort_values("doc_id")
+    assert list(zip(got["doc_id"], got["status"], got["group_id"])) == \
+        list(zip(base["doc_id"], base["status"], base["group_id"]))
+
+    got2 = corpus_clean(rd.from_arrow(renamed), text_col="body", id_col="item_id",
+                        threshold=0.5, bench_ds=rd.from_arrow(bench)).to_pandas()
+    st = dict(zip(got2["doc_id"], got2["status"]))
+    assert st[0] == "contaminated" and st[1] == "contaminated"  # both copies overlap bench
+    assert st[3] == "kept"
+
+
+def test_frame_level_image_dedup(ray_session):
+    """The documented video-frame dedup flow: sample_frames → unique
+    per-frame id (media_id*1000 + frame_idx) → image_near_dup_pairs. A
+    duplicated video's sampled frames pair up frame-for-frame."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.multimodal import (
+        encode_rawv, image_near_dup_pairs, sample_frames)
+
+    base = _photo_like_image(100)
+    frames = np.stack([np.roll(base, 7 * k, axis=1) for k in range(4)])
+    media = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["video", "video"]),
+        "payload": pa.array([encode_rawv(frames), encode_rawv(frames)], pa.binary()),
+    })
+    fr = sample_frames(rd.from_arrow(media), frame_samples=4, batch_size=4)
+
+    def frame_id(b: pa.Table) -> pa.Table:
+        fid = b["media_id"].to_numpy() * 1000 + b["frame_idx"].to_numpy()
+        return b.append_column("frame_uid", pa.array(fid.astype(np.int64)))
+
+    fr = fr.map_batches(frame_id, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = image_near_dup_pairs(fr, id_col="frame_uid", batch_size=4).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # identical frames across the two copies must pair (hamming 0)
+    for k in range(4):
+        assert (1000 + k, 2000 + k) in got
+    zero = pairs[pairs["hamming"] == 0]
+    assert len(zero) >= 4
+
+
 def test_clean_and_write_kept_corpus(ray_session, tmp_path):
     """clean_and_write persists exactly the kept docs, hash-sharded;
     rerunning over the same input reproduces the same layout."""
