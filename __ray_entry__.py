@@ -123,6 +123,62 @@ ORDER BY doc_id
 """
 
 
+def _wildcard_sql() -> str:
+    """Twin of ``q_wildcard_search``: any analyzed token LIKE-matches the
+    wildcard pattern ('?' → '_', '*' → '%'; the token alphabet [a-z0-9]
+    has no LIKE metacharacters to escape)."""
+    from anomaly_detection_ray.pipelines.queries import WILDCARD_PATTERN
+
+    like = WILDCARD_PATTERN.replace("*", "%").replace("?", "_")
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(toks, x -> x LIKE '{like}')) > 0
+ORDER BY doc_id
+"""
+
+
+def _regexp_sql() -> str:
+    """Twin of ``q_regexp_search``: anchored RE2 full-match on any token
+    (DuckDB regexp_matches is RE2 — same engine family as Arrow's)."""
+    from anomaly_detection_ray.pipelines.queries import REGEXP_PATTERN
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(toks, x -> regexp_matches(x, '^(?:{REGEXP_PATTERN})$'))) > 0
+ORDER BY doc_id
+"""
+
+
+def _fuzzy_sql() -> str:
+    """Twin of ``q_fuzzy_search``: any token within ``FUZZY_EDITS``
+    Levenshtein edits (transpositions=False mode = DuckDB levenshtein)."""
+    from anomaly_detection_ray.pipelines.queries import FUZZY_EDITS, FUZZY_QUERY
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(toks, x -> levenshtein(x, '{FUZZY_QUERY}') <= {FUZZY_EDITS})) > 0
+ORDER BY doc_id
+"""
+
+
+def _bool_msm_sql() -> str:
+    """Twin of ``q_bool_msm_search``: at least MSM_N of the should terms
+    present."""
+    from anomaly_detection_ray.pipelines.queries import MSM_N, MSM_TERMS
+
+    hits = " + ".join(
+        f"list_contains({TOKS}, '{t}')::int" for t in MSM_TERMS
+    )
+    return f"""
+SELECT doc_id FROM documents
+WHERE {hits} >= {MSM_N}
+ORDER BY doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
@@ -451,6 +507,10 @@ FROM c GROUP BY event_type ORDER BY event_type
         "phrase_search": _phrase_sql(),
         "prefix_search": _prefix_sql(),
         "phrase_prefix_search": _phrase_prefix_sql(),
+        "wildcard_search": _wildcard_sql(),
+        "regexp_search": _regexp_sql(),
+        "fuzzy_search": _fuzzy_sql(),
+        "bool_msm_search": _bool_msm_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

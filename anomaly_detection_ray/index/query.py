@@ -413,11 +413,101 @@ class QueryEngine:
         """Sorted doc_ids containing ANY term with the given prefix
         (filter-context prefix query): dictionary range scan → union of
         the matched terms' postings."""
-        terms = self.prefix_terms(prefix, max_expansions)
+        return self.union_docs(self.prefix_terms(prefix, max_expansions))
+
+    def union_docs(self, terms: list[str]) -> np.ndarray:
+        """Sorted doc_ids containing ANY of ``terms`` (multi-term query
+        rewrite: postings union)."""
         if not terms:
             return np.empty(0, dtype=np.int64)
         parts = [self.term_arrays(t)[0] for t in terms]
         return np.unique(np.concatenate(parts)).astype(np.int64)
+
+    # ---------- multi-term queries (wildcard / regexp / fuzzy) ----------
+
+    def _scan_terms(self, prefix: str, anchored_regex: str,
+                    max_expansions: int | None = None) -> list[str]:
+        """Dictionary terms matching an anchored regex, scanning only the
+        ``prefix``-bounded range of the sorted vocabulary — one vectorized
+        RE2 match over the Arrow slice (see termscan module docstring)."""
+        import pyarrow.compute as pc
+
+        lo = _arrow_bisect(self._stats_terms, prefix, "left") if prefix else 0
+        hi = (
+            _arrow_bisect(self._stats_terms, prefix + "\U0010ffff", "left")
+            if prefix else len(self._stats_terms)
+        )
+        if hi <= lo:
+            return []
+        sl = self._stats_terms.slice(lo, hi - lo)
+        terms = sl.filter(pc.match_substring_regex(sl, anchored_regex)).to_pylist()
+        if max_expansions is not None:
+            terms = terms[:max_expansions]  # first-N in term order (Lucene)
+        return terms
+
+    def wildcard_terms(self, pattern: str, max_expansions: int | None = None) -> list[str]:
+        """Lucene WildcardQuery: ``*`` = any run, ``?`` = one char."""
+        from .termscan import wildcard_prefix, wildcard_to_regex
+
+        return self._scan_terms(
+            wildcard_prefix(pattern), wildcard_to_regex(pattern), max_expansions
+        )
+
+    def wildcard_docs(self, pattern: str, max_expansions: int | None = None) -> np.ndarray:
+        return self.union_docs(self.wildcard_terms(pattern, max_expansions))
+
+    def regexp_terms(self, pattern: str, max_expansions: int | None = None) -> list[str]:
+        """Lucene RegexpQuery: the pattern must match the WHOLE term
+        (anchored). Both this engine (Arrow) and the DuckDB oracle run
+        RE2, so semantics agree by construction."""
+        from .termscan import regexp_prefix
+
+        return self._scan_terms(
+            regexp_prefix(pattern), f"^(?:{pattern})$", max_expansions
+        )
+
+    def regexp_docs(self, pattern: str, max_expansions: int | None = None) -> np.ndarray:
+        return self.union_docs(self.regexp_terms(pattern, max_expansions))
+
+    def fuzzy_terms(
+        self,
+        term: str,
+        fuzziness: int | str = "AUTO",
+        prefix_length: int = 0,
+        transpositions: bool = False,
+        max_expansions: int | None = 50,
+    ) -> list[str]:
+        """Lucene FuzzyQuery rewrite: dictionary terms within
+        ``fuzziness`` edits of ``term`` (AUTO = 0/1/2 by term length),
+        sharing its first ``prefix_length`` chars, closest-first capped
+        at ``max_expansions``. ``transpositions=True`` = OSA distance
+        (``transpositions=False`` is the DuckDB-``levenshtein`` exact
+        oracle mode)."""
+        import pyarrow.compute as pc
+
+        from .termscan import auto_fuzziness, fuzzy_select
+
+        max_edits = auto_fuzziness(term) if fuzziness == "AUTO" else int(fuzziness)
+        pre = term[: max(0, int(prefix_length))]
+        lo = _arrow_bisect(self._stats_terms, pre, "left") if pre else 0
+        hi = (
+            _arrow_bisect(self._stats_terms, pre + "\U0010ffff", "left")
+            if pre else len(self._stats_terms)
+        )
+        if hi <= lo:
+            return []
+        sl = self._stats_terms.slice(lo, hi - lo)
+        # cheap vectorized length band before any DP work
+        ln = pc.utf8_length(sl)
+        mask = pc.and_(
+            pc.greater_equal(ln, len(term) - max_edits),
+            pc.less_equal(ln, len(term) + max_edits),
+        )
+        cands = sl.filter(mask).to_pylist()
+        return fuzzy_select(term, cands, max_edits, transpositions, max_expansions)
+
+    def fuzzy_docs(self, term: str, **kwargs) -> np.ndarray:
+        return self.union_docs(self.fuzzy_terms(term, **kwargs))
 
     # ---------- phrase queries (positional sidecar) ----------
 

@@ -7,11 +7,20 @@ exactly that surface as a JSON-dict AST compiled against a built index:
 
     {"match_all": {}}
     {"term":  {"<field>": value}}             # docmap column or indexed term
+    {"terms": {"<field>": [v1, v2, ...]}}     # any-of (is_in / postings union)
     {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
     {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
     {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
     {"prefix": {"<field>": "val"}}            # dictionary range scan / starts_with
-    {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...]}}
+    {"wildcard": {"<field>": "v?l*"}}         # dictionary scan, RE2-compiled pattern
+    {"regexp":   {"<field>": "v[ae]l.*"}}     # anchored RE2 over dictionary / column
+    {"fuzzy":    {"<field>": "valeu"}}        # Levenshtein expansion (AUTO edits);
+                                              # long form {"value": v, "fuzziness": n,
+                                              # "prefix_length": p, "transpositions": b,
+                                              # "max_expansions": m}
+    {"exists": {"field": "<field>"}}          # docmap column non-null
+    {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...],
+               "minimum_should_match": n}}
 
 Evaluation returns a sorted int64 array of doc_ids. Metadata predicates
 (term/range on docmap columns) evaluate via Arrow compute over the
@@ -62,6 +71,50 @@ class QueryCompiler:
             if self._is_meta_field(field):
                 return self._docmap_filter(pc.equal(pc.field(field), value))
             return self.engine.term_docs(str(value))
+        if kind == "terms":
+            ((field, values),) = body.items()
+            values = list(values)
+            if self._is_meta_field(field):
+                return self._docmap_filter(pc.field(field).isin(values))
+            return self.engine.union_docs([str(v) for v in values])
+        if kind == "exists":
+            field = body["field"]
+            if not self._is_meta_field(field):
+                # the indexed text field exists on every indexed doc
+                return self._all_docs()
+            return self._docmap_filter(pc.field(field).is_valid())
+        if kind == "wildcard":
+            ((field, pattern),) = body.items()
+            if self._is_meta_field(field):
+                from .termscan import wildcard_to_regex
+
+                t = self._docmap()
+                mask = pc.match_substring_regex(
+                    t[field], wildcard_to_regex(str(pattern))
+                )
+                return np.sort(t.filter(mask)["doc_id"].to_numpy())
+            return self.engine.wildcard_docs(str(pattern))
+        if kind == "regexp":
+            ((field, pattern),) = body.items()
+            if self._is_meta_field(field):
+                t = self._docmap()
+                mask = pc.match_substring_regex(t[field], f"^(?:{pattern})$")
+                return np.sort(t.filter(mask)["doc_id"].to_numpy())
+            return self.engine.regexp_docs(str(pattern))
+        if kind == "fuzzy":
+            ((field, spec),) = body.items()
+            if not isinstance(spec, dict):
+                spec = {"value": spec}
+            kwargs = dict(
+                fuzziness=spec.get("fuzziness", "AUTO"),
+                prefix_length=int(spec.get("prefix_length", 0)),
+                transpositions=bool(spec.get("transpositions", False)),
+                max_expansions=spec.get("max_expansions", 50),
+            )
+            value = str(spec["value"])
+            if self._is_meta_field(field):
+                return self._fuzzy_meta(field, value, **kwargs)
+            return self.engine.fuzzy_docs(value, **kwargs)
         if kind == "range":
             ((field, conds),) = body.items()
             if not self._is_meta_field(field):
@@ -92,6 +145,25 @@ class QueryCompiler:
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")
 
+    def _fuzzy_meta(self, field: str, value: str, *, fuzziness, prefix_length,
+                    transpositions, max_expansions) -> np.ndarray:
+        """Fuzzy over a keyword docmap column: expand against the
+        column's DISTINCT values (the small side — keyword fields are
+        low-cardinality by design), then one ``is_in`` filter."""
+        from .termscan import auto_fuzziness, fuzzy_select
+
+        max_edits = (
+            auto_fuzziness(value) if fuzziness == "AUTO" else int(fuzziness)
+        )
+        uniq = [
+            v for v in pc.unique(self._docmap()[field]).to_pylist()
+            if v is not None and v.startswith(value[:prefix_length])
+        ]
+        matched = fuzzy_select(value, uniq, max_edits, transpositions, max_expansions)
+        if not matched:
+            return np.empty(0, dtype=np.int64)
+        return self._docmap_filter(pc.field(field).isin(matched))
+
     def _execute_bool(self, body: dict) -> np.ndarray:
         result: np.ndarray | None = None
         for clause in list(body.get("must", ())) + list(body.get("filter", ())):
@@ -101,13 +173,21 @@ class QueryCompiler:
                 break
         shoulds = body.get("should", ())
         if shoulds:
-            union: np.ndarray | None = None
-            for clause in shoulds:
-                docs = self.execute(clause)
-                union = docs if union is None else np.union1d(union, docs)
-            if result is None:
-                result = union  # pure should → any-match
-            # with must/filter present, should only affects scoring → no-op in filter context
+            # OpenSearch filter-context default: pure should → at least
+            # one must match; alongside must/filter, should is advisory
+            # (scoring-only) unless minimum_should_match says otherwise.
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                msm = 1 if result is None else 0
+            msm = int(msm)
+            if msm > 0:
+                per_clause = [self.execute(c) for c in shoulds]
+                vals, counts = np.unique(np.concatenate(per_clause), return_counts=True)
+                matched = vals[counts >= msm]  # each clause's docs are unique
+                result = (
+                    matched if result is None
+                    else np.intersect1d(result, matched, assume_unique=True)
+                )
         if result is None:
             result = self._all_docs()
         for clause in body.get("must_not", ()):

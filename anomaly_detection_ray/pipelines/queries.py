@@ -149,6 +149,54 @@ def q_phrase_prefix_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+WILDCARD_PATTERN = "s?a*"  # scan, small, spark at sf*
+REGEXP_PATTERN = "s(can|ort|tream)"
+FUZZY_QUERY, FUZZY_EDITS = "smal", 2  # small (1 edit), scan (2 edits)
+MSM_TERMS, MSM_N = ("join", "hash", "merge"), 2
+
+
+def q_wildcard_search(sf_dir: str) -> pd.DataFrame:
+    """Wildcard query (Lucene WildcardQuery): prefix-bounded dictionary
+    scan + one vectorized RE2 match + postings union — value-exact vs
+    the SQL LIKE twin."""
+    eng = index_for(sf_dir)
+    docs = eng.wildcard_docs(WILDCARD_PATTERN)
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_regexp_search(sf_dir: str) -> pd.DataFrame:
+    """Regexp query: anchored RE2 over the dictionary (both sides run
+    RE2 — Arrow here, DuckDB in the twin)."""
+    eng = index_for(sf_dir)
+    docs = eng.regexp_docs(REGEXP_PATTERN)
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy query (Lucene FuzzyQuery, transpositions=False mode):
+    length-banded dictionary scan + batched Levenshtein DP + postings
+    union — value-exact vs the DuckDB levenshtein() twin."""
+    eng = index_for(sf_dir)
+    docs = eng.fuzzy_docs(
+        FUZZY_QUERY, fuzziness=FUZZY_EDITS, transpositions=False, max_expansions=None
+    )
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_bool_msm_search(sf_dir: str) -> pd.DataFrame:
+    """bool should + minimum_should_match: docs matching ≥2 of 3 terms."""
+    eng = index_for(sf_dir)
+    docs = eng.execute_filter(
+        {
+            "bool": {
+                "should": [{"term": {"text": t}} for t in MSM_TERMS],
+                "minimum_should_match": MSM_N,
+            }
+        }
+    )
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 def q_term_stats(sf_dir: str) -> pd.DataFrame:
     """Term dictionary stats (df, cttf) — top 20 by df desc, term asc."""
     import pyarrow.parquet as pq
@@ -1091,6 +1139,10 @@ REGISTRY = {
     "phrase_search": q_phrase_search,
     "prefix_search": q_prefix_search,
     "phrase_prefix_search": q_phrase_prefix_search,
+    "wildcard_search": q_wildcard_search,
+    "regexp_search": q_regexp_search,
+    "fuzzy_search": q_fuzzy_search,
+    "bool_msm_search": q_bool_msm_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

@@ -60,7 +60,7 @@ def test_bool_combinations(eng):
     got2 = e.execute_filter(q2)
     assert list(got2) == sorted(df[df["lang"].isin(["go", "rust"])]["doc_id"])
     with pytest.raises(ValueError):
-        e.execute_filter({"fuzzy": {"x": 1}})
+        e.execute_filter({"more_like_this": {"x": 1}})
 
 
 def test_bm25_topk_filtered(eng):
