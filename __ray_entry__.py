@@ -24,6 +24,7 @@ from anomaly_detection_ray.pipelines.queries import (
     DAY_MS,
     EPOCH_2024,
     IVF_QUERY_VEC_ID,
+    LC_DELETE_MOD,
     REGISTRY,
 )
 
@@ -45,13 +46,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(REGISTRY)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(where: str = "") -> str:
+    """``where`` restricts the corpus (e.g. to live docs after a delete
+    + compaction — stats and scores then come from the subset only)."""
     terms = sorted(set(Analyzer("simple").tokens(BM25_QUERY)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents {where}),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+stats AS (SELECT (SELECT count(*) FROM documents {where}) AS n_docs,
                  (SELECT sum(dl) FROM dl) AS total),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({inlist}) GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN ({inlist}) GROUP BY term),
@@ -511,6 +514,14 @@ FROM c GROUP BY event_type ORDER BY event_type
         "regexp_search": _regexp_sql(),
         "fuzzy_search": _fuzzy_sql(),
         "bool_msm_search": _bool_msm_sql(),
+        "delete_search": f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOKS}, 'merge') AND doc_id % {LC_DELETE_MOD} != 0
+ORDER BY doc_id
+""",
+        "compacted_bm25": _bm25_sql(
+            where=f"WHERE doc_id % {LC_DELETE_MOD} != 0"
+        ),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

@@ -422,21 +422,27 @@ def build_index(
 
 def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
                     mode: str, bucket_shift: int, block_size: int,
-                    store_positions: bool = False) -> dict:
+                    store_positions: bool = False,
+                    dirs: list[str] | None = None,
+                    deletes: dict | None = None) -> dict:
     """Global stats + manifest over the given slices (in slice-id order).
     Pure recompute from the slices' chunk-stat columns — no dependence on
     a previous ``stats.parquet``, so re-finalizing after a crash or a
     segment add is idempotent. Stats and manifest write atomically
     (tmp + replace); the manifest flip is what makes a new slice visible
     to :class:`..query.QueryEngine` (which lists files FROM the manifest,
-    never by glob)."""
+    never by glob). ``dirs`` overrides the default ``segments/slice-{i}``
+    naming (compaction writes a fresh dir); ``deletes`` carries the
+    tombstone record through a re-finalize (segment adds keep deletes)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    if dirs is None:
+        dirs = [f"segments/slice-{i:04d}" for i in range(len(slice_manifests))]
     # global term stats (df, cttf): tiny groupby over the chunk-stat columns
     posting_files = sorted(
-        os.path.join(out_dir, "segments", f"slice-{i:04d}", "postings", p["path"])
-        for i, m in enumerate(slice_manifests)
+        os.path.join(out_dir, d, "postings", p["path"])
+        for d, m in zip(dirs, slice_manifests)
         for p in m["partitions"]
     )
     total_bytes = sum(os.path.getsize(f) for f in posting_files)
@@ -485,14 +491,16 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
         "stats_sha256": sha256_file(stats_path),
         "slices": [
             {
-                "dir": f"segments/slice-{i:04d}",
+                "dir": d,
                 "n_docs": m["n_docs"],
                 "resumed": m.get("resumed", False),
                 "partitions": m["partitions"],
             }
-            for i, m in enumerate(slice_manifests)
+            for d, m in zip(dirs, slice_manifests)
         ],
     }
+    if deletes:
+        manifest["deletes"] = deletes
     manifest_path = os.path.join(out_dir, MANIFEST_NAME)
     tmp_manifest = f"{manifest_path}.tmp-{os.getpid()}"
     with open(tmp_manifest, "w") as f:
@@ -553,15 +561,31 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
     if any(m.get("input_fingerprint") == fp for m in old_manifests):
         return manifest  # these files are already a slice — no-op
 
-    i = len(manifest["slices"])
-    slice_dir = os.path.join(index_dir, "segments", f"slice-{i:04d}")
-    sm = build_slice(sorted(new_files), slice_dir, **kwargs)
+    i = next_slice_id(manifest)
+    rel_dir = f"segments/slice-{i:04d}"
+    sm = build_slice(sorted(new_files), os.path.join(index_dir, rel_dir), **kwargs)
     return _finalize_index(
         index_dir, old_manifests + [sm],
         mode=kwargs["mode"], bucket_shift=kwargs["bucket_shift"],
         block_size=kwargs["block_size"],
         store_positions=kwargs["store_positions"],
+        dirs=[s["dir"] for s in manifest["slices"]] + [rel_dir],
+        deletes=manifest.get("deletes"),
     )
+
+
+def next_slice_id(manifest: dict) -> int:
+    """Next unused slice number: one past the largest trailing integer in
+    any live OR historical slice dir name (compaction leaves old dirs on
+    disk until GC, so length-of-slices would collide after a compact)."""
+    import re
+
+    ids = [0]
+    for s in manifest["slices"]:
+        m = re.search(r"(\d+)$", s["dir"])
+        if m:
+            ids.append(int(m.group(1)) + 1)
+    return max(ids)
 
 
 def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str, **kwargs) -> dict | None:

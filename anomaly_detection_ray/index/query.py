@@ -135,6 +135,20 @@ class QueryEngine:
         self._postings_cache_cap = int(postings_cache_bytes)
         self.store_positions = bool(self.manifest.get("store_positions", False))
         self._positions_ds = None  # lazy: only phrase queries open the sidecar
+        # tombstones (Lucene .liv analogue): docs filtered at decode time;
+        # global stats (n_docs/avgdl/df) stay STALE until compaction —
+        # exactly Lucene's delete-before-merge semantics, so a delete
+        # never changes a live doc's BM25 score (block upper bounds
+        # remain valid bounds; pruning is just marginally less tight).
+        d = self.manifest.get("deletes")
+        if d:
+            self.deleted = (
+                pq.read_table(os.path.join(index_dir, d["path"]))["doc_id"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+        else:
+            self.deleted = np.empty(0, dtype=np.int64)
         # per-BLOCK decoded cache for the PRUNED path (LRU, byte-capped):
         # pruning touches only the blocks that can beat theta, so caching
         # whole terms wastes budget — repeated query vocab re-decodes just
@@ -182,6 +196,9 @@ class QueryEngine:
         rows = self.chunks_for([term]).to_pylist()
         if rows:
             docs, tfs, dls, _ = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+            if self.deleted.size:
+                keep = np.isin(docs, self.deleted, invert=True)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         else:
             docs = tfs = dls = np.empty(0, dtype=np.int64)
         entry = (docs, tfs, dls)
@@ -289,6 +306,9 @@ class QueryEngine:
                 else:
                     w = float(bm25_idf(self.df(row["term"]), self.n_docs))
                     docs, tfs, dls = decode_block(row, bi)
+                    if self.deleted.size:
+                        keep = np.isin(docs, self.deleted, invert=True)
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                     hit = (docs, w * tf_norm(tfs, dls, self.avgdl))
                     self._block_cache[pkey] = hit
                     self._block_cache_bytes += hit[0].nbytes * 2
@@ -534,6 +554,10 @@ class QueryEngine:
 
         for t in set(terms):
             sub = tbl.filter(pc.equal(tbl["term"], t))
+            if self.deleted.size:
+                sub = sub.filter(
+                    pc.invert(pc.is_in(sub["doc_id"], value_set=pa.array(self.deleted)))
+                )
             lst = sub["positions"].combine_chunks()
             pos = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
             counts = np.diff(lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
@@ -612,6 +636,10 @@ class QueryEngine:
         n_docs, avgdl = self.n_docs, self.avgdl
         block_size = int(self.manifest.get("block_size", 128))
 
+        import ray
+
+        deleted_ref = ray.put(self.deleted) if self.deleted.size else None
+
         def score_bucket(group: pa.Table) -> pa.Table:
             from .segments import decode_chunks_bulk
 
@@ -619,6 +647,9 @@ class QueryEngine:
             docs, tfs, dls, off = decode_chunks_bulk(rows, block_size)
             idfs = np.asarray([float(bm25_idf(dfs[r["term"]], n_docs)) for r in rows])
             w = np.repeat(idfs, np.diff(off))
+            if deleted_ref is not None:
+                keep = np.isin(docs, ray.get(deleted_ref), invert=True)
+                docs, tfs, dls, w = docs[keep], tfs[keep], dls[keep], w[keep]
             imps = w * tf_norm(tfs, dls, avgdl)
             uniq, inv = np.unique(docs, return_inverse=True)
             scores = np.zeros(uniq.size)

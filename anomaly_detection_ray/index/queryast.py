@@ -46,7 +46,15 @@ class QueryCompiler:
 
     def _docmap(self):
         if self._docmap_tbl is None:
-            self._docmap_tbl = self.engine.docmap().to_table()
+            import pyarrow as pa
+
+            t = self.engine.docmap().to_table()
+            deleted = getattr(self.engine, "deleted", None)
+            if deleted is not None and deleted.size:
+                t = t.filter(
+                    pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(deleted)))
+                )
+            self._docmap_tbl = t
         return self._docmap_tbl
 
     def _all_docs(self) -> np.ndarray:

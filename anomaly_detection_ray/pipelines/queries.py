@@ -149,6 +149,65 @@ def q_phrase_prefix_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+LC_DELETE_MOD = 7  # lifecycle queries tombstone doc_id % 7 == 0
+
+
+def lifecycle_index_for(sf_dir: str, stage: str) -> QueryEngine:
+    """Index over ``documents`` with every ``doc_id % 7 == 0`` doc
+    tombstoned (``stage='deleted'``) or tombstoned-then-compacted
+    (``stage='compacted'``) — cached per stage under /tmp."""
+    import shutil
+
+    from ..index.lifecycle import compact_index, delete_docs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"index_lc_{stage}_{tag}")
+    marker = os.path.join(out, "_lc_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")],
+            out,
+            slices=2,
+            text_col="text",
+            id_col="doc_id",
+            mode="simple",
+            num_partitions=8,
+            bucket_shift=13,
+            keep_cols=("lang", "source"),
+        )
+        ids = QueryEngine(out).docmap().to_table()["doc_id"].to_numpy()
+        delete_docs(out, ids[ids % LC_DELETE_MOD == 0])
+        if stage == "compacted":
+            compact_index(out, gc=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return QueryEngine(out)
+
+
+def q_delete_search(sf_dir: str) -> pd.DataFrame:
+    """Tombstone deletes: docs matching a term AFTER delete_docs — the
+    engine filters deleted docs from the postings at decode time."""
+    eng = lifecycle_index_for(sf_dir, "deleted")
+    docs = eng.execute_filter({"match": {"text": "merge"}})
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_compacted_bm25(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 after delete + compaction (forceMerge(1)): global
+    stats recomputed exactly over the live docs, so the SQL twin scores
+    from the live-doc subset."""
+    eng = lifecycle_index_for(sf_dir, "compacted")
+    hits = eng.bm25_topk(BM25_QUERY, k=10, prune=True)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "score_r": np.round([s for _, s in hits], 6),
+        }
+    )
+
+
 WILDCARD_PATTERN = "s?a*"  # scan, small, spark at sf*
 REGEXP_PATTERN = "s(can|ort|tream)"
 FUZZY_QUERY, FUZZY_EDITS = "smal", 2  # small (1 edit), scan (2 edits)
@@ -1143,6 +1202,8 @@ REGISTRY = {
     "regexp_search": q_regexp_search,
     "fuzzy_search": q_fuzzy_search,
     "bool_msm_search": q_bool_msm_search,
+    "delete_search": q_delete_search,
+    "compacted_bm25": q_compacted_bm25,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

@@ -1,0 +1,191 @@
+"""Tombstone deletes + compaction vs fresh-build / stale-stats oracles.
+
+Delete semantics under test (Lucene's delete-before-merge model):
+- a delete never changes a live doc's BM25 score (stats stay stale);
+- the post-delete top-k equals the pre-delete ranking with tombstoned
+  docs removed;
+- compaction (forceMerge(1)) purges tombstones and recomputes exact
+  stats: scores become identical to a from-scratch build over the
+  live docs.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.index.build import build_index, extend_index
+from anomaly_detection_ray.index.lifecycle import (
+    compact_index,
+    delete_by_query,
+    delete_docs,
+    load_deleted,
+)
+from anomaly_detection_ray.index.oracle import BruteForceIndex
+from anomaly_detection_ray.index.query import QueryEngine
+
+QUERIES = ["merge sort", "parse import", "window filter data", "import"]
+PHRASES = ["merge sort", "import parse"]
+
+
+def _hits_minus(hits, deleted, k):
+    return [(d, s) for d, s in hits if d not in deleted][:k]
+
+
+@pytest.fixture(scope="module")
+def deleted_index(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lifecycle_idx"))
+    build_index(
+        tiny_corpus["paths"], out, slices=2, num_partitions=4, batch_size=64,
+        mode="code", store_positions=True,
+    )
+    pre = QueryEngine(out)
+    pre_topk = {q: pre.bm25_topk(q, k=200, prune=False) for q in QUERIES}
+    pre_phrase = {p: list(pre.phrase(p)) for p in PHRASES}
+    # tombstone the top hits of the first query plus a doc-id comb —
+    # deletes that actually perturb rankings
+    deleted = {d for d, _ in pre_topk[QUERIES[0]][:3]} | set(range(0, 200, 7))
+    delete_docs(out, sorted(deleted))
+    return out, deleted, pre_topk, pre_phrase
+
+
+def test_delete_filters_every_query_path(deleted_index, tiny_corpus):
+    out, deleted, pre_topk, pre_phrase = deleted_index
+    eng = QueryEngine(out)
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+    # postings exclude tombstones
+    for term in ["import", "merge", "parse"]:
+        exp = sorted(set(oracle.postings.get(term, ())) - deleted)
+        assert list(eng.term_docs(term)) == exp, term
+    # conjunctive
+    for q in QUERIES:
+        assert list(eng.conjunctive(q)) == sorted(set(oracle.conjunctive(q)) - deleted), q
+    # phrase (positional sidecar filtered too)
+    for p in PHRASES:
+        assert list(eng.phrase(p)) == sorted(set(pre_phrase[p]) - deleted), p
+    # DSL: match_all + meta filters run over the live docmap
+    all_live = sorted(set(table["doc_id"].to_pylist()) - deleted)
+    assert list(eng.execute_filter({"match_all": {}})) == all_live
+    df = table.to_pandas()
+    py = sorted(set(df[df["lang"] == "python"]["doc_id"]) - deleted)
+    assert list(eng.execute_filter({"term": {"lang": "python"}})) == py
+
+
+def test_delete_keeps_live_scores_stale_stats(deleted_index):
+    """Top-k after delete == pre-delete ranking minus tombstones, scores
+    bit-identical — the Lucene stale-stats invariant, on BOTH paths."""
+    out, deleted, pre_topk, _ = deleted_index
+    eng = QueryEngine(out)
+    for q in QUERIES:
+        expected = _hits_minus(pre_topk[q], deleted, 10)
+        for prune in (False, True):
+            got = eng.bm25_topk(q, k=10, prune=prune)
+            assert [d for d, _ in got] == [d for d, _ in expected], (q, prune)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == pytest.approx(es, abs=1e-9)
+        dist = eng.bm25_topk_distributed(q, k=10)
+        assert [d for d, _ in dist] == [d for d, _ in expected], q
+
+
+def test_delete_union_and_by_query(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lifecycle_del2"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, mode="code")
+    m1 = delete_docs(out, [1, 2, 3])
+    m2 = delete_docs(out, [3, 4])  # union, idempotent overlap
+    assert m2["deletes"]["n_deleted"] == 4
+    assert list(load_deleted(out)) == [1, 2, 3, 4]
+    # delete_by_query resolves against the LIVE view
+    eng = QueryEngine(out)
+    victims = set(eng.execute_filter({"term": {"lang": "go"}}).tolist())
+    assert victims, "fixture should contain go docs"
+    _, n = delete_by_query(out, {"term": {"lang": "go"}})
+    assert n == len(victims)
+    eng2 = QueryEngine(out)
+    assert not set(eng2.execute_filter({"match_all": {}}).tolist()) & victims
+
+
+def test_compact_equals_fresh_build_over_live_docs(
+    deleted_index, tiny_corpus, tmp_path_factory
+):
+    out, deleted, _, _ = deleted_index
+    manifest = compact_index(out)
+    assert "deletes" not in manifest
+    assert len(manifest["slices"]) == 1
+    assert manifest["n_docs"] == 200 - len(deleted)
+
+    # fresh build over only the live docs
+    table = tiny_corpus["table"]
+    live = table.filter(
+        ~np.isin(table["doc_id"].to_numpy(), np.asarray(sorted(deleted)))
+    )
+    fresh_dir = str(tmp_path_factory.mktemp("fresh_live"))
+    src = os.path.join(fresh_dir, "live.parquet")
+    pq.write_table(live, src)
+    fresh_idx = os.path.join(fresh_dir, "idx")
+    fm = build_index(
+        [src], fresh_idx, slices=1, num_partitions=4, mode="code",
+        store_positions=True,
+    )
+    assert manifest["avgdl"] == pytest.approx(fm["avgdl"])
+    assert manifest["n_terms"] == fm["n_terms"]
+
+    ce, fe = QueryEngine(out), QueryEngine(fresh_idx)
+    for term in ["import", "merge", "parse", "window"]:
+        assert ce.df(term) == fe.df(term), term
+        assert list(ce.term_docs(term)) == list(fe.term_docs(term)), term
+    for q in QUERIES:
+        exp = fe.bm25_topk(q, k=10, prune=False)
+        for prune in (False, True):
+            got = ce.bm25_topk(q, k=10, prune=prune)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, prune)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, abs=1e-9)
+    for p in PHRASES:
+        assert list(ce.phrase(p)) == list(fe.phrase(p)), p
+    # docmap rewritten to live docs only
+    dm = ce.docmap().to_table()
+    assert dm.num_rows == 200 - len(deleted)
+    assert not set(dm["doc_id"].to_pylist()) & deleted
+
+    # segment add AFTER compaction: fresh slice id, no dir collision
+    import pyarrow as pa
+
+    new_docs = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002], pa.int64()),
+            "content": pa.array(["zzuniqueterm alpha", "zzuniqueterm beta"]),
+            "lang": pa.array(["python", "go"]),
+        }
+    )
+    add_src = os.path.join(fresh_dir, "add.parquet")
+    pq.write_table(new_docs, add_src)
+    m2 = extend_index(out, [add_src])
+    assert len(m2["slices"]) == 2
+    assert m2["slices"][0]["dir"] != m2["slices"][1]["dir"]
+    e2 = QueryEngine(out)
+    assert list(e2.term_docs("zzuniqueterm")) == [9001, 9002]
+
+
+def test_compact_without_deletes_merges_slices(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lifecycle_merge"))
+    build_index(tiny_corpus["paths"], out, slices=3, num_partitions=4, mode="code")
+    eng = QueryEngine(out)
+    before = {q: eng.bm25_topk(q, k=10, prune=False) for q in QUERIES}
+    m = compact_index(out, gc=True)
+    assert len(m["slices"]) == 1
+    assert m["n_docs"] == 200
+    # old slice dirs removed by gc
+    assert sorted(os.listdir(os.path.join(out, "segments"))) == [
+        os.path.basename(m["slices"][0]["dir"])
+    ]
+    after = QueryEngine(out)
+    for q in QUERIES:
+        got = after.bm25_topk(q, k=10, prune=False)
+        assert [d for d, _ in got] == [d for d, _ in before[q]]
+        for (_, gs), (_, es) in zip(got, before[q]):
+            assert gs == pytest.approx(es, abs=1e-9)
