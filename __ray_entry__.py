@@ -25,6 +25,7 @@ from anomaly_detection_ray.pipelines.queries import (
     EPOCH_2024,
     IVF_QUERY_VEC_ID,
     LC_DELETE_MOD,
+    LC_UPDATE_MOD,
     REGISTRY,
 )
 
@@ -46,9 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(REGISTRY)
 
 
-def _bm25_sql(where: str = "") -> str:
+def _bm25_sql(where: str = "", rank_lo: int = 1, rank_hi: int = 10) -> str:
     """``where`` restricts the corpus (e.g. to live docs after a delete
-    + compaction — stats and scores then come from the subset only)."""
+    + compaction — stats and scores then come from the subset only);
+    ``rank_lo``/``rank_hi`` select a pagination window."""
     terms = sorted(set(Analyzer("simple").tokens(BM25_QUERY)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -68,7 +70,7 @@ SELECT doc_id, rank, score_r FROM (
   SELECT doc_id, round(score, 6) AS score_r,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM scores) t
-WHERE rank <= 10 ORDER BY rank
+WHERE rank BETWEEN {rank_lo} AND {rank_hi} ORDER BY rank
 """
 
 
@@ -522,6 +524,18 @@ ORDER BY doc_id
         "compacted_bm25": _bm25_sql(
             where=f"WHERE doc_id % {LC_DELETE_MOD} != 0"
         ),
+        "update_search": f"""
+SELECT doc_id FROM documents
+WHERE (doc_id % {LC_UPDATE_MOD} != 0 AND list_contains({TOKS}, 'merge'))
+   OR doc_id % {LC_UPDATE_MOD} = 0
+ORDER BY doc_id
+""",
+        "search_facets": f"""
+SELECT lang, count(*) AS doc_count FROM documents
+WHERE list_contains({TOKS}, 'data')
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "search_after_page": _bm25_sql(rank_lo=11, rank_hi=20),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

@@ -46,6 +46,8 @@ from .build import MANIFEST_NAME, _finalize_index, next_slice_id
 from .segments import DEFAULT_BLOCK_SIZE, decode_chunks_bulk, encode_rows_batched
 
 DELETES_REL = "deletes/deleted.parquet"
+# live_from for a plain delete: no slice id ever reaches it → dead everywhere
+LIVE_NEVER = 1 << 62
 
 
 def _load_manifest(index_dir: str) -> dict:
@@ -61,21 +63,36 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
     os.replace(tmp, path)
 
 
-def load_deleted(index_dir: str, manifest: dict | None = None) -> np.ndarray:
-    """Sorted int64 tombstoned doc ids ([] when none)."""
+def load_tombstones(
+    index_dir: str, manifest: dict | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc ids, aligned live_from slice ids). A tombstoned doc
+    is DEAD in every slice with id < its live_from — ``LIVE_NEVER`` for
+    plain deletes, the re-add slice id for updates (Lucene's
+    delete-old-segment-copies update model, per-segment liveness)."""
     manifest = manifest or _load_manifest(index_dir)
     d = manifest.get("deletes")
     if not d:
-        return np.empty(0, dtype=np.int64)
-    return (
-        pq.read_table(os.path.join(index_dir, d["path"]))["doc_id"]
-        .to_numpy()
-        .astype(np.int64)
-    )
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    t = pq.read_table(os.path.join(index_dir, d["path"]))
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    if "live_from" in t.column_names:
+        lf = t["live_from"].to_numpy().astype(np.int64)
+    else:
+        lf = np.full(ids.size, LIVE_NEVER, dtype=np.int64)
+    return ids, lf
 
 
-def delete_docs(index_dir: str, doc_ids) -> dict:
-    """Tombstone ``doc_ids`` (unioned with prior deletes, idempotent).
+def load_deleted(index_dir: str, manifest: dict | None = None) -> np.ndarray:
+    """Sorted int64 doc ids deleted EVERYWHERE ([] when none)."""
+    ids, lf = load_tombstones(index_dir, manifest)
+    return ids[lf >= LIVE_NEVER]
+
+
+def delete_docs(index_dir: str, doc_ids, live_from: int = LIVE_NEVER) -> dict:
+    """Tombstone ``doc_ids`` (merged with prior tombstones, idempotent;
+    the NEW batch's ``live_from`` overrides on overlap — a later delete
+    or update wins).
 
     Writes the tombstone parquet atomically, then flips the manifest —
     readers opened before the flip keep serving the old view; new
@@ -83,19 +100,75 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
     every query path. Returns the updated manifest."""
     manifest = _load_manifest(index_dir)
     new = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
-    merged = np.union1d(load_deleted(index_dir, manifest), new)
+    old_ids, old_lf = load_tombstones(index_dir, manifest)
+    keep = np.isin(old_ids, new, invert=True)
+    ids = np.concatenate([old_ids[keep], new])
+    lf = np.concatenate([old_lf[keep], np.full(new.size, int(live_from), np.int64)])
+    order = np.argsort(ids)
+    ids, lf = ids[order], lf[order]
     path = os.path.join(index_dir, DELETES_REL)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "live_from": pa.array(lf, pa.int64())}
+        ),
+        tmp,
+    )
     os.replace(tmp, path)
     manifest["deletes"] = {
         "path": DELETES_REL,
-        "n_deleted": int(merged.size),
+        "n_deleted": int(ids.size),
         "sha256": sha256_file(path),
     }
     _write_manifest(index_dir, manifest)
     return manifest
+
+
+def live_mask(docs, slices, ids: np.ndarray, lf: np.ndarray) -> np.ndarray:
+    """Element-wise survival of postings/rows against scoped tombstones:
+    a doc survives iff it is not tombstoned, OR its slice id ≥ the
+    tombstone's live_from (the copy added at/after the update)."""
+    idx = np.searchsorted(ids, docs)
+    idxc = np.minimum(idx, ids.size - 1)
+    tomb = (idx < ids.size) & (ids[idxc] == docs)
+    return ~tomb | (np.asarray(slices) >= lf[idxc])
+
+
+def update_docs(
+    index_dir: str, new_files: list[str], id_col: str = "doc_id", **kwargs
+) -> dict:
+    """Replace documents by id: tombstone every doc id present in
+    ``new_files`` scoped to slices OLDER than the segment those files
+    become, then segment-add the files — Lucene's update model
+    (delete-in-old-segments + add-in-new-segment), so the same doc_id
+    serves its NEW content immediately, no compaction required.
+
+    Idempotent: re-running with files already indexed re-points the
+    tombstones at their existing slice. A crash between the tombstone
+    flip and the segment add leaves the docs briefly absent (not
+    duplicated); the rerun completes the add."""
+    from .build import _slice_fingerprint, extend_index, next_slice_id
+
+    manifest = _load_manifest(index_dir)
+    fp = _slice_fingerprint(new_files)
+    sid = None
+    import re
+
+    for s in manifest["slices"]:
+        with open(os.path.join(index_dir, s["dir"], "_slice_manifest.json")) as f:
+            if json.load(f).get("input_fingerprint") == fp:
+                sid = int(re.search(r"(\d+)$", s["dir"]).group(1))
+                break
+    if sid is None:
+        sid = next_slice_id(manifest)
+    ids = np.unique(
+        np.concatenate(
+            [pq.read_table(f, columns=[id_col])[id_col].to_numpy() for f in new_files]
+        )
+    ).astype(np.int64)
+    delete_docs(index_dir, ids, live_from=sid)
+    return extend_index(index_dir, new_files, id_col=id_col, **kwargs)
 
 
 def delete_by_query(index_dir: str, query: dict) -> tuple[dict, int]:
@@ -114,12 +187,13 @@ def _compact_partition(
     kh: int,
     out_dir: str,
     block_size: int,
-    deleted: np.ndarray,
+    tombs: tuple[np.ndarray, np.ndarray],
     *parts: pa.Table,
 ) -> dict | None:
     """Reducer: all existing chunks of one target partition → decode,
-    drop tombstoned postings, re-sort, bulk re-encode as ONE doc-ordered
-    chunk per (term, bucket). Runs as a Ray task per partition."""
+    drop tombstoned postings (scoped by each chunk's slice id), re-sort,
+    bulk re-encode as ONE doc-ordered chunk per (term, bucket). Runs as
+    a Ray task per partition."""
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return None
@@ -132,8 +206,10 @@ def _compact_partition(
     code_all = np.repeat(codes, counts)
     bucket_all = np.repeat(group["bucket"].to_numpy(), counts)
 
-    if deleted.size:
-        keep = np.isin(docs, deleted, invert=True)
+    del_ids, del_lf = tombs
+    if del_ids.size:
+        slice_all = np.repeat(group["slice"].to_numpy(), counts)
+        keep = live_mask(docs, slice_all, del_ids, del_lf)
         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         code_all, bucket_all = code_all[keep], bucket_all[keep]
     if docs.size == 0:
@@ -195,11 +271,14 @@ def compact_index(
     import ray
     import ray.data as rd
 
+    import re
+
     manifest = _load_manifest(index_dir)
     block_size = int(manifest.get("block_size", DEFAULT_BLOCK_SIZE))
-    deleted = load_deleted(index_dir, manifest)
-    deleted_tag = hashlib.sha256(deleted.tobytes()).hexdigest()[:16]
+    del_ids, del_lf = load_tombstones(index_dir, manifest)
+    deleted_tag = hashlib.sha256(del_ids.tobytes() + del_lf.tobytes()).hexdigest()[:16]
     old_dirs = [s["dir"] for s in manifest["slices"]]
+    slice_ids = [int(re.search(r"(\d+)$", d).group(1)) for d in old_dirs]
     slice_manifests = []
     for d in old_dirs:
         with open(os.path.join(index_dir, d, "_slice_manifest.json")) as f:
@@ -219,30 +298,43 @@ def compact_index(
     postings_dir = os.path.join(slice_dir, "postings")
     os.makedirs(postings_dir, exist_ok=True)
 
-    posting_files = sorted(
-        os.path.join(index_dir, s["dir"], "postings", p["path"])
-        for s in manifest["slices"]
-        for p in s["partitions"]
-    )
-
     # --- postings: hash exchange of existing chunks by the same
     # (term-hash + bucket) % P key, raw-Ray tasks (build.py's exchange
-    # pattern; compressed rows move zero-copy, only reducers decode)
-    def add_kh(b: pa.Table) -> pa.Table:
-        kh = (
-            hash_strings(b["term"].to_pylist())
-            + b["bucket"].to_numpy().astype(np.uint64)
-        ) % np.uint64(num_partitions)
-        return b.append_column("kh", pa.array(kh.astype(np.int64)))
+    # pattern; compressed rows move zero-copy, only reducers decode).
+    # Each slice reads with its slice id attached so the reducers can
+    # apply the SCOPED tombstone rule (updates kill only older copies).
+    def _with_slice(sid_: int):
+        def add(b: pa.Table) -> pa.Table:
+            kh = (
+                hash_strings(b["term"].to_pylist())
+                + b["bucket"].to_numpy().astype(np.uint64)
+            ) % np.uint64(num_partitions)
+            b = b.append_column("kh", pa.array(kh.astype(np.int64)))
+            return b.append_column(
+                "slice", pa.array(np.full(b.num_rows, sid_, np.int64))
+            )
+
+        return add
+
+    per_slice = []
+    for s, sid_ in zip(manifest["slices"], slice_ids):
+        files = sorted(
+            os.path.join(index_dir, s["dir"], "postings", p["path"])
+            for p in s["partitions"]
+        )
+        if files:
+            per_slice.append(
+                rd.read_parquet(files).map_batches(
+                    _with_slice(sid_), batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+    chunks = per_slice[0].union(*per_slice[1:]) if len(per_slice) > 1 else per_slice[0]
 
     from .build import _split_table_by_kh
 
-    chunks = rd.read_parquet(posting_files).map_batches(
-        add_kh, batch_format="pyarrow", zero_copy_batch=True
-    )
     split = ray.remote(num_returns=num_partitions)(_split_table_by_kh)
     compact = ray.remote(_compact_partition)
-    deleted_ref = ray.put(deleted)
+    deleted_ref = ray.put((del_ids, del_lf))
     part_refs: list[list] = [[] for _ in range(num_partitions)]
     for bundle in chunks.iter_internal_ref_bundles():
         for ref in bundle.block_refs:
@@ -258,24 +350,49 @@ def compact_index(
     manifest_rows = [r for r in ray.get(futures) if r is not None]
 
     # --- docmap: stream-filter tombstoned rows into the new slice
-    docmap_files = sorted(
-        f
-        for s in manifest["slices"]
-        for f in glob(os.path.join(index_dir, s["dir"], "docmap", "*.parquet"))
-    )
     docmap_dir = os.path.join(slice_dir, "docmap")
 
-    def drop_deleted(b: pa.Table) -> pa.Table:
-        if not deleted.size:
-            return b
-        import pyarrow.compute as pc
+    def _drop_dead(sid_: int):
+        def drop(b: pa.Table) -> pa.Table:
+            if not del_ids.size:
+                return b
+            keep = live_mask(
+                b["doc_id"].to_numpy().astype(np.int64), sid_, del_ids, del_lf
+            )
+            return b.filter(pa.array(keep))
 
-        keep = pc.invert(pc.is_in(b["doc_id"], value_set=pa.array(deleted)))
-        return b.filter(keep)
+        return drop
 
-    rd.read_parquet(docmap_files).map_batches(
-        drop_deleted, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(docmap_dir)
+    def _per_slice_read(subdir: str, extra=None):
+        slice_files = [
+            (sid_, sorted(glob(os.path.join(index_dir, s["dir"], subdir, "*.parquet"))))
+            for s, sid_ in zip(manifest["slices"], slice_ids)
+        ]
+        # slices may differ in metadata columns (update files need not
+        # repeat every keep_col): pad every batch to the unified schema
+        target = pa.unify_schemas(
+            [pq.read_schema(f) for _, fs in slice_files for f in fs[:1]]
+        )
+
+        def pad(b: pa.Table) -> pa.Table:
+            for name, typ in zip(target.names, target.types):
+                if name not in b.column_names:
+                    b = b.append_column(name, pa.nulls(b.num_rows, typ))
+            return b.select(target.names)
+
+        parts = []
+        for sid_, files in slice_files:
+            if not files:
+                continue
+            ds = rd.read_parquet(files).map_batches(
+                _drop_dead(sid_), batch_format="pyarrow", zero_copy_batch=True
+            ).map_batches(pad, batch_format="pyarrow", zero_copy_batch=True)
+            if extra is not None:
+                ds = ds.map_batches(extra, batch_format="pyarrow", zero_copy_batch=True)
+            parts.append(ds)
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    _per_slice_read("docmap").write_parquet(docmap_dir)
     n_docs = sum(
         pq.read_metadata(f).num_rows for f in glob(os.path.join(docmap_dir, "*.parquet"))
     )
@@ -283,15 +400,9 @@ def compact_index(
     # --- positions sidecar (phrase queries), if present
     store_positions = bool(manifest.get("store_positions", False))
     if store_positions:
-        pos_files = sorted(
-            f
-            for s in manifest["slices"]
-            for f in glob(os.path.join(index_dir, s["dir"], "positions", "*.parquet"))
-        )
         pos_dir = os.path.join(slice_dir, "positions")
 
         def add_pk(b: pa.Table) -> pa.Table:
-            b = drop_deleted(b)
             pk = hash_strings(b["term"].to_pylist()) % np.int64(num_partitions)
             return b.append_column("pk", pa.array(pk.astype(np.int64)))
 
@@ -301,8 +412,7 @@ def compact_index(
             ).drop_columns(["pk"])
 
         (
-            rd.read_parquet(pos_files)
-            .map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+            _per_slice_read("positions", extra=add_pk)
             .groupby("pk")
             .map_groups(sort_group, batch_format="pyarrow")
             .write_parquet(pos_dir)

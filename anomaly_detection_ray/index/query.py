@@ -90,12 +90,22 @@ class QueryEngine:
         self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
         # file list comes FROM the manifest (not a glob): slices become
         # visible only at the atomic manifest flip, so a crashed/partial
-        # segment add can never serve half-finalized postings
-        files = sorted(
-            os.path.join(index_dir, s["dir"], "postings", p["path"])
-            for s in self.manifest["slices"] for p in s["partitions"]
+        # segment add can never serve half-finalized postings. Each file
+        # carries its slice id for SCOPED tombstones (updates kill only
+        # copies in slices older than the re-add).
+        import re
+
+        pairs = sorted(
+            (
+                os.path.join(index_dir, s["dir"], "postings", p["path"]),
+                int(re.search(r"(\d+)$", s["dir"]).group(1)),
+            )
+            for s in self.manifest["slices"]
+            for p in s["partitions"]
         )
+        files = [f for f, _ in pairs]
         self._files = files
+        self._file_slice = [sid for _, sid in pairs]
         # A serving engine instance (one per query actor) holds the term
         # dictionary in memory always, and — when the index fits
         # ``preload_bytes`` — the posting tables too (Lucene keeps them
@@ -122,10 +132,14 @@ class QueryEngine:
         stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
         self._stats_terms = stats["term"].combine_chunks()
         self._stats_df = stats["df"].to_numpy()
-        docmap = sorted(
-            f for s in self.manifest["slices"]
-            for f in glob(os.path.join(index_dir, s["dir"], "docmap", "*.parquet"))
-        )
+        self._docmap_parts = [
+            (
+                int(re.search(r"(\d+)$", s["dir"]).group(1)),
+                sorted(glob(os.path.join(index_dir, s["dir"], "docmap", "*.parquet"))),
+            )
+            for s in self.manifest["slices"]
+        ]
+        docmap = sorted(f for _, fs in self._docmap_parts for f in fs)
         self._docmap = pads.dataset(docmap, format="parquet") if docmap else None
         # per-term DECODED postings cache (LRU, byte-capped): varint
         # decode of a dense term is the serving hot path's dominant cost
@@ -140,15 +154,9 @@ class QueryEngine:
         # exactly Lucene's delete-before-merge semantics, so a delete
         # never changes a live doc's BM25 score (block upper bounds
         # remain valid bounds; pruning is just marginally less tight).
-        d = self.manifest.get("deletes")
-        if d:
-            self.deleted = (
-                pq.read_table(os.path.join(index_dir, d["path"]))["doc_id"]
-                .to_numpy()
-                .astype(np.int64)
-            )
-        else:
-            self.deleted = np.empty(0, dtype=np.int64)
+        from .lifecycle import load_tombstones
+
+        self.deleted, self._del_lf = load_tombstones(index_dir, self.manifest)
         # per-BLOCK decoded cache for the PRUNED path (LRU, byte-capped):
         # pruning touches only the blocks that can beat theta, so caching
         # whole terms wastes budget — repeated query vocab re-decodes just
@@ -159,6 +167,12 @@ class QueryEngine:
         self._block_cache_cap = int(postings_cache_bytes) // 2
 
     # ---------- postings access ----------
+
+    def _live(self, docs: np.ndarray, slices) -> np.ndarray:
+        """Scoped-tombstone survival mask (see lifecycle.live_mask)."""
+        from .lifecycle import live_mask
+
+        return live_mask(docs, slices, self.deleted, self._del_lf)
 
     def df(self, term: str) -> int:
         i = _arrow_bisect(self._stats_terms, term, "left")
@@ -177,11 +191,19 @@ class QueryEngine:
                 if hi > lo:
                     by_file.setdefault(fi, []).extend(range(lo, hi))
         if not by_file:
-            return POSTINGS_SCHEMA.empty_table()
-        if self._preloaded:
-            parts = [self._tables[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
-        else:
-            parts = [self._datasets[fi].take(sorted(rows)) for fi, rows in sorted(by_file.items())]
+            return POSTINGS_SCHEMA.empty_table().append_column(
+                "slice", pa.array([], pa.int64())
+            )
+        parts = []
+        for fi, rows in sorted(by_file.items()):
+            src = self._tables[fi] if self._preloaded else self._datasets[fi]
+            t = src.take(sorted(rows))
+            parts.append(
+                t.append_column(
+                    "slice",
+                    pa.array(np.full(t.num_rows, self._file_slice[fi], np.int64)),
+                )
+            )
         return pa.concat_tables(parts)
 
     def term_arrays(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -195,9 +217,13 @@ class QueryEngine:
 
         rows = self.chunks_for([term]).to_pylist()
         if rows:
-            docs, tfs, dls, _ = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
+            docs, tfs, dls, off = decode_chunks_bulk(rows, int(self.manifest.get("block_size", 128)))
             if self.deleted.size:
-                keep = np.isin(docs, self.deleted, invert=True)
+                slices = np.repeat(
+                    np.asarray([r["slice"] for r in rows], dtype=np.int64),
+                    np.diff(off),
+                )
+                keep = self._live(docs, slices)
                 docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         else:
             docs = tfs = dls = np.empty(0, dtype=np.int64)
@@ -307,7 +333,7 @@ class QueryEngine:
                     w = float(bm25_idf(self.df(row["term"]), self.n_docs))
                     docs, tfs, dls = decode_block(row, bi)
                     if self.deleted.size:
-                        keep = np.isin(docs, self.deleted, invert=True)
+                        keep = self._live(docs, int(row["slice"]))
                         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                     hit = (docs, w * tf_norm(tfs, dls, self.avgdl))
                     self._block_cache[pkey] = hit
@@ -408,6 +434,10 @@ class QueryEngine:
             )
             for bi in keep:
                 docs, _, _ = decode_block(row, int(bi))
+                if self.deleted.size:
+                    # scoped filter required here: an updated doc's LIVE
+                    # candidate must not be matched by its DEAD old copy
+                    docs = docs[self._live(docs, int(row["slice"]))]
                 parts.append(docs)
         if not parts:
             return np.empty(0, dtype=np.int64)
@@ -541,23 +571,35 @@ class QueryEngine:
                 "index was built without store_positions=True; phrase queries unavailable"
             )
         if self._positions_ds is None:
+            import re
             from glob import glob as _glob
 
-            files = sorted(
-                f for s in self.manifest["slices"]
-                for f in _glob(os.path.join(self.index_dir, s["dir"], "positions", "*.parquet"))
-            )
-            self._positions_ds = pads.dataset(files, format="parquet")
-        tbl = self._positions_ds.to_table(filter=pads.field("term").isin(list(set(terms))))
+            self._positions_ds = [
+                (
+                    int(re.search(r"(\d+)$", s["dir"]).group(1)),
+                    pads.dataset(files, format="parquet"),
+                )
+                for s in self.manifest["slices"]
+                if (files := sorted(_glob(
+                    os.path.join(self.index_dir, s["dir"], "positions", "*.parquet")
+                )))
+            ]
+        term_filter = pads.field("term").isin(list(set(terms)))
+        parts = []
+        for sid, ds in self._positions_ds:
+            t = ds.to_table(filter=term_filter)
+            if self.deleted.size and t.num_rows:
+                keep = self._live(t["doc_id"].to_numpy().astype(np.int64), sid)
+                t = t.filter(pa.array(keep))
+            parts.append(t)
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None:
+            return {t: np.empty(0, dtype=np.int64) for t in set(terms)}
         out: dict[str, np.ndarray] = {}
         import pyarrow.compute as pc
 
         for t in set(terms):
             sub = tbl.filter(pc.equal(tbl["term"], t))
-            if self.deleted.size:
-                sub = sub.filter(
-                    pc.invert(pc.is_in(sub["doc_id"], value_set=pa.array(self.deleted)))
-                )
             lst = sub["positions"].combine_chunks()
             pos = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
             counts = np.diff(lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
@@ -615,6 +657,24 @@ class QueryEngine:
             raise FileNotFoundError("index has no docmap")
         return self._docmap
 
+    def live_docmap(self) -> pa.Table:
+        """Docmap restricted to live rows (scoped tombstones applied per
+        slice) — what metadata queries evaluate against."""
+        if self._docmap is None:
+            raise FileNotFoundError("index has no docmap")
+        parts = []
+        for sid, files in self._docmap_parts:
+            if not files:
+                continue
+            t = pads.dataset(files, format="parquet").to_table()
+            if self.deleted.size and t.num_rows:
+                keep = self._live(t["doc_id"].to_numpy().astype(np.int64), sid)
+                t = t.filter(pa.array(keep))
+            parts.append(t)
+        # slices added later may carry fewer metadata columns (an update
+        # file need not repeat every keep_col) — missing columns null-fill
+        return pa.concat_tables(parts, promote_options="default")
+
     # ---------- distributed scoring (doc-bucket parallel) ----------
 
     def bm25_topk_distributed(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -638,17 +698,25 @@ class QueryEngine:
 
         import ray
 
-        deleted_ref = ray.put(self.deleted) if self.deleted.size else None
+        tombs_ref = (
+            ray.put((self.deleted, self._del_lf)) if self.deleted.size else None
+        )
 
         def score_bucket(group: pa.Table) -> pa.Table:
+            from .lifecycle import live_mask
             from .segments import decode_chunks_bulk
 
             rows = group.to_pylist()
             docs, tfs, dls, off = decode_chunks_bulk(rows, block_size)
             idfs = np.asarray([float(bm25_idf(dfs[r["term"]], n_docs)) for r in rows])
             w = np.repeat(idfs, np.diff(off))
-            if deleted_ref is not None:
-                keep = np.isin(docs, ray.get(deleted_ref), invert=True)
+            if tombs_ref is not None:
+                ids, lf = ray.get(tombs_ref)
+                slices = np.repeat(
+                    np.asarray([r["slice"] for r in rows], dtype=np.int64),
+                    np.diff(off),
+                )
+                keep = live_mask(docs, slices, ids, lf)
                 docs, tfs, dls, w = docs[keep], tfs[keep], dls[keep], w[keep]
             imps = w * tf_norm(tfs, dls, avgdl)
             uniq, inv = np.unique(docs, return_inverse=True)
@@ -677,6 +745,62 @@ class QueryEngine:
         if getattr(self, "_compiler", None) is None:
             self._compiler = QueryCompiler(self)
         return self._compiler.execute(query)
+
+    def facets(
+        self, filter_query: dict | None, field: str, k: int = 10
+    ) -> list[tuple[object, int]]:
+        """Terms-aggregation facet over the docs matching ``filter_query``:
+        top-k (value, doc_count) of a docmap column, count desc then
+        value asc — the aggs-on-hits shape OpenSearch pairs with every
+        search (the reference composes exactly this in ParseUtils'
+        generated queries: a filtered search wrapping a terms agg)."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        t = self.live_docmap()
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        counts = t.group_by(field).aggregate([("doc_id", "count")])
+        rows = sorted(
+            zip(counts[field].to_pylist(), counts["doc_id_count"].to_pylist()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return [(v, int(c)) for v, c in rows[:k]]
+
+    def bm25_search_after(
+        self, query: str, k: int = 10, search_after: tuple[int, float] | None = None
+    ) -> list[tuple[int, float]]:
+        """Deep pagination (OpenSearch ``search_after``): the next ``k``
+        hits strictly after the cursor — the previous page's LAST HIT
+        ``(doc_id, score)``, exactly as pages return them — in (score
+        desc, doc_id asc) order. Page boundaries are exact because the
+        sort key is total: paging through every hit reproduces the full
+        ranking (tested). Uses the exact scoring path — pruning cannot
+        bound a page that starts below the global top-k, the same reason
+        OpenSearch charges deep pagination linearly."""
+        terms = self.query_terms(query)
+        docs_parts, imp_parts = [], []
+        for t in terms:
+            docs_t, tfs_t, dls_t = self.term_arrays(t)
+            if docs_t.size == 0:
+                continue
+            w = float(bm25_idf(self.df(t), self.n_docs))
+            docs_parts.append(docs_t)
+            imp_parts.append(w * tf_norm(tfs_t, dls_t, self.avgdl))
+        if not docs_parts:
+            return []
+        docs = np.concatenate(docs_parts)
+        imps = np.concatenate(imp_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, imps)
+        if search_after is not None:
+            after_doc, after_score = int(search_after[0]), float(search_after[1])
+            keep = (scores < after_score) | (
+                (scores == after_score) & (uniq > after_doc)
+            )
+            uniq, scores = uniq[keep], scores[keep]
+        return _topk_with_ties(uniq, scores, k)
 
     def bm25_topk_filtered(self, query: str, filter_query: dict | None, k: int = 10) -> list[tuple[int, float]]:
         """BM25 top-k restricted to filter_query matches — the composed

@@ -46,15 +46,8 @@ class QueryCompiler:
 
     def _docmap(self):
         if self._docmap_tbl is None:
-            import pyarrow as pa
-
-            t = self.engine.docmap().to_table()
-            deleted = getattr(self.engine, "deleted", None)
-            if deleted is not None and deleted.size:
-                t = t.filter(
-                    pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(deleted)))
-                )
-            self._docmap_tbl = t
+            # live view: scoped tombstones applied per slice
+            self._docmap_tbl = self.engine.live_docmap()
         return self._docmap_tbl
 
     def _all_docs(self) -> np.ndarray:

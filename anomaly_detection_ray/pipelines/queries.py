@@ -150,15 +150,20 @@ def q_phrase_prefix_search(sf_dir: str) -> pd.DataFrame:
 
 
 LC_DELETE_MOD = 7  # lifecycle queries tombstone doc_id % 7 == 0
+LC_UPDATE_MOD = 11  # update_search replaces doc_id % 11 == 0
+LC_UPDATE_TEXT = "zzupdated corpus entry"
 
 
 def lifecycle_index_for(sf_dir: str, stage: str) -> QueryEngine:
-    """Index over ``documents`` with every ``doc_id % 7 == 0`` doc
-    tombstoned (``stage='deleted'``) or tombstoned-then-compacted
-    (``stage='compacted'``) — cached per stage under /tmp."""
+    """Index over ``documents`` in one of three lifecycle states, cached
+    per stage under /tmp: every ``doc_id % 7 == 0`` doc tombstoned
+    (``'deleted'``), tombstoned-then-compacted (``'compacted'``), or
+    every ``doc_id % 11 == 0`` doc REPLACED with ``LC_UPDATE_TEXT``
+    under the same id (``'updated'`` — scoped tombstones + segment
+    add)."""
     import shutil
 
-    from ..index.lifecycle import compact_index, delete_docs
+    from ..index.lifecycle import compact_index, delete_docs, update_docs
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CACHE_ROOT, f"index_lc_{stage}_{tag}")
@@ -177,9 +182,23 @@ def lifecycle_index_for(sf_dir: str, stage: str) -> QueryEngine:
             keep_cols=("lang", "source"),
         )
         ids = QueryEngine(out).docmap().to_table()["doc_id"].to_numpy()
-        delete_docs(out, ids[ids % LC_DELETE_MOD == 0])
-        if stage == "compacted":
-            compact_index(out, gc=True)
+        if stage == "updated":
+            import pyarrow.parquet as pq
+
+            upd_ids = np.sort(ids[ids % LC_UPDATE_MOD == 0])
+            upd = pa.table(
+                {
+                    "doc_id": pa.array(upd_ids, pa.int64()),
+                    "text": pa.array([LC_UPDATE_TEXT] * upd_ids.size),
+                }
+            )
+            upd_path = os.path.join(out, "_updates.parquet")
+            pq.write_table(upd, upd_path)
+            update_docs(out, [upd_path], text_col="text", num_partitions=8)
+        else:
+            delete_docs(out, ids[ids % LC_DELETE_MOD == 0])
+            if stage == "compacted":
+                compact_index(out, gc=True)
         with open(marker, "w") as f:
             f.write("ok")
     return QueryEngine(out)
@@ -206,6 +225,66 @@ def q_compacted_bm25(sf_dir: str) -> pd.DataFrame:
             "score_r": np.round([s for _, s in hits], 6),
         }
     )
+
+
+def q_update_search(sf_dir: str) -> pd.DataFrame:
+    """Doc updates (scoped tombstones + segment add): docs matching
+    'merge' OR the replacement marker — old copies of updated docs must
+    not match their previous content, new copies match the new text
+    under the SAME doc_id."""
+    eng = lifecycle_index_for(sf_dir, "updated")
+    docs = eng.execute_filter(
+        {
+            "bool": {
+                "should": [
+                    {"term": {"text": "merge"}},
+                    {"term": {"text": "zzupdated"}},
+                ]
+            }
+        }
+    )
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_search_facets(sf_dir: str) -> pd.DataFrame:
+    """Terms-agg facet over search hits: lang distribution of docs
+    matching 'data' (count desc, value asc)."""
+    eng = index_for(sf_dir)
+    rows = eng.facets({"match": {"text": "data"}}, "lang", k=10)
+    return pd.DataFrame(
+        {"lang": [v for v, _ in rows],
+         "doc_count": np.asarray([c for _, c in rows], dtype=np.int64)}
+    )
+
+
+def q_search_after_page(sf_dir: str) -> pd.DataFrame:
+    """Deep pagination: ranks 11-20 of the BM25 ranking via
+    search_after from page 1's last (score, doc_id) cursor."""
+    eng = index_for(sf_dir)
+    page1 = eng.bm25_search_after(BM25_QUERY, k=10)
+    page2 = eng.bm25_search_after(BM25_QUERY, k=10, search_after=page1[-1])
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in page2],
+            "rank": np.arange(11, 11 + len(page2), dtype=np.int64),
+            "score_r": np.round([s for _, s in page2], 6),
+        }
+    )
+
+
+def q_highlight_search(sf_dir: str) -> pd.DataFrame:
+    """Highlighted BM25 hits: snippet extraction over the top-10 docs
+    (one predicate-pushdown read of exactly those rows)."""
+    from ..stages.highlight import snippets_for_hits
+
+    eng = index_for(sf_dir)
+    hits = eng.bm25_topk(BM25_QUERY, k=10, prune=True)
+    rows = snippets_for_hits(
+        eng, [os.path.join(sf_dir, "documents.parquet")], BM25_QUERY, hits,
+        text_col="text",
+    )
+    df = pd.DataFrame(rows).drop(columns=["score"])
+    return df.astype({"doc_id": "int64", "rank": "int64", "n_hits": "int64"})
 
 
 WILDCARD_PATTERN = "s?a*"  # scan, small, spark at sf*
@@ -1204,6 +1283,10 @@ REGISTRY = {
     "bool_msm_search": q_bool_msm_search,
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
+    "update_search": q_update_search,
+    "search_facets": q_search_facets,
+    "search_after_page": q_search_after_page,
+    "highlight_search": q_highlight_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

@@ -171,6 +171,94 @@ def test_compact_equals_fresh_build_over_live_docs(
     assert list(e2.term_docs("zzuniqueterm")) == [9001, 9002]
 
 
+def test_update_docs_scoped_tombstones(ray_session, tiny_corpus, tmp_path_factory):
+    """update_docs = delete-in-old-segments + add-in-new-segment: the
+    SAME doc_id serves its new content immediately; old copies stay dead
+    through every query path; compaction converges to a fresh build."""
+    import pyarrow as pa
+
+    base = str(tmp_path_factory.mktemp("lifecycle_upd"))
+    out = os.path.join(base, "idx")
+    build_index(
+        tiny_corpus["paths"], out, slices=2, num_partitions=4, batch_size=64,
+        mode="code", store_positions=True,
+    )
+    table = tiny_corpus["table"]
+    pre = QueryEngine(out)
+    # pick two docs that currently match 'merge' — new content drops it
+    victims = [int(d) for d in pre.term_docs("merge")[:2]]
+    new_rows = pa.table(
+        {
+            "doc_id": pa.array(victims, pa.int64()),
+            "content": pa.array(
+                [f"zzfresh{d} replacement text body" for d in victims]
+            ),
+            "lang": pa.array(["python"] * len(victims)),
+        }
+    )
+    upd_src = os.path.join(base, "upd.parquet")
+    pq.write_table(new_rows, upd_src)
+    from anomaly_detection_ray.index.lifecycle import update_docs
+
+    m = update_docs(out, [upd_src])
+    assert len(m["slices"]) == 3 and "deletes" in m
+
+    eng = QueryEngine(out)
+    # new content is served under the same ids
+    for d in victims:
+        assert list(eng.term_docs(f"zzfresh{d}")) == [d]
+    # old copies are dead: 'merge' no longer matches the victims …
+    assert not set(eng.term_docs("merge").tolist()) & set(victims)
+    # … including through the block-skip conjunctive path: victims match
+    # 'replacement' (new) but must NOT match 'merge replacement'
+    assert not set(eng.conjunctive("merge replacement").tolist()) & set(victims)
+    # match_all cardinality is unchanged (replace, not add)
+    assert list(eng.execute_filter({"match_all": {}})) == sorted(
+        table["doc_id"].to_pylist()
+    )
+    # phrase over the new content works; old-phrase hits on victims are gone
+    assert sorted(eng.phrase("replacement text").tolist()) == sorted(victims)
+
+    # idempotent rerun: same files → identical state
+    update_docs(out, [upd_src])
+    eng2 = QueryEngine(out)
+    for d in victims:
+        assert list(eng2.term_docs(f"zzfresh{d}")) == [d]
+    assert list(eng2.execute_filter({"match_all": {}})) == sorted(
+        table["doc_id"].to_pylist()
+    )
+
+    # compaction converges to a fresh build over the UPDATED corpus
+    from anomaly_detection_ray.index.lifecycle import compact_index
+
+    compact_index(out, gc=True)
+    updated = table.to_pandas().set_index("doc_id")
+    for d, txt in zip(victims, new_rows["content"].to_pylist()):
+        updated.loc[d, "content"] = txt
+    fresh_dir = os.path.join(base, "fresh")
+    os.makedirs(fresh_dir)
+    src = os.path.join(fresh_dir, "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(updated.reset_index()), src)
+    fresh_idx = os.path.join(fresh_dir, "idx")
+    build_index([src], fresh_idx, slices=1, num_partitions=4, mode="code",
+                store_positions=True)
+    ce, fe = QueryEngine(out), QueryEngine(fresh_idx)
+    assert ce.n_docs == fe.n_docs and ce.avgdl == pytest.approx(fe.avgdl)
+    for q in QUERIES + ["replacement text body"]:
+        exp = fe.bm25_topk(q, k=10, prune=False)
+        for prune in (False, True):
+            got = ce.bm25_topk(q, k=10, prune=prune)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, prune)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, abs=1e-9)
+
+    # a plain delete AFTER an update kills the doc outright
+    delete_docs(out, [victims[0]])
+    e3 = QueryEngine(out)
+    assert victims[0] not in set(e3.execute_filter({"match_all": {}}).tolist())
+    assert list(e3.term_docs(f"zzfresh{victims[0]}")) == []
+
+
 def test_compact_without_deletes_merges_slices(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle_merge"))
     build_index(tiny_corpus["paths"], out, slices=3, num_partitions=4, mode="code")

@@ -63,6 +63,44 @@ def test_bool_combinations(eng):
         e.execute_filter({"more_like_this": {"x": 1}})
 
 
+def test_search_after_pagination(eng):
+    """Paging with the (score, doc_id) cursor reproduces the full
+    ranking exactly, page by page."""
+    e, _, _ = eng
+    q = "merge sort"
+    full = e.bm25_topk(q, k=10_000, prune=False)
+    assert len(full) > 15
+    # page 1 without a cursor == the top of the ranking
+    assert e.bm25_search_after(q, k=7) == full[:7]
+    pages, after = [], None
+    while True:
+        page = e.bm25_search_after(q, k=7, search_after=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1]
+    assert [d for d, _ in pages] == [d for d, _ in full]
+    for (_, gs), (_, es) in zip(pages, full):
+        assert gs == es
+
+
+def test_facets(eng):
+    e, df, oracle = eng
+    rows = e.facets({"match": {"content": "merge"}}, "lang", k=3)
+    hits = set(oracle.postings.get("merge", ()))
+    exp = (
+        df[df["doc_id"].isin(hits)]
+        .groupby("lang")["doc_id"]
+        .count()
+        .reset_index()
+        .sort_values(["doc_id", "lang"], ascending=[False, True])
+    )
+    assert rows == list(zip(exp["lang"], exp["doc_id"]))[:3]
+    # match_all facet = whole-corpus distribution
+    rows_all = e.facets(None, "lang", k=100)
+    assert dict(rows_all) == df["lang"].value_counts().to_dict()
+
+
 def test_bm25_topk_filtered(eng):
     e, df, oracle = eng
     filt = {"term": {"lang": "java"}}
