@@ -233,6 +233,28 @@ def decode_chunks_bulk(rows: list[dict], block_size: int = DEFAULT_BLOCK_SIZE):
     return docs, tfs, dls, off
 
 
+def decode_docs_bulk(rows: list[dict], block_size: int = DEFAULT_BLOCK_SIZE):
+    """Docs-only variant of :func:`decode_chunks_bulk` — one
+    ``decode_varint`` pass over the doc stream, tf/dl streams untouched.
+    The filter-context hot path for multi-term (wildcard/fuzzy/terms)
+    unions, where only membership matters: 1/3 the varint work and no
+    impact arrays. Returns ``(docs, row_value_offsets)``."""
+    dfs = np.asarray([r["df_chunk"] for r in rows], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(dfs)))
+    deltas = decode_varint(b"".join(r["docs"] for r in rows))
+    if deltas.size != off[-1]:
+        raise ValueError("posting stream length mismatch")
+    nblocks = -(-dfs // block_size)
+    first_block = np.concatenate(([0], np.cumsum(nblocks)))
+    row_of_block = np.repeat(np.arange(dfs.size), nblocks)
+    blk_in_row = np.arange(int(nblocks.sum())) - first_block[row_of_block]
+    resets = off[row_of_block] + blk_in_row * block_size
+    seg_lens = np.diff(np.append(resets, off[-1]))
+    c = np.cumsum(deltas)
+    base = np.repeat(c[resets] - deltas[resets], seg_lens)
+    return (c - base).astype(np.int64), off
+
+
 def decode_chunk_row(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full chunk row dict → (doc_ids, tfs, dls)."""
     nb = len(row["block_doc_off"])

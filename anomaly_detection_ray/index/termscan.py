@@ -174,6 +174,96 @@ def levenshtein_batch(
     return result
 
 
+def bounded_distances_arrow(
+    query: str, arr, max_edits: int, transpositions: bool = False
+) -> np.ndarray:
+    """Edit distances CLIPPED at ``max_edits + 1``, computed straight off
+    the Arrow string buffers (no Python string materialization) with an
+    alive-set bounded DP: after each candidate character column, rows
+    whose running row-minimum already exceeds ``max_edits`` are dropped
+    from the computation (edit distance is non-decreasing along the DP),
+    so with the Lucene-typical max_edits ≤ 2 almost every vocabulary
+    term dies within the first few columns. This is the serving-path
+    fuzzy scan; the exact ``levenshtein_batch`` stays as its test twin.
+
+    Falls back to the exact path for non-ASCII data (where UTF-8 bytes
+    ≠ characters)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    cap = np.int32(max_edits + 1)
+    ascii_ok = query.isascii() and (
+        pc.sum(pc.utf8_length(a)).as_py() == pc.sum(pc.binary_length(a)).as_py()
+    )
+    if not ascii_ok:
+        d = levenshtein_batch(query, a.to_pylist(), transpositions=transpositions)
+        return np.minimum(d, cap)
+    bufs = a.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[a.offset : a.offset + n + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(off)
+    m = len(query)
+    result = np.full(n, cap, dtype=np.int32)
+    result[lens == 0] = min(m, int(cap))
+    L = int(lens.max()) if n else 0
+    if L == 0 or m == 0:
+        if m == 0:
+            return np.minimum(lens, cap).astype(np.int32)
+        return result
+    # zero-padded (n, L) char matrix directly from the UTF-8 data buffer
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)))[:-1], lens
+    )
+    mat = np.zeros((n, L), dtype=np.int32)
+    mat[rows, cols] = data[off[0] : off[-1]].astype(np.int32)
+    q = np.frombuffer(query.encode(), dtype=np.uint8).astype(np.int32)
+
+    idx = np.arange(n)  # alive-row → original-row map
+    prev = np.broadcast_to(np.arange(m + 1, dtype=np.int32), (n, m + 1)).copy()
+    prevprev: np.ndarray | None = None
+    prev_char: np.ndarray | None = None
+    alens = lens
+    for j in range(1, L + 1):
+        if idx.size == 0:
+            break
+        cj = mat[idx, j - 1]
+        sub = (cj[:, None] != q[None, :]).astype(np.int32)
+        cur = np.empty((idx.size, m + 1), dtype=np.int32)
+        cur[:, 0] = j
+        for i in range(1, m + 1):
+            cur[:, i] = np.minimum(
+                np.minimum(cur[:, i - 1] + 1, prev[:, i] + 1),
+                prev[:, i - 1] + sub[:, i - 1],
+            )
+            if transpositions and j > 1 and i > 1:
+                swap = (cj == q[i - 2]) & (prev_char == q[i - 1])
+                np.minimum(
+                    cur[:, i],
+                    np.where(swap, prevprev[:, i - 2] + 1, cur[:, i]),
+                    out=cur[:, i],
+                )
+        done = alens == j
+        if done.any():
+            result[idx[done]] = np.minimum(cur[done, m], cap)
+        # prune: the DP row minimum never decreases, so rows already past
+        # the budget can never come back under it
+        keep = (~done) & (cur.min(axis=1) <= max_edits)
+        if not keep.all():
+            idx, alens, cur = idx[keep], alens[keep], cur[keep]
+            prev = prev[keep]
+            if transpositions:
+                cj = cj[keep]
+        prevprev, prev, prev_char = prev, cur, cj
+    return result
+
+
 def fuzzy_select(
     query: str,
     terms: list[str],
@@ -187,6 +277,10 @@ def fuzzy_select(
     if not terms:
         return []
     dist = levenshtein_batch(query, terms, transpositions=transpositions)
+    return _rank_matches(dist, max_edits, terms, max_expansions)
+
+
+def _rank_matches(dist, max_edits, terms, max_expansions):
     sel = np.flatnonzero(dist <= max_edits)
     ranked = sorted(sel.tolist(), key=lambda i: (int(dist[i]), terms[i]))
     if max_expansions is not None:

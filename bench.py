@@ -167,6 +167,38 @@ def bench_suite() -> dict:
         leng.term_docs("value")
     extra["conj_dense_full_decode_sec"] = round(time.perf_counter() - t0, 3)
 
+    # ---- multi-term queries (wildcard / fuzzy) over the corpus
+    # dictionary: prefix-bounded scan + vectorized RE2 / batched DP ----
+    import pyarrow.parquet as pq
+
+    stats_pd = pq.read_table(os.path.join(idx_dir, "stats.parquet")).to_pandas()
+    probe_terms = (
+        stats_pd.sort_values("df", ascending=False).iloc[100:150]["term"].tolist()
+    )
+
+    def run_multiterm():
+        lat = []
+        for t in probe_terms:
+            t0 = time.perf_counter()
+            eng.wildcard_docs(t[: max(2, len(t) - 2)] + "*")
+            eng.fuzzy_docs(t, fuzziness=1, max_expansions=50)
+            lat.append(time.perf_counter() - t0)
+        return np.asarray(lat)
+
+    mt = timed("multiterm_50_queries", run_multiterm)
+    extra["multiterm_p50_ms"] = round(float(np.percentile(mt, 50)) * 1000, 2)
+
+    # ---- index lifecycle: tombstone 10% then forceMerge(1) — the
+    # exchange moves COMPRESSED chunks, no re-tokenization ----
+    from anomaly_detection_ray.index.lifecycle import compact_index, delete_docs
+
+    timed(
+        "index_delete_10pct",
+        lambda: delete_docs(idx_dir, np.arange(0, manifest["n_docs"], 10)),
+    )
+    cm = timed("index_compact", lambda: compact_index(idx_dir, gc=True))
+    extra["compact_docs_per_sec"] = round(cm["n_docs"] / timings["index_compact"], 1)
+
     # ---- driver-table pipelines ----
     docs_idx = os.path.join(Q.CACHE_ROOT, f"index_docs_{os.path.basename(os.path.normpath(SF_DIR))}")
     shutil.rmtree(docs_idx, ignore_errors=True)

@@ -157,6 +157,36 @@ def test_fuzzy_parity(built):
     assert n_hits >= 4
 
 
+def test_bounded_arrow_distances_vs_exact():
+    """The serving-path bounded DP (Arrow buffers + alive-set pruning)
+    agrees with the exact DP up to the clip, both transposition modes,
+    including the non-ASCII fallback."""
+    import pyarrow as pa
+
+    from anomaly_detection_ray.index.termscan import bounded_distances_arrow
+
+    rng = random.Random(11)
+    alphabet = "abc1"
+    for transpositions in (False, True):
+        for max_edits in (0, 1, 2):
+            terms = [
+                "".join(rng.choices(alphabet, k=rng.randint(0, 9))) for _ in range(300)
+            ]
+            q = "".join(rng.choices(alphabet, k=rng.randint(0, 7)))
+            exact = levenshtein_batch(q, terms, transpositions=transpositions)
+            got = bounded_distances_arrow(
+                q, pa.array(terms), max_edits, transpositions
+            )
+            assert np.array_equal(got, np.minimum(exact, max_edits + 1)), (
+                q, max_edits, transpositions,
+            )
+    # non-ASCII falls back to the exact path
+    terms = ["héllo", "hello", "hallo", ""]
+    got = bounded_distances_arrow("hello", pa.array(terms), 1)
+    exact = levenshtein_batch("hello", terms)
+    assert np.array_equal(got, np.minimum(exact, 2))
+
+
 def test_fuzzy_max_expansions_closest_first():
     # distances to 'abc': abc=0, abd=1, bc=1 (del), xbc=1, xyz=3
     terms = ["abd", "xyz", "abc", "bc", "xbc"]
