@@ -735,22 +735,52 @@ class QueryEngine:
             raise FileNotFoundError("index has no docmap")
         return self._docmap
 
-    def live_docmap(self) -> pa.Table:
+    def live_docmap(self, columns: list[str] | None = None,
+                    filter=None) -> pa.Table:
         """Docmap restricted to live rows (scoped tombstones applied per
-        slice) — what metadata queries evaluate against."""
+        slice) — what metadata queries evaluate against.
+
+        ``columns``/``filter`` push straight down into the per-slice
+        parquet scan (row-group pruning + column projection), so a
+        metadata predicate over a 10^12-doc corpus reads matching row
+        groups of the needed columns, not the whole docmap. Requesting a
+        column a slice lacks null-fills it (update files need not repeat
+        every keep_col)."""
         if self._docmap is None:
             raise FileNotFoundError("index has no docmap")
+        if columns is not None and "doc_id" not in columns:
+            columns = ["doc_id", *columns]  # tombstone filtering needs it
         parts = []
         for sid, files in self._docmap_parts:
             if not files:
                 continue
-            t = pads.dataset(files, format="parquet").to_table()
+            ds = pads.dataset(files, format="parquet")
+            cols = columns
+            pad_cols: list[str] = []
+            if columns is not None:
+                have = set(ds.schema.names)
+                cols = [c for c in columns if c in have]
+                pad_cols = [c for c in columns if c not in have]
+            try:
+                t = ds.to_table(columns=cols, filter=filter)
+            except (pa.ArrowInvalid, KeyError):
+                # predicate references a column this slice lacks → the
+                # column is all-null here → no row can match it
+                continue
+            for c in pad_cols:
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
             if self.deleted.size and t.num_rows:
                 keep = self._live(t["doc_id"].to_numpy().astype(np.int64), sid)
                 t = t.filter(pa.array(keep))
             parts.append(t)
-        # slices added later may carry fewer metadata columns (an update
-        # file need not repeat every keep_col) — missing columns null-fill
+        if not parts:
+            schema = pa.schema(
+                [
+                    (c, pa.int64() if c == "doc_id" else pa.string())
+                    for c in (columns or ["doc_id"])
+                ]
+            )
+            return schema.empty_table()
         return pa.concat_tables(parts, promote_options="default")
 
     # ---------- distributed scoring (doc-bucket parallel) ----------
@@ -824,6 +854,64 @@ class QueryEngine:
             self._compiler = QueryCompiler(self)
         return self._compiler.execute(query)
 
+    def count(self, query: dict | None = None) -> int:
+        """Hit count of a filter-DSL query (the _count API)."""
+        return int(self.execute_filter(query).size)
+
+    def index_stats(self) -> dict:
+        """The _stats/_cat-indices surface: corpus + segment shape and
+        on-disk size, straight from the manifest (no postings access)."""
+        return {
+            "n_docs": self.n_docs,
+            "n_deleted": int(self.deleted.size),
+            "n_terms": int(self.manifest.get("n_terms", 0)),
+            "avgdl": self.avgdl,
+            "total_tokens": int(self.manifest.get("total_tokens", 0)),
+            "n_slices": len(self.manifest["slices"]),
+            "n_partitions": len(self._files),
+            "postings_bytes": int(sum(os.path.getsize(f) for f in self._files)),
+            "store_positions": self.store_positions,
+            "analyzer_mode": self.manifest.get("analyzer_mode", "code"),
+        }
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        exclude_doc: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene MoreLikeThis over ``like`` text: analyze, keep terms
+        with tf ≥ min_term_freq and df ≥ min_doc_freq, rank by the
+        classic tf·idf interestingness (ties by term), take the top
+        ``max_query_terms``, then run disjunctive BM25 top-k with that
+        term set (our exact scorer IS the should-OR accumulation).
+        ``exclude_doc`` drops the source doc from the results (MLT's
+        include=false default)."""
+        from collections import Counter
+
+        import math
+
+        tf = Counter(self.analyzer.tokens(text))
+        scored = []
+        for t, f in tf.items():
+            if f < min_term_freq:
+                continue
+            df = self.df(t)
+            if df < min_doc_freq:
+                continue
+            scored.append((-(f * math.log(max(self.n_docs, 1) / df)), t))
+        scored.sort()
+        terms = sorted(t for _, t in scored[:max_query_terms])
+        if not terms:
+            return []
+        hits = self._score_exact(terms, k + (1 if exclude_doc is not None else 0))
+        if exclude_doc is not None:
+            hits = [(d, s) for d, s in hits if d != exclude_doc][:k]
+        return hits
+
     def facets(
         self, filter_query: dict | None, field: str, k: int = 10
     ) -> list[tuple[object, int]]:
@@ -835,7 +923,7 @@ class QueryEngine:
         import pyarrow.compute as pc
 
         docs = self.execute_filter(filter_query)
-        t = self.live_docmap()
+        t = self.live_docmap(columns=["doc_id", field])
         if docs.size < t.num_rows:
             t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
         counts = t.group_by(field).aggregate([("doc_id", "count")])

@@ -40,25 +40,29 @@ import pyarrow.compute as pc
 class QueryCompiler:
     def __init__(self, engine):
         self.engine = engine
-        self._docmap_tbl = None
+        self._all_docs_cache: np.ndarray | None = None
+        self._meta_fields: set | None = None
 
     # ---- docmap access ----
-
-    def _docmap(self):
-        if self._docmap_tbl is None:
-            # live view: scoped tombstones applied per slice
-            self._docmap_tbl = self.engine.live_docmap()
-        return self._docmap_tbl
+    # Metadata predicates compile to pyarrow.dataset EXPRESSIONS pushed
+    # into the per-slice parquet scan (row-group pruning + doc_id-only
+    # projection) — the docmap of a 10^12-doc corpus never materializes
+    # on the serving node; only matching doc ids come back.
 
     def _all_docs(self) -> np.ndarray:
-        return np.sort(self._docmap()["doc_id"].to_numpy())
+        if self._all_docs_cache is None:
+            t = self.engine.live_docmap(columns=["doc_id"])
+            self._all_docs_cache = np.sort(t["doc_id"].to_numpy().astype(np.int64))
+        return self._all_docs_cache
 
     def _docmap_filter(self, expr) -> np.ndarray:
-        t = self._docmap()
-        return np.sort(t.filter(expr)["doc_id"].to_numpy())
+        t = self.engine.live_docmap(columns=["doc_id"], filter=expr)
+        return np.sort(t["doc_id"].to_numpy().astype(np.int64))
 
     def _is_meta_field(self, field: str) -> bool:
-        return field in self._docmap().column_names
+        if self._meta_fields is None:
+            self._meta_fields = set(self.engine.docmap().schema.names)
+        return field in self._meta_fields
 
     # ---- evaluation ----
 
@@ -89,18 +93,18 @@ class QueryCompiler:
             if self._is_meta_field(field):
                 from .termscan import wildcard_to_regex
 
-                t = self._docmap()
-                mask = pc.match_substring_regex(
-                    t[field], wildcard_to_regex(str(pattern))
+                return self._docmap_filter(
+                    pc.match_substring_regex(
+                        pc.field(field), wildcard_to_regex(str(pattern))
+                    )
                 )
-                return np.sort(t.filter(mask)["doc_id"].to_numpy())
             return self.engine.wildcard_docs(str(pattern))
         if kind == "regexp":
             ((field, pattern),) = body.items()
             if self._is_meta_field(field):
-                t = self._docmap()
-                mask = pc.match_substring_regex(t[field], f"^(?:{pattern})$")
-                return np.sort(t.filter(mask)["doc_id"].to_numpy())
+                return self._docmap_filter(
+                    pc.match_substring_regex(pc.field(field), f"^(?:{pattern})$")
+                )
             return self.engine.regexp_docs(str(pattern))
         if kind == "fuzzy":
             ((field, spec),) = body.items()
@@ -156,8 +160,9 @@ class QueryCompiler:
         max_edits = (
             auto_fuzziness(value) if fuzziness == "AUTO" else int(fuzziness)
         )
+        col = self.engine.live_docmap(columns=[field])[field]
         uniq = [
-            v for v in pc.unique(self._docmap()[field]).to_pylist()
+            v for v in pc.unique(col).to_pylist()
             if v is not None and v.startswith(value[:prefix_length])
         ]
         matched = fuzzy_select(value, uniq, max_edits, transpositions, max_expansions)

@@ -287,6 +287,31 @@ def q_highlight_search(sf_dir: str) -> pd.DataFrame:
     return df.astype({"doc_id": "int64", "rank": "int64", "n_hits": "int64"})
 
 
+MLT_DOC_ID = 42
+
+
+def q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """MoreLikeThis: top-10 docs similar to doc 42 (tf·idf term
+    selection → disjunctive BM25, self excluded). rows-only — the
+    float interestingness ordering is not safely SQL-twinnable; pytest
+    covers self-rank and exclusion semantics."""
+    import pyarrow.dataset as pads
+
+    eng = index_for(sf_dir)
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    text = src.to_table(
+        columns=["text"], filter=pads.field("doc_id") == MLT_DOC_ID
+    )["text"][0].as_py()
+    hits = eng.more_like_this(text, k=10, exclude_doc=MLT_DOC_ID)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "score_r": np.round([s for _, s in hits], 6),
+        }
+    )
+
+
 WILDCARD_PATTERN = "s?a*"  # scan, small, spark at sf*
 REGEXP_PATTERN = "s(can|ort|tream)"
 FUZZY_QUERY, FUZZY_EDITS = "smal", 2  # small (1 edit), scan (2 edits)
@@ -1287,6 +1312,7 @@ REGISTRY = {
     "search_facets": q_search_facets,
     "search_after_page": q_search_after_page,
     "highlight_search": q_highlight_search,
+    "more_like_this": q_more_like_this,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

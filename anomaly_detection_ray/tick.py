@@ -31,25 +31,11 @@ from .config import DetectorConfig, FeatureSpec
 
 def config_from_json(d: dict) -> DetectorConfig:
     """DetectorConfig from a plain JSON dict (the create/update surface:
-    configs are documents in the reference — ``ad/rest/`` CRUD — and a
-    JSON file here)."""
-    d = dict(d)
-    feats = tuple(
-        FeatureSpec(
-            name=f["name"], column=f["column"], agg=f.get("agg", "avg"),
-            percentile=f.get("percentile", 0.5),
-        )
-        for f in d.pop("features", [])
-    )
-    rules = d.pop("rules", [])
-    if rules:
-        from .functions.rules import Rule
+    configs are documents in the reference — ``ad/rest/`` CRUD — stored
+    by :class:`..state.configstore.ConfigStore` or a plain file here)."""
+    from .state.configstore import config_from_json as _from_json
 
-        d["rules"] = tuple(
-            Rule(r["feature_name"], r["threshold_type"], r["value"]) for r in rules
-        )
-    d["category_fields"] = tuple(d.get("category_fields", ()))
-    return DetectorConfig(features=feats, **d)
+    return _from_json(d)
 
 
 def run_ticks(
@@ -65,6 +51,7 @@ def run_ticks(
     sleep=time.sleep,
     clock=time.monotonic,
     tail_source=None,
+    should_run=None,
 ) -> int:
     """The scheduler loop. ``n_ticks=0`` runs until interrupted; each
     tick fires at most once per ``interval_s`` of wall time (the job
@@ -85,6 +72,10 @@ def run_ticks(
     interval = float(interval_s if interval_s is not None else api.config.interval_s)
     i = 0
     while n_ticks == 0 or i < n_ticks:
+        if should_run is not None and not should_run():
+            # job doc disabled (stop_job from another process) — the
+            # JobProcessor halts until re-enabled; we exit the loop
+            break
         t0 = clock()
         files = tail_source.poll() if tail_source is not None else None
         if tail_source is None or files:
@@ -114,7 +105,12 @@ def run_ticks(
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Continuous detector/forecast job ticks")
-    p.add_argument("--config", required=True, help="DetectorConfig JSON file")
+    p.add_argument("--config", default=None, help="DetectorConfig JSON file")
+    p.add_argument("--store", default=None,
+                   help="ConfigStore root; with --config-id, loads the config "
+                        "from the store, flips its job doc on, and stops "
+                        "ticking when another process disables it")
+    p.add_argument("--config-id", default=None)
     p.add_argument("--events", required=True, help="events parquet file/dir (may grow)")
     p.add_argument("--results", required=True, help="results sink dir")
     p.add_argument("--checkpoints", required=True, help="model checkpoint dir")
@@ -137,8 +133,19 @@ def main(argv=None) -> int:
     try:
         from .pipelines.api import DetectorAPI
 
-        with open(args.config) as f:
-            config = config_from_json(json.load(f))
+        should_run = None
+        if args.store and args.config_id:
+            from .state.configstore import ConfigStore
+
+            store = ConfigStore(args.store)
+            config = store.get_config(args.config_id)
+            store.start_job(args.config_id)
+            should_run = lambda: store.job_enabled(args.config_id)  # noqa: E731
+        elif args.config:
+            with open(args.config) as f:
+                config = config_from_json(json.load(f))
+        else:
+            p.error("either --config or --store/--config-id is required")
         api = DetectorAPI(config, args.events, ts_col=args.ts_col)
         tail = None
         if args.tail_manifest:
@@ -149,7 +156,7 @@ def main(argv=None) -> int:
             api, args.results, args.checkpoints,
             n_ticks=args.max_ticks, interval_s=args.interval,
             forecast=args.forecast, horizon=args.horizon, period=args.period,
-            tail_source=tail,
+            tail_source=tail, should_run=should_run,
         )
         print(json.dumps({"ticks": n, "results": args.results}))
         return 0

@@ -92,6 +92,15 @@ def test_delete_keeps_live_scores_stale_stats(deleted_index):
         assert [d for d, _ in dist] == [d for d, _ in expected], q
 
 
+def test_index_stats_reflects_lifecycle(deleted_index):
+    out, deleted, _, _ = deleted_index
+    s = QueryEngine(out).index_stats()
+    assert s["n_docs"] == 200  # stale until compaction, like Lucene
+    assert s["n_deleted"] == len(deleted)
+    assert s["n_slices"] == 2 and s["postings_bytes"] > 0
+    assert s["store_positions"] is True and s["analyzer_mode"] == "code"
+
+
 def test_delete_union_and_by_query(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle_del2"))
     build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, mode="code")

@@ -60,7 +60,7 @@ def test_bool_combinations(eng):
     got2 = e.execute_filter(q2)
     assert list(got2) == sorted(df[df["lang"].isin(["go", "rust"])]["doc_id"])
     with pytest.raises(ValueError):
-        e.execute_filter({"more_like_this": {"x": 1}})
+        e.execute_filter({"span_near": {"x": 1}})
 
 
 def test_search_after_pagination(eng):
@@ -99,6 +99,25 @@ def test_facets(eng):
     # match_all facet = whole-corpus distribution
     rows_all = e.facets(None, "lang", k=100)
     assert dict(rows_all) == df["lang"].value_counts().to_dict()
+
+
+def test_count_and_more_like_this(eng):
+    e, df, oracle = eng
+    assert e.count(None) == len(df)
+    assert e.count({"term": {"lang": "python"}}) == int((df["lang"] == "python").sum())
+    # MLT of a doc's own text ranks that doc first when not excluded...
+    row = df.iloc[7]
+    hits = e.more_like_this(row["content"], k=5, min_doc_freq=1)
+    assert hits and hits[0][0] == row["doc_id"]
+    # ...and drops it with exclude_doc, keeping k results
+    hits_ex = e.more_like_this(
+        row["content"], k=5, min_doc_freq=1, exclude_doc=int(row["doc_id"])
+    )
+    assert len(hits_ex) == 5 and row["doc_id"] not in {d for d, _ in hits_ex}
+    hits6 = e.more_like_this(row["content"], k=6, min_doc_freq=1)
+    assert hits_ex == hits6[1:6]
+    # terms below min_doc_freq can't drive the query
+    assert e.more_like_this("zzneverseen0 zzneverseen1", k=5) == []
 
 
 def test_bm25_topk_filtered(eng):
