@@ -747,20 +747,32 @@ class QueryEngine:
         column a slice lacks null-fills it (update files need not repeat
         every keep_col)."""
         if self._docmap is None:
+            if self.n_docs == 0:  # a legitimately-empty index (e.g.
+                # compacted after deleting everything) has zero docmap rows
+                return pa.schema([("doc_id", pa.int64())]).empty_table()
             raise FileNotFoundError("index has no docmap")
         if columns is not None and "doc_id" not in columns:
             columns = ["doc_id", *columns]  # tombstone filtering needs it
+        # unified schema across slices (update files may lack keep_cols);
+        # missing columns null-fill with their TRUE type from the union
+        if getattr(self, "_docmap_schema", None) is None:
+            self._docmap_schema = pa.unify_schemas(
+                [
+                    pads.dataset(files, format="parquet").schema
+                    for _, files in self._docmap_parts
+                    if files
+                ]
+            )
+        target = self._docmap_schema
         parts = []
         for sid, files in self._docmap_parts:
             if not files:
                 continue
             ds = pads.dataset(files, format="parquet")
-            cols = columns
-            pad_cols: list[str] = []
-            if columns is not None:
-                have = set(ds.schema.names)
-                cols = [c for c in columns if c in have]
-                pad_cols = [c for c in columns if c not in have]
+            have = set(ds.schema.names)
+            want = columns if columns is not None else target.names
+            cols = [c for c in want if c in have]
+            pad_cols = [c for c in want if c not in have]
             try:
                 t = ds.to_table(columns=cols, filter=filter)
             except (pa.ArrowInvalid, KeyError):
@@ -768,19 +780,14 @@ class QueryEngine:
                 # column is all-null here → no row can match it
                 continue
             for c in pad_cols:
-                t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+                t = t.append_column(c, pa.nulls(t.num_rows, target.field(c).type))
             if self.deleted.size and t.num_rows:
                 keep = self._live(t["doc_id"].to_numpy().astype(np.int64), sid)
                 t = t.filter(pa.array(keep))
             parts.append(t)
         if not parts:
-            schema = pa.schema(
-                [
-                    (c, pa.int64() if c == "doc_id" else pa.string())
-                    for c in (columns or ["doc_id"])
-                ]
-            )
-            return schema.empty_table()
+            want = columns if columns is not None else target.names
+            return pa.schema([target.field(c) for c in want]).empty_table()
         return pa.concat_tables(parts, promote_options="default")
 
     # ---------- distributed scoring (doc-bucket parallel) ----------

@@ -61,7 +61,10 @@ class QueryCompiler:
 
     def _is_meta_field(self, field: str) -> bool:
         if self._meta_fields is None:
-            self._meta_fields = set(self.engine.docmap().schema.names)
+            try:
+                self._meta_fields = set(self.engine.docmap().schema.names)
+            except FileNotFoundError:  # empty index → no docmap files
+                self._meta_fields = {"doc_id"}
         return field in self._meta_fields
 
     # ---- evaluation ----

@@ -26,7 +26,7 @@ import argparse
 import json
 import time
 
-from .config import DetectorConfig, FeatureSpec
+from .config import DetectorConfig
 
 
 def config_from_json(d: dict) -> DetectorConfig:

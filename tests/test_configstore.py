@@ -1,6 +1,5 @@
 """Config/job CRUD semantics vs the reference's transport-action rules."""
 
-import os
 
 import pytest
 

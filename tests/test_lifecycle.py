@@ -268,6 +268,25 @@ def test_update_docs_scoped_tombstones(ray_session, tiny_corpus, tmp_path_factor
     assert list(e3.term_docs(f"zzfresh{victims[0]}")) == []
 
 
+def test_delete_everything_then_compact(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lifecycle_all"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, mode="code")
+    # deleting unknown ids is a harmless no-op union
+    delete_docs(out, [10**9, 10**9 + 1])
+    eng = QueryEngine(out)
+    assert eng.count(None) == 200
+    delete_docs(out, range(0, 500))
+    eng = QueryEngine(out)
+    assert eng.count(None) == 0
+    assert eng.bm25_topk("merge sort", k=10) == []
+    assert list(eng.term_docs("import")) == []
+    m = compact_index(out, gc=True)
+    assert m["n_docs"] == 0 and m["n_terms"] == 0
+    empty = QueryEngine(out)
+    assert empty.bm25_topk("merge sort", k=10) == []
+    assert empty.count(None) == 0
+
+
 def test_compact_without_deletes_merges_slices(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle_merge"))
     build_index(tiny_corpus["paths"], out, slices=3, num_partitions=4, mode="code")
