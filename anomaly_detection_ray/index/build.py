@@ -588,7 +588,8 @@ def next_slice_id(manifest: dict) -> int:
     return max(ids)
 
 
-def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str, **kwargs) -> dict | None:
+def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str,
+                    max_slices: int | None = None, **kwargs) -> dict | None:
     """One continuous-indexing tick: poll the growing ``input_dir`` for
     parquet files not yet indexed, build (first tick) or segment-add
     (later ticks) exactly those, then commit the seen-files manifest —
@@ -597,7 +598,13 @@ def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str, **kwargs
 
     Commit happens only after the index manifest flip, so a crash
     mid-tick reprocesses the same files on the rerun — harmless, because
-    ``extend_index`` de-dupes slices by input fingerprint."""
+    ``extend_index`` de-dupes slices by input fingerprint.
+
+    ``max_slices`` bounds segment count across ticks: when a tick's add
+    pushes past it, the smallest slices fold together
+    (:func:`..lifecycle.maybe_merge` — TieredMergePolicy shape), so
+    per-query file opens stay O(max_slices) no matter how many ticks
+    have run."""
     from ..sources.tailing import TailingSource
 
     src = TailingSource(input_dir, seen_manifest, suffixes=(".parquet", ".pq"))
@@ -609,4 +616,10 @@ def tail_index_tick(input_dir: str, index_dir: str, seen_manifest: str, **kwargs
     else:
         m = build_index(files, index_dir, **kwargs)
     src.commit(files)
+    if max_slices is not None:
+        from .lifecycle import maybe_merge
+
+        merged = maybe_merge(index_dir, max_slices=max_slices, gc=True)
+        if merged is not None:
+            m = merged
     return m

@@ -262,12 +262,47 @@ def compact_index(
     num_partitions: int | None = None,
     gc: bool = False,
 ) -> dict:
-    """Merge all slices into one, purging tombstones and recomputing
-    exact global stats — forceMerge(1). See module docstring.
+    """Merge ALL slices into one, purging tombstones and recomputing
+    exact global stats — forceMerge(1). See :func:`merge_slices`."""
+    return merge_slices(index_dir, num_partitions=num_partitions, gc=gc)
+
+
+def maybe_merge(index_dir: str, max_slices: int = 8, **kwargs) -> dict | None:
+    """Tiered-merge policy for continuously-growing indexes: when the
+    slice count exceeds ``max_slices``, merge the SMALLEST slices (by
+    doc count) down to ``max_slices`` total — Lucene's TieredMergePolicy
+    shape (many small tick-segments fold together; big settled segments
+    are left alone, so merge I/O stays proportional to the new data,
+    not the index). Returns the new manifest, or None when under the
+    cap."""
+    manifest = _load_manifest(index_dir)
+    slices = manifest["slices"]
+    if len(slices) <= max_slices:
+        return None
+    n_merge = len(slices) - max_slices + 1
+    victims = [s["dir"] for s in sorted(slices, key=lambda s: (s["n_docs"], s["dir"]))[:n_merge]]
+    return merge_slices(index_dir, slice_dirs=victims, **kwargs)
+
+
+def merge_slices(
+    index_dir: str,
+    *,
+    slice_dirs: list[str] | None = None,
+    num_partitions: int | None = None,
+    gc: bool = False,
+) -> dict:
+    """Merge the given slices (default: all) into ONE fresh slice,
+    purging their tombstoned postings. A FULL merge (every slice) also
+    clears the tombstone record and recomputes exact stats —
+    forceMerge(1); a PARTIAL merge keeps the tombstones (they still
+    govern the untouched slices; the merged slice's id is newer than
+    every ``live_from``, so re-added update copies stay live and purged
+    copies stay gone). See module docstring for the exchange shape.
 
     ``num_partitions`` re-buckets the merged postings (default: the
-    largest slice's partition count). ``gc=True`` removes the replaced
-    slice dirs and the tombstone file AFTER the manifest flip."""
+    largest merged slice's partition count). ``gc=True`` removes the
+    replaced slice dirs (and, on a full merge, the tombstone file)
+    AFTER the manifest flip."""
     import ray
     import ray.data as rd
 
@@ -277,12 +312,25 @@ def compact_index(
     block_size = int(manifest.get("block_size", DEFAULT_BLOCK_SIZE))
     del_ids, del_lf = load_tombstones(index_dir, manifest)
     deleted_tag = hashlib.sha256(del_ids.tobytes() + del_lf.tobytes()).hexdigest()[:16]
-    old_dirs = [s["dir"] for s in manifest["slices"]]
+    all_dirs = [s["dir"] for s in manifest["slices"]]
+    if slice_dirs is None:
+        slice_dirs = list(all_dirs)
+    unknown = set(slice_dirs) - set(all_dirs)
+    if unknown:
+        raise ValueError(f"not index slices: {sorted(unknown)}")
+    full = set(slice_dirs) == set(all_dirs)
+    merged_entries = [s for s in manifest["slices"] if s["dir"] in set(slice_dirs)]
+    kept_entries = [s for s in manifest["slices"] if s["dir"] not in set(slice_dirs)]
+    old_dirs = [s["dir"] for s in merged_entries]
     slice_ids = [int(re.search(r"(\d+)$", d).group(1)) for d in old_dirs]
     slice_manifests = []
     for d in old_dirs:
         with open(os.path.join(index_dir, d, "_slice_manifest.json")) as f:
             slice_manifests.append(json.load(f))
+    kept_manifests = []
+    for s in kept_entries:
+        with open(os.path.join(index_dir, s["dir"], "_slice_manifest.json")) as f:
+            kept_manifests.append(json.load(f))
     if num_partitions is None:
         num_partitions = max(m.get("num_partitions", 16) for m in slice_manifests)
 
@@ -317,7 +365,7 @@ def compact_index(
         return add
 
     per_slice = []
-    for s, sid_ in zip(manifest["slices"], slice_ids):
+    for s, sid_ in zip(merged_entries, slice_ids):
         files = sorted(
             os.path.join(index_dir, s["dir"], "postings", p["path"])
             for p in s["partitions"]
@@ -366,7 +414,7 @@ def compact_index(
     def _per_slice_read(subdir: str, extra=None):
         slice_files = [
             (sid_, sorted(glob(os.path.join(index_dir, s["dir"], subdir, "*.parquet"))))
-            for s, sid_ in zip(manifest["slices"], slice_ids)
+            for s, sid_ in zip(merged_entries, slice_ids)
         ]
         # slices may differ in metadata columns (update files need not
         # repeat every keep_col): pad every batch to the unified schema
@@ -420,7 +468,7 @@ def compact_index(
 
     total_tokens = int(sum(r["tf_sum"] for r in manifest_rows))
     sm = {
-        "input_files": [f"compacted:{d}" for d in old_dirs],
+        "input_files": [f"merged:{d}" for d in old_dirs],
         "input_fingerprint": hashlib.sha256(
             (";".join(old_dirs) + "|" + deleted_tag).encode()
         ).hexdigest(),
@@ -439,13 +487,16 @@ def compact_index(
 
     out = _finalize_index(
         index_dir,
-        [sm],
+        kept_manifests + [sm],
         mode=manifest.get("analyzer_mode", "code"),
         bucket_shift=manifest.get("bucket_shift", 17),
         block_size=block_size,
         store_positions=store_positions,
-        dirs=[rel_dir],
-        deletes=None,  # tombstones are purged by the merge
+        dirs=[s["dir"] for s in kept_entries] + [rel_dir],
+        # a FULL merge purges every tombstone; a partial one keeps them
+        # (they still govern the untouched slices — harmless for the new
+        # slice, whose id is newer than every live_from)
+        deletes=None if full else manifest.get("deletes"),
     )
 
     if gc:
@@ -453,5 +504,6 @@ def compact_index(
 
         for d in old_dirs:
             shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-        shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
+        if full:
+            shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
     return out

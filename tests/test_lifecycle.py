@@ -287,6 +287,88 @@ def test_delete_everything_then_compact(ray_session, tiny_corpus, tmp_path_facto
     assert empty.count(None) == 0
 
 
+def test_partial_merge_tiered_policy(ray_session, tiny_corpus, tmp_path_factory):
+    """maybe_merge folds only the smallest slices, keeps tombstones
+    governing the untouched ones, and preserves every query result."""
+    import pyarrow as pa
+
+    from anomaly_detection_ray.index.lifecycle import maybe_merge, merge_slices
+
+    base = str(tmp_path_factory.mktemp("lifecycle_tier"))
+    out = os.path.join(base, "idx")
+    # 4 slices: 3 from the corpus + 1 tiny segment add
+    build_index(tiny_corpus["paths"], out, slices=3, num_partitions=4, mode="code")
+    add = pa.table(
+        {"doc_id": pa.array([901, 902], pa.int64()),
+         "content": pa.array(["zztier alpha", "zztier beta"])}
+    )
+    add_src = os.path.join(base, "add.parquet")
+    pq.write_table(add, add_src)
+    extend_index(out, [add_src])
+    # tombstone a few docs spread across slices
+    delete_docs(out, [0, 80, 150, 901])
+    before = QueryEngine(out)
+    ref_top = {q: before.bm25_topk(q, k=10, prune=False) for q in QUERIES}
+    ref_all = list(before.execute_filter({"match_all": {}}))
+    ref_tier = list(before.term_docs("zztier"))
+
+    # under the cap → no-op
+    assert maybe_merge(out, max_slices=4) is None
+    m = maybe_merge(out, max_slices=3, gc=True)
+    assert m is not None and len(m["slices"]) == 3
+    assert "deletes" in m  # partial merge keeps the tombstones
+    after = QueryEngine(out)
+    # membership invariants are exact: the live doc set is unchanged
+    assert list(after.execute_filter({"match_all": {}})) == ref_all
+    assert list(after.term_docs("zztier")) == ref_tier == [902]
+    # BM25 stats legitimately SHIFT for merged docs (their tombstones
+    # were purged from df/avgdl/n_docs — Lucene merges do the same), so
+    # assert live-hit + both-paths-agree rather than score identity
+    live = set(ref_all)
+    for q in QUERIES:
+        got = after.bm25_topk(q, k=10, prune=False)
+        assert got and all(d in live for d, _ in got), q
+        pruned = after.bm25_topk(q, k=10, prune=True)
+        assert [d for d, _ in pruned] == [d for d, _ in got], q
+    # a later FULL merge still converges and clears tombstones
+    m2 = merge_slices(out, gc=True)
+    assert "deletes" not in m2 and len(m2["slices"]) == 1
+    final = QueryEngine(out)
+    assert list(final.execute_filter({"match_all": {}})) == ref_all
+
+
+def test_tail_ticks_bound_slice_count(ray_session, tmp_path_factory):
+    """Continuous ticks with max_slices keep segment count bounded while
+    every tick's docs stay searchable."""
+    import pyarrow as pa
+
+    from anomaly_detection_ray.index.build import tail_index_tick
+
+    base = tmp_path_factory.mktemp("tier_ticks")
+    inp = base / "in"
+    inp.mkdir()
+    idx = str(base / "idx")
+    seen = str(base / "seen.json")
+    for t in range(6):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([t * 10 + j for j in range(3)], pa.int64()),
+                "content": pa.array([f"tick{t} common doc{t * 10 + j}" for j in range(3)]),
+            }
+        )
+        pq.write_table(tbl, str(inp / f"batch-{t:02d}.parquet"))
+        m = tail_index_tick(str(inp), idx, seen, max_slices=3,
+                            num_partitions=2, mode="code")
+        assert len(m["slices"]) <= 3
+    eng = QueryEngine(idx)
+    assert eng.count(None) == 18
+    assert list(eng.term_docs("common")) == sorted(
+        t * 10 + j for t in range(6) for j in range(3)
+    )
+    for t in range(6):
+        assert list(eng.term_docs(f"tick{t}")) == [t * 10 + j for j in range(3)], t
+
+
 def test_compact_without_deletes_merges_slices(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle_merge"))
     build_index(tiny_corpus["paths"], out, slices=3, num_partitions=4, mode="code")
