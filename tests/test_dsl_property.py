@@ -1,0 +1,138 @@
+"""Property test: random filter-DSL ASTs vs a brute-force evaluator.
+
+The compiler's set algebra (intersection / union-with-msm / difference
+over postings and metadata predicates) must agree with a direct
+per-document evaluation for ANY well-formed query tree — the shape of
+bug a fixed fixture set misses (deep nesting, empty branches,
+msm edge values).
+"""
+
+import re
+from fnmatch import fnmatchcase
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.index.build import build_index
+from anomaly_detection_ray.index.query import QueryEngine
+
+TERMS = ["merge", "sort", "parse", "import", "window", "zzabsent"]
+LANGS = ["python", "java", "go", "rust", "zzno"]
+PREFIXES = ["pa", "im", "zz", "m"]
+WILDCARDS = ["pa*", "*e", "s?rt", "zz*"]
+
+
+def leaf_strategy():
+    return st.one_of(
+        st.sampled_from(TERMS).map(lambda t: {"term": {"content": t}}),
+        st.sampled_from(LANGS).map(lambda v: {"term": {"lang": v}}),
+        st.lists(st.sampled_from(TERMS), min_size=1, max_size=3).map(
+            lambda ts: {"terms": {"content": ts}}
+        ),
+        st.tuples(st.integers(0, 200), st.integers(0, 200)).map(
+            lambda ab: {"range": {"doc_id": {"gte": min(ab), "lt": max(ab)}}}
+        ),
+        st.sampled_from(PREFIXES).map(lambda p: {"prefix": {"content": p}}),
+        st.sampled_from(WILDCARDS).map(lambda w: {"wildcard": {"content": w}}),
+        st.just({"exists": {"field": "lang"}}),
+        st.just({"match_all": {}}),
+    )
+
+
+def bool_strategy(children):
+    return st.builds(
+        lambda must, should, must_not, msm: {
+            "bool": {
+                "must": must,
+                "should": should,
+                "must_not": must_not,
+                **({"minimum_should_match": msm} if should and msm is not None else {}),
+            }
+        },
+        st.lists(children, max_size=2),
+        st.lists(children, max_size=3),
+        st.lists(children, max_size=2),
+        st.one_of(st.none(), st.integers(0, 3)),
+    )
+
+
+query_strategy = st.recursive(leaf_strategy(), bool_strategy, max_leaves=12)
+
+
+def brute_eval(query, docs) -> set:
+    """Direct per-document evaluation of the same AST."""
+    if not query or "match_all" in query:
+        return {d["doc_id"] for d in docs}
+    kind, body = next(iter(query.items()))
+    if kind == "term":
+        ((field, value),) = body.items()
+        if field == "content":
+            return {d["doc_id"] for d in docs if value in d["tokens"]}
+        return {d["doc_id"] for d in docs if d.get(field) == value}
+    if kind == "terms":
+        ((field, values),) = body.items()
+        return {d["doc_id"] for d in docs if set(values) & d["tokens"]}
+    if kind == "range":
+        ((field, conds),) = body.items()
+        lo, hi = conds["gte"], conds["lt"]
+        return {d["doc_id"] for d in docs if lo <= d[field] < hi}
+    if kind == "prefix":
+        ((_, p),) = body.items()
+        return {d["doc_id"] for d in docs if any(t.startswith(p) for t in d["tokens"])}
+    if kind == "wildcard":
+        ((_, w),) = body.items()
+        return {d["doc_id"] for d in docs if any(fnmatchcase(t, w) for t in d["tokens"])}
+    if kind == "exists":
+        return {d["doc_id"] for d in docs if d.get(body["field"]) is not None}
+    if kind == "bool":
+        result = None
+        for clause in list(body.get("must", ())) + list(body.get("filter", ())):
+            s = brute_eval(clause, docs)
+            result = s if result is None else (result & s)
+        shoulds = body.get("should", ())
+        if shoulds:
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                msm = 1 if result is None else 0
+            if msm > 0:
+                per = [brute_eval(c, docs) for c in shoulds]
+                matched = {
+                    d["doc_id"]
+                    for d in docs
+                    if sum(d["doc_id"] in s for s in per) >= msm
+                }
+                result = matched if result is None else (result & matched)
+        if result is None:
+            result = {d["doc_id"] for d in docs}
+        for clause in body.get("must_not", ()):
+            result = result - brute_eval(clause, docs)
+        return result
+    raise AssertionError(kind)
+
+
+@pytest.fixture(scope="module")
+def dsl_env(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dslprop"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, mode="code")
+    table = tiny_corpus["table"].to_pandas()
+    an = Analyzer("code")
+    docs = [
+        {
+            "doc_id": int(r.doc_id),
+            "lang": r.lang,
+            "tokens": set(an.tokens(r.content)),
+        }
+        for r in table.itertuples()
+    ]
+    return QueryEngine(out), docs
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(query=query_strategy)
+def test_dsl_matches_brute_force(dsl_env, query):
+    eng, docs = dsl_env
+    got = set(eng.execute_filter(query).tolist())
+    assert got == brute_eval(query, docs), query
