@@ -165,10 +165,16 @@ def lifecycle_index_for(sf_dir: str, stage: str) -> QueryEngine:
 
     from ..index.lifecycle import compact_index, delete_docs, update_docs
 
+    lc_ver = "2"  # bump when delete/update/compact semantics change —
+    # stale /tmp caches must rebuild, not serve an older code's state
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CACHE_ROOT, f"index_lc_{stage}_{tag}")
     marker = os.path.join(out, "_lc_done")
-    if not os.path.exists(marker):
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != lc_ver
+    if stale:
         shutil.rmtree(out, ignore_errors=True)
         build_index(
             [os.path.join(sf_dir, "documents.parquet")],
@@ -200,7 +206,7 @@ def lifecycle_index_for(sf_dir: str, stage: str) -> QueryEngine:
             if stage == "compacted":
                 compact_index(out, gc=True)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(lc_ver)
     return QueryEngine(out)
 
 
