@@ -184,6 +184,46 @@ ORDER BY doc_id
 """
 
 
+def _multi_match_sql() -> str:
+    """Twin of ``q_multi_match_search`` (best_fields over text + lang):
+    text side is the standard BM25 CTE chain; the lang field is a
+    single-token document, so its BM25 collapses to the idf —
+    tf_norm(1, 1, avgdl=1) = 1 exactly. best_fields = per-doc max via a
+    full outer join."""
+    from anomaly_detection_ray.pipelines.queries import MM_QUERY
+
+    terms = sorted(set(Analyzer("simple").tokens(MM_QUERY)))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT sum(dl) FROM dl) AS total),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({inlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN ({inlist}) GROUP BY term),
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total * 1.0 / s.n_docs))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lang_df AS (SELECT lang, count(*) AS df FROM documents GROUP BY lang),
+lscore AS (
+  SELECT d.doc_id, ln(1 + (s.n_docs - ldf.df + 0.5) / (ldf.df + 0.5)) AS score
+  FROM documents d JOIN lang_df ldf USING (lang) CROSS JOIN stats s
+  WHERE d.lang IN ({inlist})),
+merged AS (
+  SELECT coalesce(t.doc_id, l.doc_id) AS doc_id,
+         greatest(coalesce(t.score, -1e300), coalesce(l.score, -1e300)) AS score
+  FROM tscore t FULL OUTER JOIN lscore l ON t.doc_id = l.doc_id)
+SELECT doc_id, rank, score_r FROM (
+  SELECT doc_id, round(score, 6) AS score_r,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM merged) x
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def _lang_id_sql() -> str:
     hits = ",\n  ".join(
         f"len(list_filter(toks, x -> list_contains([{', '.join(repr(w) for w in words)}], x))) AS {lang}"
@@ -536,6 +576,7 @@ WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
         "search_after_page": _bm25_sql(rank_lo=11, rank_hi=20),
+        "multi_match_search": _multi_match_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, '{conj_a}') AND list_contains({TOKS}, '{conj_b}')

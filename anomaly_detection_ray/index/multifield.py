@@ -1,0 +1,140 @@
+"""Multi-field search: per-field indexes + multi_match.
+
+Lucene models each field as its own term space with its own statistics
+(df, avgdl) inside a segment; OpenSearch's ``multi_match`` then scores
+a query against several fields and combines per-field BM25 scores —
+``best_fields`` takes the max (dis_max), ``most_fields`` sums. The
+input_hint's corpus shape (``repo, path, content``) makes this a
+first-class need: "find this identifier in file PATHS or file BODIES".
+
+Rebuilt as composition, not surgery: one standard index per field
+(same doc ids, each with its own exact global stats — precisely
+Lucene's per-field statistics), a :class:`MultiFieldEngine` that merges
+per-field score maps vectorized. Build cost is proportional to each
+field's text (path/repo fields are tiny next to content); every
+single-field capability (phrase, prefix, lifecycle…) keeps working on
+the per-field engines unchanged.
+
+Reference tie-in: the plugin's own result/config searches routinely
+query multiple fields (`ParseUtils.java:308-431` builds bool queries
+over field sets); the engine side of that is this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .build import build_index
+from .query import QueryEngine, _topk_with_ties
+
+MULTI_MANIFEST = "multifield.json"
+
+
+def build_multifield_index(
+    input_files: list[str],
+    out_dir: str,
+    fields: list[str],
+    *,
+    id_col: str = "doc_id",
+    mode: str = "code",
+    keep_cols=("repo", "path", "commit", "lang"),
+    **kwargs,
+) -> dict:
+    """One index per field under ``out_dir/field-<name>``; metadata
+    keep_cols ride only the FIRST field's docmap (they are per-doc, not
+    per-field)."""
+    os.makedirs(out_dir, exist_ok=True)
+    sub = {}
+    for i, f in enumerate(fields):
+        sub[f] = build_index(
+            input_files,
+            os.path.join(out_dir, f"field-{f}"),
+            text_col=f,
+            id_col=id_col,
+            mode=mode,
+            keep_cols=keep_cols if i == 0 else (),
+            **kwargs,
+        )
+    manifest = {
+        "format": "anomaly_detection_ray.multifield/v1",
+        "fields": list(fields),
+        "n_docs": sub[fields[0]]["n_docs"],
+        "analyzer_mode": mode,
+    }
+    path = os.path.join(out_dir, MULTI_MANIFEST)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, path)
+    return manifest
+
+
+class MultiFieldEngine:
+    """Serves ``multi_match`` over the per-field indexes. Field engines
+    load lazily; ``engine(field)`` exposes them for every single-field
+    operation (phrase on content, prefix on path, …)."""
+
+    def __init__(self, index_dir: str, **engine_kwargs):
+        with open(os.path.join(index_dir, MULTI_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.index_dir = index_dir
+        self.fields: list[str] = self.manifest["fields"]
+        self._engines: dict[str, QueryEngine] = {}
+        self._engine_kwargs = engine_kwargs
+
+    def engine(self, field: str) -> QueryEngine:
+        if field not in self.fields:
+            raise KeyError(f"unknown field {field!r} (have {self.fields})")
+        if field not in self._engines:
+            self._engines[field] = QueryEngine(
+                os.path.join(self.index_dir, f"field-{field}"), **self._engine_kwargs
+            )
+        return self._engines[field]
+
+    def multi_match(
+        self,
+        query: str,
+        k: int = 10,
+        fields: list[str] | None = None,
+        match_type: str = "best_fields",
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k over combined per-field BM25: ``best_fields`` = max of
+        the (boosted) field scores per doc (Lucene dis_max with
+        tie_breaker 0), ``most_fields`` = their sum. Boost syntax
+        mirrors ``fields: ["path^3", ...]`` via the ``boosts`` dict."""
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(f"unknown multi_match type {match_type!r}")
+        fields = list(fields) if fields is not None else list(self.fields)
+        boosts = boosts or {}
+        per_field = []
+        for f in fields:
+            docs, scores = self.engine(f).bm25_scores(query)
+            if docs.size:
+                per_field.append((docs, scores * float(boosts.get(f, 1.0))))
+        if not per_field:
+            return []
+        all_docs = np.concatenate([d for d, _ in per_field])
+        all_scores = np.concatenate([s for _, s in per_field])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        if match_type == "most_fields":
+            combined = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(combined, inv, all_scores)
+        else:
+            combined = np.full(uniq.size, -np.inf, dtype=np.float64)
+            np.maximum.at(combined, inv, all_scores)
+        return _topk_with_ties(uniq, combined, k)
+
+    def match_any_docs(self, query: str, fields: list[str] | None = None) -> np.ndarray:
+        """Filter-context multi_match (operator=or): docs where ANY
+        query term matches ANY of the fields."""
+        fields = list(fields) if fields is not None else list(self.fields)
+        parts = []
+        for f in fields:
+            eng = self.engine(f)
+            parts.append(eng.union_docs(eng.query_terms(query)))
+        cat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        return np.unique(cat).astype(np.int64)

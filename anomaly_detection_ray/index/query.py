@@ -262,7 +262,11 @@ class QueryEngine:
             return self._score_pruned(chunks, k)
         return self._score_exact(terms, k)
 
-    def _score_exact(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def bm25_scores(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full exact BM25 accumulation: (sorted matching doc_ids, their
+        scores) — the building block multi_match / search_after rank
+        from."""
+        terms = self.query_terms(query)
         docs_parts, imp_parts = [], []
         for t in terms:
             docs_t, tfs_t, dls_t = self.term_arrays(t)
@@ -272,7 +276,7 @@ class QueryEngine:
             docs_parts.append(docs_t)
             imp_parts.append(w * tf_norm(tfs_t, dls_t, self.avgdl))
         if not docs_parts:
-            return []
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docs = np.concatenate(docs_parts)
         imps = np.concatenate(imp_parts)
         max_doc = int(docs.max()) if docs.size else 0
@@ -280,11 +284,19 @@ class QueryEngine:
             # dense doc-id space → bincount accumulation (no sort)
             scores = np.bincount(docs, weights=imps, minlength=max_doc + 1)
             hit = np.flatnonzero(np.bincount(docs, minlength=max_doc + 1))
-            return _topk_with_ties(hit, scores[hit], k)
+            return hit.astype(np.int64), scores[hit]
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, imps)
-        return _topk_with_ties(uniq, scores, k)
+        return uniq.astype(np.int64), scores
+
+    def _score_exact(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        # re-analysis of already-analyzed terms is idempotent (tokens
+        # tokenize to themselves), so the join round-trip is exact
+        docs, scores = self.bm25_scores(" ".join(terms))
+        if docs.size == 0:
+            return []
+        return _topk_with_ties(docs, scores, k)
 
     def _score_pruned(self, chunks: pa.Table, k: int) -> list[tuple[int, float]]:
         # flatten every block of every chunk row: (first, last, ub, row_idx, block_idx)
@@ -951,22 +963,9 @@ class QueryEngine:
         ranking (tested). Uses the exact scoring path — pruning cannot
         bound a page that starts below the global top-k, the same reason
         OpenSearch charges deep pagination linearly."""
-        terms = self.query_terms(query)
-        docs_parts, imp_parts = [], []
-        for t in terms:
-            docs_t, tfs_t, dls_t = self.term_arrays(t)
-            if docs_t.size == 0:
-                continue
-            w = float(bm25_idf(self.df(t), self.n_docs))
-            docs_parts.append(docs_t)
-            imp_parts.append(w * tf_norm(tfs_t, dls_t, self.avgdl))
-        if not docs_parts:
+        uniq, scores = self.bm25_scores(query)
+        if uniq.size == 0:
             return []
-        docs = np.concatenate(docs_parts)
-        imps = np.concatenate(imp_parts)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, imps)
         if search_after is not None:
             after_doc, after_score = int(search_after[0]), float(search_after[1])
             keep = (scores < after_score) | (

@@ -293,6 +293,42 @@ def q_highlight_search(sf_dir: str) -> pd.DataFrame:
     return df.astype({"doc_id": "int64", "rank": "int64", "n_hits": "int64"})
 
 
+MM_QUERY = "merge es"  # text field scores 'merge'; lang field scores 'es'
+
+
+def q_multi_match_search(sf_dir: str) -> pd.DataFrame:
+    """multi_match best_fields over (text, lang): per-field BM25 with
+    per-field statistics, combined by max — value-exact vs a SQL twin
+    that scores both fields (the lang field is single-token, so its
+    BM25 reduces to the idf)."""
+    from ..index.multifield import MultiFieldEngine, build_multifield_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"index_mf_{tag}")
+    if not os.path.exists(os.path.join(out, "multifield.json")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        build_multifield_index(
+            [os.path.join(sf_dir, "documents.parquet")],
+            out,
+            fields=["text", "lang"],
+            mode="simple",
+            slices=2,
+            num_partitions=8,
+            bucket_shift=13,
+            keep_cols=("source",),
+        )
+    hits = MultiFieldEngine(out).multi_match(MM_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "score_r": np.round([s for _, s in hits], 6),
+        }
+    )
+
+
 MLT_DOC_ID = 42
 
 
@@ -1319,6 +1355,7 @@ REGISTRY = {
     "search_after_page": q_search_after_page,
     "highlight_search": q_highlight_search,
     "more_like_this": q_more_like_this,
+    "multi_match_search": q_multi_match_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,

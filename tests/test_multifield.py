@@ -1,0 +1,87 @@
+"""multi_match over per-field indexes vs brute-force field merging."""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_ray.functions.analyzer import Analyzer
+from anomaly_detection_ray.index.multifield import (
+    MultiFieldEngine,
+    build_multifield_index,
+)
+from anomaly_detection_ray.index.oracle import BruteForceIndex
+
+
+@pytest.fixture(scope="module")
+def mf(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mfidx"))
+    build_multifield_index(
+        tiny_corpus["paths"], out, fields=["content", "path"],
+        mode="code", slices=2, num_partitions=4,
+    )
+    table = tiny_corpus["table"]
+    an = Analyzer("code")
+    oracles = {
+        f: BruteForceIndex(table["doc_id"].to_pylist(), table[f].to_pylist(), an)
+        for f in ("content", "path")
+    }
+    return MultiFieldEngine(out), oracles, table
+
+
+def _brute_multi(oracles, fields, q, match_type, boosts=None, k=10):
+    boosts = boosts or {}
+    per_doc: dict[int, list[float]] = {}
+    for f in fields:
+        for d, s in oracles[f].bm25_topk(q, k=10_000):
+            per_doc.setdefault(d, []).append(s * boosts.get(f, 1.0))
+    agg = max if match_type == "best_fields" else sum
+    rows = sorted(
+        ((d, agg(ss)) for d, ss in per_doc.items()), key=lambda r: (-r[1], r[0])
+    )
+    return rows[:k]
+
+
+@pytest.mark.parametrize("match_type", ["best_fields", "most_fields"])
+def test_multi_match_vs_brute(mf, match_type):
+    eng, oracles, _ = mf
+    queries = ["mod7 merge", "src pkg3 sort", "java parse", "js window import"]
+    n_nonempty = 0
+    for q in queries:
+        exp = _brute_multi(oracles, ["content", "path"], q, match_type)
+        got = eng.multi_match(q, k=10, match_type=match_type)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, match_type)
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9)
+        n_nonempty += bool(got)
+    assert n_nonempty == len(queries)
+
+
+def test_multi_match_boosts_and_single_field(mf):
+    eng, oracles, _ = mf
+    q = "mod7 js"
+    exp = _brute_multi(oracles, ["content", "path"], q, "best_fields",
+                       boosts={"path": 3.0})
+    got = eng.multi_match(q, k=10, boosts={"path": 3.0})
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    # restricting to one field == that field's own BM25 ranking
+    single = eng.multi_match(q, k=10, fields=["path"])
+    own = eng.engine("path").bm25_topk(q, k=10, prune=False)
+    assert single == own
+
+
+def test_match_any_docs_and_field_engines(mf):
+    eng, oracles, table = mf
+    q = "pkg3 merge"
+    exp = set()
+    for f in ("content", "path"):
+        for t in ("pkg3", "merge"):
+            exp |= set(oracles[f].postings.get(t, ()))
+    assert set(eng.match_any_docs(q).tolist()) == exp
+    # per-field engines keep the full single-field surface
+    assert list(eng.engine("path").prefix_docs("pkg3")) == sorted(
+        set(oracles["path"].postings) and
+        {d for t, ds in oracles["path"].postings.items() if t.startswith("pkg3") for d in ds}
+    )
+    with pytest.raises(KeyError):
+        eng.engine("nope")
+    with pytest.raises(ValueError):
+        eng.multi_match("x", match_type="cross_fields")
