@@ -254,7 +254,7 @@ def build_slice(
     num_partitions: int = 16,
     bucket_shift: int = 17,
     block_size: int = DEFAULT_BLOCK_SIZE,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     concurrency: int | None = None,
     keep_cols=("repo", "path", "commit", "lang"),
     store_positions: bool = False,
@@ -293,6 +293,16 @@ def build_slice(
 
     # doc count from parquet footers — no Ray execution needed
     n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+    if batch_size is None:
+        # SURVEY §7.3 "very wide records": cap tokenize batches by BYTES,
+        # not rows — a 1024-row batch of MB-scale source files would blow
+        # the worker heap. Average row bytes come from the same footers.
+        tot_bytes = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            tot_bytes += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        avg = max(1, tot_bytes // max(n_docs, 1))
+        batch_size = int(min(1024, max(16, (32 << 20) // avg)))
     # split the read well beyond the file count so every tokenize actor
     # stays busy (a block per file would cap parallelism at len(files))
     n_blocks = max(len(files), int(concurrency) * 6)

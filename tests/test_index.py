@@ -434,6 +434,37 @@ def test_kill_mid_build_resume(ray_session, tiny_corpus, tmp_path_factory):
         assert json.load(f)["n_docs"] == 200
 
 
+def test_wide_records_byte_capped_batches(ray_session, tmp_path):
+    """MB-scale content rows: the adaptive (byte-capped) batch size must
+    produce results identical to an explicit tiny batch size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "content": pa.array(
+                [f"wide{i} shared body " + ("filler lorem token " * 60_000)
+                 for i in range(12)]
+            ),
+        }
+    )
+    src = str(tmp_path / "wide.parquet")
+    pq.write_table(docs, src, row_group_size=4)
+    a = str(tmp_path / "idx_auto")
+    b = str(tmp_path / "idx_tiny")
+    build_index([src], a, slices=1, num_partitions=2, mode="code")  # adaptive
+    build_index([src], b, slices=1, num_partitions=2, mode="code", batch_size=2)
+    ea, eb = QueryEngine(a), QueryEngine(b)
+    assert ea.n_docs == 12 and ea.avgdl == eb.avgdl
+    for q in ["shared body", "wide3 filler", "lorem"]:
+        ha = ea.bm25_topk(q, k=12, prune=False)
+        hb = eb.bm25_topk(q, k=12, prune=False)
+        assert [d for d, _ in ha] == [d for d, _ in hb], q
+        for (_, sa), (_, sb) in zip(ha, hb):
+            assert sa == pytest.approx(sb, abs=1e-9)
+
+
 def test_empty_corpus_build_and_query(ray_session, tmp_path):
     """Degenerate input: zero-doc corpus builds an empty-but-valid index."""
     import pyarrow as pa
