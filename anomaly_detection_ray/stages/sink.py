@@ -122,3 +122,31 @@ def write_forecast_results(forecast_ds, out_dir: str, mode: str = "append"):
     else:
         _write_replacing_partitions(ds, out_dir)
     return out_dir
+
+
+def gc_results(out_dir: str, retention_days: int, now_day: int) -> list[int]:
+    """Retention GC over a date-partitioned result sink: remove every
+    ``result_date=`` partition older than ``now_day - retention_days``
+    — the reference's old-history-index cleanup
+    (``IndexManagement.java`` deleteOldHistoryIndices; default AD result
+    retention 30 days). ``now_day`` is passed in (epoch days), never
+    read from the wall clock — determinism rule. Whole-directory
+    removals, so a crashed GC leaves only fully-intact partitions.
+    Returns the removed partition days (sorted)."""
+    import shutil
+
+    cutoff = int(now_day) - int(retention_days)
+    removed: list[int] = []
+    if not os.path.isdir(out_dir):
+        return removed
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("result_date="):
+            continue
+        try:
+            day = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if day < cutoff:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            removed.append(day)
+    return removed

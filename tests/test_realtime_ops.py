@@ -324,3 +324,24 @@ def test_run_ticks_tailing(ray_session, tmp_path, monkeypatch):
     full = api.run_once().to_pandas()
     assert len(got) == len(full)
     assert got["window_end_ms"].max() == full["window_end_ms"].max()
+
+
+def test_gc_results_retention(tmp_path):
+    """Result retention GC removes only whole partitions older than the
+    cutoff (IndexManagement's old-history cleanup; now_day injected —
+    no wall clock)."""
+    from anomaly_detection_ray.stages.sink import gc_results
+
+    out = tmp_path / "results"
+    for day in (100, 120, 129, 130, 131):
+        d = out / f"result_date={day}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    (out / "not_a_partition").mkdir()
+    removed = gc_results(str(out), retention_days=30, now_day=160)
+    assert removed == [100, 120, 129]
+    left = sorted(p.name for p in out.iterdir())
+    assert left == ["not_a_partition", "result_date=130", "result_date=131"]
+    # idempotent; missing dir is a no-op
+    assert gc_results(str(out), 30, 160) == []
+    assert gc_results(str(tmp_path / "missing"), 30, 160) == []
