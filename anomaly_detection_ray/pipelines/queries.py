@@ -80,17 +80,21 @@ def index_for(sf_dir: str, rebuild: bool = False) -> QueryEngine:
     return QueryEngine(out)
 
 
-def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
-    """BM25 top-10 (north rule): rank-identical docIDs + scores."""
-    eng = index_for(sf_dir)
-    hits = eng.bm25_topk(BM25_QUERY, k=10, prune=True)
+def _hits_frame(hits: list[tuple[int, float]], rank_from: int = 1) -> pd.DataFrame:
+    """(doc_id, rank, score_r) frame shared by every ranked query."""
     return pd.DataFrame(
         {
             "doc_id": [d for d, _ in hits],
-            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "rank": np.arange(rank_from, rank_from + len(hits), dtype=np.int64),
             "score_r": np.round([s for _, s in hits], 6),
         }
     )
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 (north rule): rank-identical docIDs + scores."""
+    eng = index_for(sf_dir)
+    return _hits_frame(eng.bm25_topk(BM25_QUERY, k=10, prune=True))
 
 
 def q_term_filter_conjunctive(sf_dir: str) -> pd.DataFrame:
@@ -224,13 +228,7 @@ def q_compacted_bm25(sf_dir: str) -> pd.DataFrame:
     from the live-doc subset."""
     eng = lifecycle_index_for(sf_dir, "compacted")
     hits = eng.bm25_topk(BM25_QUERY, k=10, prune=True)
-    return pd.DataFrame(
-        {
-            "doc_id": [d for d, _ in hits],
-            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
-            "score_r": np.round([s for _, s in hits], 6),
-        }
-    )
+    return _hits_frame(hits)
 
 
 def q_update_search(sf_dir: str) -> pd.DataFrame:
@@ -269,13 +267,7 @@ def q_search_after_page(sf_dir: str) -> pd.DataFrame:
     eng = index_for(sf_dir)
     page1 = eng.bm25_search_after(BM25_QUERY, k=10)
     page2 = eng.bm25_search_after(BM25_QUERY, k=10, search_after=page1[-1])
-    return pd.DataFrame(
-        {
-            "doc_id": [d for d, _ in page2],
-            "rank": np.arange(11, 11 + len(page2), dtype=np.int64),
-            "score_r": np.round([s for _, s in page2], 6),
-        }
-    )
+    return _hits_frame(page2, rank_from=11)
 
 
 def q_highlight_search(sf_dir: str) -> pd.DataFrame:
@@ -320,13 +312,7 @@ def q_multi_match_search(sf_dir: str) -> pd.DataFrame:
             keep_cols=("source",),
         )
     hits = MultiFieldEngine(out).multi_match(MM_QUERY, k=10)
-    return pd.DataFrame(
-        {
-            "doc_id": [d for d, _ in hits],
-            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
-            "score_r": np.round([s for _, s in hits], 6),
-        }
-    )
+    return _hits_frame(hits)
 
 
 MLT_DOC_ID = 42
@@ -345,13 +331,7 @@ def q_more_like_this(sf_dir: str) -> pd.DataFrame:
         columns=["text"], filter=pads.field("doc_id") == MLT_DOC_ID
     )["text"][0].as_py()
     hits = eng.more_like_this(text, k=10, exclude_doc=MLT_DOC_ID)
-    return pd.DataFrame(
-        {
-            "doc_id": [d for d, _ in hits],
-            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
-            "score_r": np.round([s for _, s in hits], 6),
-        }
-    )
+    return _hits_frame(hits)
 
 
 WILDCARD_PATTERN = "s?a*"  # scan, small, spark at sf*
