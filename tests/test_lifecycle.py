@@ -101,6 +101,23 @@ def test_index_stats_reflects_lifecycle(deleted_index):
     assert s["store_positions"] is True and s["analyzer_mode"] == "code"
 
 
+def test_facets_count_highlight_respect_tombstones(deleted_index, tiny_corpus):
+    """Composed serving surfaces all evaluate the LIVE view."""
+    out, deleted, _, _ = deleted_index
+    eng = QueryEngine(out)
+    df = tiny_corpus["table"].to_pandas()
+    live = df[~df["doc_id"].isin(deleted)]
+    assert eng.count(None) == len(live)
+    rows = dict(eng.facets(None, "lang", k=100))
+    assert rows == live["lang"].value_counts().to_dict()
+    # highlighted hits never include tombstoned docs
+    from anomaly_detection_ray.stages.highlight import snippets_for_hits
+
+    hits = eng.bm25_topk(QUERIES[0], k=8)
+    snips = snippets_for_hits(eng, tiny_corpus["paths"], QUERIES[0], hits)
+    assert snips and not {r["doc_id"] for r in snips} & deleted
+
+
 def test_delete_union_and_by_query(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle_del2"))
     build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4, mode="code")
