@@ -506,6 +506,17 @@ SELECT event_type, window_start_ms, window_start_ms + 600000 AS window_end_ms,
        count(value) AS f_count
 FROM e GROUP BY event_type, window_start_ms ORDER BY event_type, window_start_ms
 """,
+        "feature_agg_filtered": """
+WITH e AS (
+  SELECT event_type, CAST(epoch_ms(ts) AS BIGINT) // 600000 * 600000 AS window_start_ms, value
+  FROM events
+  WHERE value < 100 AND event_type != 'purchase'
+    AND (event_type = 'click' OR event_type = 'error' OR starts_with(event_type, 's'))
+)
+SELECT event_type, window_start_ms, window_start_ms + 600000 AS window_end_ms,
+       round(avg(value), 6) AS f_avg, count(value) AS f_count
+FROM e GROUP BY event_type, window_start_ms ORDER BY event_type, window_start_ms
+""",
         "date_range_agg": f"""
 WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS t, value FROM events),
 b AS (SELECT CASE WHEN t >= {r0l} AND t < {r0h} THEN 0

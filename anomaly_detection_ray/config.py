@@ -58,6 +58,11 @@ class DetectorConfig:
     # --- suppression rules (ad/model/Rule.java, ThresholdType.java);
     # applied inside ScoreGroups against the scorer's expected values ---
     rules: tuple = ()
+    # --- user filter_query (Config.java:99): wrapped around every feature
+    # query (ParseUtils.generateInternalFeatureQuery) — here a row
+    # predicate applied to the events source before windowing
+    # (functions/rowfilter.py compiles the same JSON DSL) ---
+    filter_query: dict | None = None
 
     def model_output_after(self) -> int:
         return max(self.shingle_size, self.output_after)

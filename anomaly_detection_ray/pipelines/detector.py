@@ -89,6 +89,10 @@ def detect(
     history live."""
     from ..util import pool
 
+    if config.filter_query:
+        from ..functions.rowfilter import apply_filter_query
+
+        events_ds = apply_filter_query(events_ds, config.filter_query)
     concurrency = pool(concurrency)
     feats = config.feature_names()
     agg_range = time_range_ms

@@ -233,6 +233,10 @@ def forecast(
     feats = config.feature_names()
     if len(feats) != 1:
         raise ValueError("forecast() expects exactly one feature")
+    if config.filter_query:
+        from ..functions.rowfilter import apply_filter_query
+
+        events_ds = apply_filter_query(events_ds, config.filter_query)
     fused = mergeable(config)
     if fused:
         # single-shuffle plan (see detect()): map-side window partials,

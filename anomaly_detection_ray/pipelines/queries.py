@@ -483,6 +483,48 @@ def q_feature_agg_interval(sf_dir: str) -> pd.DataFrame:
     return _round(out, {"f_min": 6, "f_max": 6, "f_sum": 6, "f_avg": 6})
 
 
+FAF_FILTER = {
+    "bool": {
+        "filter": [{"range": {"value": {"lt": 100}}}],
+        "must_not": [{"term": {"event_type": "purchase"}}],
+        "should": [
+            {"term": {"event_type": "click"}},
+            {"term": {"event_type": "error"}},
+            {"prefix": {"event_type": "s"}},  # signup
+        ],
+        "minimum_should_match": 1,
+    }
+}
+
+
+def q_feature_agg_filtered(sf_dir: str) -> pd.DataFrame:
+    """The detector's filter_query (Config.java:99) on the events
+    source: the same JSON DSL compiled to ONE Arrow expression per
+    batch (functions/rowfilter.py), wrapped around a windowed
+    aggregation exactly like generateInternalFeatureQuery wraps the
+    feature aggs."""
+    from ..functions.rowfilter import apply_filter_query
+    from ..stages.window import window_aggregate
+    from .detector import needed_columns
+
+    cfg = DetectorConfig(
+        config_id="q",
+        interval_s=600,
+        category_fields=("event_type",),
+        features=(
+            FeatureSpec("f_avg", "value", "avg"),
+            FeatureSpec("f_count", "value", "value_count"),
+        ),
+    )
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=needed_columns(cfg)
+    )
+    out = window_aggregate(apply_filter_query(ds, FAF_FILTER), cfg, ts_col="ts").to_pandas()
+    out = out.sort_values(["event_type", "window_start_ms"]).reset_index(drop=True)
+    out["f_count"] = out["f_count"].astype("int64")
+    return _round(out, {"f_avg": 6})
+
+
 def q_date_range_agg(sf_dir: str) -> pd.DataFrame:
     """A7: explicit [from,to) buckets + per-feature sub-aggs."""
     cfg = DetectorConfig(
@@ -1311,6 +1353,7 @@ REGISTRY = {
     "tpch_q1": q_tpch_q1,
     "min_max_time": q_min_max_time,
     "feature_agg_interval": q_feature_agg_interval,
+    "feature_agg_filtered": q_feature_agg_filtered,
     "date_range_agg": q_date_range_agg,
     "top_entities": q_top_entities,
     "decayed_top_entities": q_decayed_top_entities,
