@@ -20,6 +20,31 @@ from __future__ import annotations
 import pyarrow.compute as pc
 
 
+def predicate_fields(query: dict | None) -> set[str]:
+    """Every column a filter_query touches (for read-time projection)."""
+    out: set[str] = set()
+
+    def walk(q):
+        if not q:
+            return
+        kind, body = next(iter(q.items()))
+        if kind == "match_all":
+            return
+        if kind == "bool":
+            for key in ("must", "filter", "should", "must_not"):
+                for clause in body.get(key, ()):
+                    walk(clause)
+            return
+        if kind == "exists":
+            out.add(body["field"])
+            return
+        ((field, _),) = body.items()
+        out.add(field)
+
+    walk(query)
+    return out
+
+
 def compile_row_predicate(query: dict | None):
     """query AST → pyarrow Expression (None/match_all → None)."""
     if not query or "match_all" in query:

@@ -42,9 +42,19 @@ class DetectorAPI:
             # push select_columns into the parquet read)
             from .detector import needed_columns
 
-            return rd.read_parquet(self.events_path,
-                                   columns=needed_columns(self.config, self.ts_col))
-        return rd.read_parquet(self.events_path)
+            ds = rd.read_parquet(self.events_path,
+                                 columns=needed_columns(self.config, self.ts_col))
+        else:
+            ds = rd.read_parquet(self.events_path)
+        if self.config.filter_query:
+            # Config.filterQuery wraps EVERY feature query in the
+            # reference — suggest/validate/preview/profile must see the
+            # same filtered stream as detect/forecast (which re-apply it
+            # themselves; the second pass is an idempotent no-op)
+            from ..functions.rowfilter import apply_filter_query
+
+            ds = apply_filter_query(ds, self.config.filter_query)
+        return ds
 
     # ---- _suggest (A14) ----
 

@@ -40,7 +40,12 @@ def needed_columns(config: DetectorConfig, ts_col: str = "ts") -> list[str]:
     ``read_parquet(columns=…)`` so the scan never decodes dead columns
     (Ray does not push ``select_columns`` into the parquet read; measured
     3.4× scan-bytes reduction on the events table)."""
-    return sorted({ts_col, *config.category_fields, *(f.column for f in config.features)})
+    from ..functions.rowfilter import predicate_fields
+
+    return sorted(
+        {ts_col, *config.category_fields, *(f.column for f in config.features)}
+        | predicate_fields(config.filter_query)
+    )
 
 
 def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:

@@ -64,6 +64,57 @@ def test_bool_msm_and_nesting():
                                      {"term": {"user": 5}}]}}) == [2, 5]
 
 
+def test_predicate_fields_and_pruned_read():
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.functions.rowfilter import predicate_fields
+    from anomaly_detection_ray.pipelines.detector import needed_columns
+
+    fq = {
+        "bool": {
+            "filter": [{"range": {"other_col": {"gte": 1}}}],
+            "should": [{"exists": {"field": "maybe"}}, {"match_all": {}}],
+            "must_not": [{"term": {"event_type": "x"}}],
+        }
+    }
+    assert predicate_fields(fq) == {"other_col", "maybe", "event_type"}
+    assert predicate_fields(None) == set()
+    cfg = DetectorConfig(
+        config_id="c", category_fields=("event_type",),
+        features=(FeatureSpec("value_avg", "value", "avg"),), filter_query=fq,
+    )
+    # the pruned read keeps every filter column
+    assert set(needed_columns(cfg)) == {"ts", "event_type", "value", "other_col", "maybe"}
+
+
+def test_api_surfaces_see_filtered_stream(ray_session, tmp_path):
+    """suggest/validate/preview read the SAME filtered stream as detect
+    (Config.filterQuery wraps every feature query in the reference)."""
+    import pyarrow.parquet as pq_
+
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    n = 2000
+    tbl = pa.table(
+        {
+            "ts": pa.array((1_704_067_200_000 + np.arange(n) * 60_000).astype("int64")),
+            "event_type": pa.array([["a", "b"][i % 2] for i in range(n)]),
+            "value": pa.array(np.linspace(1, 20, n)),
+        }
+    )
+    src = str(tmp_path / "events.parquet")
+    pq_.write_table(tbl, src)
+    base = dict(config_id="fq2", interval_s=600, category_fields=("event_type",),
+                features=(FeatureSpec("value_avg", "value", "avg"),))
+    fq = {"term": {"event_type": "a"}}
+    api = DetectorAPI(DetectorConfig(**base, filter_query=fq), src)
+    prev = api.preview(max_entities=5)
+    assert set(prev["event_type"]) == {"a"}
+    v = api.validate()
+    # only entity 'a' survives the filter into the density probe
+    assert list(v["shingle_density"]) == ["('a',)"]
+
+
 def test_detect_filter_query_equals_prefilter(ray_session, tmp_path):
     """detect(config.filter_query) ≡ detect over the pre-filtered
     Dataset, row for row."""
