@@ -10,6 +10,8 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"terms": {"<field>": [v1, v2, ...]}}     # any-of (is_in / postings union)
     {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
     {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
+    {"match": {"<f>": {"query": q, "operator": "or"|"and",
+                       "minimum_should_match": n}}}   # OpenSearch long form
     {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
     {"prefix": {"<field>": "val"}}            # dictionary range scan / starts_with
     {"wildcard": {"<field>": "v?l*"}}         # dictionary scan, RE2-compiled pattern
@@ -134,8 +136,22 @@ class QueryCompiler:
                 expr = e if expr is None else (expr & e)
             return self._docmap_filter(expr)
         if kind == "match":
-            ((_field, text),) = body.items()
-            return np.asarray(self.engine.conjunctive(str(text)), dtype=np.int64)
+            ((_field, spec),) = body.items()
+            if not isinstance(spec, dict):
+                # short form keeps the plugin's filter-context semantics
+                # (ParseUtils builds conjunctive matches): operator=and
+                return np.asarray(self.engine.conjunctive(str(spec)), dtype=np.int64)
+            text = str(spec["query"])
+            operator = spec.get("operator", "or")  # OpenSearch default
+            if operator == "and":
+                return np.asarray(self.engine.conjunctive(text), dtype=np.int64)
+            terms = self.engine.query_terms(text)
+            msm = int(spec.get("minimum_should_match", 1))
+            if msm <= 1:
+                return self.engine.union_docs(terms)
+            per_term = [self.engine.term_docs(t) for t in terms]
+            vals, counts = np.unique(np.concatenate(per_term), return_counts=True)
+            return vals[counts >= msm]  # each term's postings are unique
         if kind == "match_phrase":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.phrase(str(text)), dtype=np.int64)

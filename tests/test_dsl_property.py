@@ -38,6 +38,15 @@ def leaf_strategy():
         st.sampled_from(WILDCARDS).map(lambda w: {"wildcard": {"content": w}}),
         st.just({"exists": {"field": "lang"}}),
         st.just({"match_all": {}}),
+        st.builds(
+            lambda ts, op, msm: {
+                "match": {"content": {"query": " ".join(ts), "operator": op,
+                                      "minimum_should_match": msm}}
+            },
+            st.lists(st.sampled_from(TERMS), min_size=1, max_size=3, unique=True),
+            st.sampled_from(["or", "and"]),
+            st.integers(1, 3),
+        ),
     )
 
 
@@ -86,6 +95,13 @@ def brute_eval(query, docs) -> set:
         return {d["doc_id"] for d in docs if any(fnmatchcase(t, w) for t in d["tokens"])}
     if kind == "exists":
         return {d["doc_id"] for d in docs if d.get(body["field"]) is not None}
+    if kind == "match":
+        ((_, spec),) = body.items()
+        terms = set(spec["query"].split())
+        if spec.get("operator", "or") == "and":
+            return {d["doc_id"] for d in docs if terms <= d["tokens"]}
+        msm = int(spec.get("minimum_should_match", 1))
+        return {d["doc_id"] for d in docs if len(terms & d["tokens"]) >= msm}
     if kind == "bool":
         result = None
         for clause in list(body.get("must", ())) + list(body.get("filter", ())):

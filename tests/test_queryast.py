@@ -63,6 +63,26 @@ def test_bool_combinations(eng):
         e.execute_filter({"span_near": {"x": 1}})
 
 
+def test_match_long_form_operator_and_msm(eng):
+    e, df, oracle = eng
+    q = "merge sort parse"
+    terms = ["merge", "sort", "parse"]
+    sets = [set(oracle.postings.get(t, ())) for t in terms]
+    # operator=or (OpenSearch default): any term
+    got = e.execute_filter({"match": {"content": {"query": q}}})
+    assert list(got) == sorted(set().union(*sets))
+    # operator=and ≡ the short form's conjunctive semantics
+    got = e.execute_filter({"match": {"content": {"query": q, "operator": "and"}}})
+    assert list(got) == list(e.execute_filter({"match": {"content": q}}))
+    assert list(got) == sorted(sets[0] & sets[1] & sets[2])
+    # minimum_should_match over the analyzed terms
+    got = e.execute_filter(
+        {"match": {"content": {"query": q, "minimum_should_match": 2}}}
+    )
+    exp = sorted(d for d in set().union(*sets) if sum(d in s for s in sets) >= 2)
+    assert list(got) == exp and exp
+
+
 def test_search_after_pagination(eng):
     """Paging with the (score, doc_id) cursor reproduces the full
     ranking exactly, page by page."""
