@@ -106,10 +106,12 @@ class MultiFieldEngine:
         the (boosted) field scores per doc (Lucene dis_max with
         tie_breaker 0), ``most_fields`` = their sum. Boost syntax
         mirrors ``fields: ["path^3", ...]`` via the ``boosts`` dict."""
-        if match_type not in ("best_fields", "most_fields"):
+        if match_type not in ("best_fields", "most_fields", "cross_fields"):
             raise ValueError(f"unknown multi_match type {match_type!r}")
         fields = list(fields) if fields is not None else list(self.fields)
         boosts = boosts or {}
+        if match_type == "cross_fields":
+            return self._cross_fields(query, k, fields, boosts)
         per_field = []
         for f in fields:
             docs, scores = self.engine(f).bm25_scores(query)
@@ -127,6 +129,52 @@ class MultiFieldEngine:
             combined = np.full(uniq.size, -np.inf, dtype=np.float64)
             np.maximum.at(combined, inv, all_scores)
         return _topk_with_ties(uniq, combined, k)
+
+    def _cross_fields(self, query: str, k: int, fields: list[str],
+                      boosts: dict[str, float]) -> list[tuple[int, float]]:
+        """Term-centric blending (Lucene BlendedTermQuery's shape): the
+        fields act as ONE combined field per term — each term takes a
+        BLENDED df (the max across fields, Lucene's blend) and its
+        per-doc contribution is the best boosted field occurrence scored
+        with that blended idf; a doc's score sums its terms. Fixes
+        best/most_fields' failure on data split across fields ("will
+        smith" with first/last names in different columns)."""
+        from ..functions.bm25 import idf as bm25_idf
+        from ..functions.bm25 import tf_norm
+
+        engines = [self.engine(f) for f in fields]
+        terms = sorted({t for e in engines for t in e.query_terms(query)})
+        n_docs = max(e.n_docs for e in engines)
+        acc_docs, acc_scores = [], []
+        for t in terms:
+            dfs = [e.df(t) for e in engines]
+            blended_idf = float(bm25_idf(max(dfs), n_docs))
+            if max(dfs) == 0:
+                continue
+            docs_parts, val_parts = [], []
+            for e, f in zip(engines, fields):
+                docs_t, tfs_t, dls_t = e.term_arrays(t)
+                if docs_t.size == 0:
+                    continue
+                docs_parts.append(docs_t)
+                val_parts.append(
+                    float(boosts.get(f, 1.0)) * tf_norm(tfs_t, dls_t, e.avgdl)
+                )
+            docs = np.concatenate(docs_parts)
+            vals = np.concatenate(val_parts)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            best = np.full(uniq.size, -np.inf)
+            np.maximum.at(best, inv, vals)
+            acc_docs.append(uniq)
+            acc_scores.append(blended_idf * best)
+        if not acc_docs:
+            return []
+        docs = np.concatenate(acc_docs)
+        scores = np.concatenate(acc_scores)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        total = np.zeros(uniq.size)
+        np.add.at(total, inv, scores)
+        return _topk_with_ties(uniq, total, k)
 
     def match_any_docs(self, query: str, fields: list[str] | None = None) -> np.ndarray:
         """Filter-context multi_match (operator=or): docs where ANY

@@ -84,4 +84,53 @@ def test_match_any_docs_and_field_engines(mf):
     with pytest.raises(KeyError):
         eng.engine("nope")
     with pytest.raises(ValueError):
-        eng.multi_match("x", match_type="cross_fields")
+        eng.multi_match("x", match_type="phrase_prefixy")
+
+
+def test_cross_fields_vs_brute(mf):
+    """Term-centric blending: blended idf (max df across fields) × best
+    boosted field occurrence, summed over terms."""
+    import math
+
+    eng, oracles, table = mf
+    an = Analyzer("code")
+    field_tokens = {
+        f: [an.tokens(t) for t in table[f].to_pylist()] for f in ("content", "path")
+    }
+    doc_ids = table["doc_id"].to_pylist()
+
+    def brute(q, boosts=None, k=10):
+        boosts = boosts or {}
+        terms = sorted(set(an.tokens(q)))
+        n = len(doc_ids)
+        avgdl = {
+            f: sum(len(t) for t in field_tokens[f]) / n for f in field_tokens
+        }
+        scores = {}
+        for t in terms:
+            dfs = {f: sum(t in toks for toks in field_tokens[f]) for f in field_tokens}
+            if max(dfs.values()) == 0:
+                continue
+            idf = math.log(1 + (n - max(dfs.values()) + 0.5) / (max(dfs.values()) + 0.5))
+            for i, d in enumerate(doc_ids):
+                best = None
+                for f, toks_list in field_tokens.items():
+                    toks = toks_list[i]
+                    tf = toks.count(t)
+                    if tf == 0:
+                        continue
+                    dl = len(toks)
+                    v = boosts.get(f, 1.0) * (
+                        tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl[f]))
+                    )
+                    best = v if best is None or v > best else best
+                if best is not None:
+                    scores[d] = scores.get(d, 0.0) + idf * best
+        return sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:k]
+
+    for q, boosts in [("mod7 js merge", None), ("src pkg3 sort", {"path": 2.0})]:
+        exp = brute(q, boosts)
+        got = eng.multi_match(q, k=10, match_type="cross_fields", boosts=boosts)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9)
