@@ -297,14 +297,48 @@ class DetectorAPI:
     # ---- _run / job tick ----
 
     def run_once(self, results_dir: str | None = None, checkpoint_dir: str | None = None,
-                 write_mode: str = "replace"):
+                 write_mode: str = "replace", time_range_ms=None, task_store=None):
+        """One batch run. With ``task_store`` (a
+        :class:`..state.taskstore.TaskStore`), the run is tracked as an
+        ADTask-style doc: CREATED → RUNNING → FINISHED(n_result_rows) /
+        FAILED(error); a rerun of a FINISHED (config, range) task is a
+        no-op returning the finished doc (the reference refuses to
+        restart finished historical tasks)."""
         from .detector import detect
         from ..stages.sink import write_results
 
-        res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col, checkpoint_dir=checkpoint_dir)
-        if results_dir:
-            return write_results(res, results_dir, mode=write_mode)
-        return res
+        task = None
+        if task_store is not None:
+            task = task_store.create(self.config.config_id, "historical",
+                                     time_range_ms=time_range_ms)
+            if task["state"] == "FINISHED":
+                return task
+            task_store.transition(task["_id"], "RUNNING")
+        try:
+            res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col,
+                         checkpoint_dir=checkpoint_dir, time_range_ms=time_range_ms)
+            if results_dir:
+                out = write_results(res, results_dir, mode=write_mode)
+                if task is not None:
+                    import glob as _glob
+
+                    import pyarrow.parquet as _pq
+
+                    n = sum(
+                        _pq.read_metadata(f).num_rows
+                        for f in _glob.glob(os.path.join(results_dir, "**", "*.parquet"),
+                                            recursive=True)
+                    )
+                    task_store.transition(task["_id"], "FINISHED", n_result_rows=n)
+                return out
+            if task is not None:
+                res = res.materialize()
+                task_store.transition(task["_id"], "FINISHED", n_result_rows=res.count())
+            return res
+        except Exception as e:
+            if task is not None:
+                task_store.transition(task["_id"], "FAILED", error=repr(e))
+            raise
 
     def start_job(self, results_dir: str, checkpoint_dir: str):
         """One realtime tick: continue checkpointed models over whatever

@@ -1,0 +1,112 @@
+"""Historical-analysis task documents — the ADTask state machine.
+
+The reference tracks every historical (batch) run in the
+``.opendistro-anomaly-detection-state`` index: an ADTask doc advances
+CREATED → INIT → RUNNING → FINISHED/FAILED/STOPPED with
+``task_progress``/``init_progress`` updated per piece and resume
+metadata (``ad/task/ADTaskManager.java``, ``ADBatchTaskRunner.java:
+1271-1331``; SURVEY.md §3.2). Our batch pipeline has no pieces —
+Ray streams the whole range and per-partition manifests carry resume —
+so the doc tracks the RUN-level lifecycle: a deterministic task id
+(config ⊕ date-range hash), state transitions with a monotonic
+``seq``, the result row count on FINISH, the error string on FAIL.
+Plain JSON on shared storage, atomic writes, no wall clock (callers
+pass logical ticks if they want timestamps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+VALID_STATES = ("CREATED", "INIT", "RUNNING", "FINISHED", "FAILED", "STOPPED")
+# legal transitions, reference ADTaskState shape
+_NEXT = {
+    "CREATED": {"INIT", "RUNNING", "FAILED", "STOPPED"},
+    "INIT": {"RUNNING", "FAILED", "STOPPED"},
+    "RUNNING": {"FINISHED", "FAILED", "STOPPED"},
+    "FINISHED": set(),
+    "FAILED": set(),
+    "STOPPED": set(),
+}
+
+
+class TaskStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def task_id(config_id: str, time_range_ms=None) -> str:
+        key = f"{config_id}|{tuple(time_range_ms) if time_range_ms else 'realtime'}"
+        return "task-" + hashlib.sha1(key.encode()).hexdigest()[:16]
+
+    def _path(self, task_id: str) -> str:
+        return os.path.join(self.root, f"{task_id}.json")
+
+    def create(self, config_id: str, task_type: str = "historical",
+               time_range_ms=None) -> dict:
+        """Idempotent create: re-running the same (config, range) reuses
+        the doc — a FINISHED task stays finished (the rerun is served by
+        the idempotent pipeline), any other state resets to CREATED (the
+        reference restarts non-finished tasks)."""
+        tid = self.task_id(config_id, time_range_ms)
+        path = self._path(tid)
+        if os.path.exists(path):
+            doc = self.get(tid)
+            if doc["state"] == "FINISHED":
+                return doc
+        doc = {
+            "_id": tid,
+            "config_id": config_id,
+            "task_type": task_type,
+            "time_range_ms": list(time_range_ms) if time_range_ms else None,
+            "state": "CREATED",
+            "seq": 0,
+            "n_result_rows": None,
+            "error": None,
+        }
+        self._write(doc)
+        return doc
+
+    def get(self, task_id: str) -> dict:
+        with open(self._path(task_id)) as f:
+            return json.load(f)
+
+    def transition(self, task_id: str, state: str, *, n_result_rows: int | None = None,
+                   error: str | None = None) -> dict:
+        if state not in VALID_STATES:
+            raise ValueError(f"unknown task state {state!r}")
+        doc = self.get(task_id)
+        if state not in _NEXT[doc["state"]]:
+            raise ValueError(f"illegal transition {doc['state']} → {state}")
+        doc["state"] = state
+        doc["seq"] += 1
+        if n_result_rows is not None:
+            doc["n_result_rows"] = int(n_result_rows)
+        if error is not None:
+            doc["error"] = str(error)
+        self._write(doc)
+        return doc
+
+    def list(self, config_id: str | None = None, state: str | None = None) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self.root, fn)) as f:
+                doc = json.load(f)
+            if config_id is not None and doc["config_id"] != config_id:
+                continue
+            if state is not None and doc["state"] != state:
+                continue
+            out.append(doc)
+        return out
+
+    def _write(self, doc: dict) -> None:
+        path = self._path(doc["_id"])
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
