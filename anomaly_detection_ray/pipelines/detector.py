@@ -7,7 +7,7 @@ pipeline shape:
     events → window_aggregate (groupby entity+window, §2.A)
            → normalize features (B1 NaN semantics)
            → model_id projection (B8: murmur3 entity hash, reference recipe)
-           → groupby(model_id).map_groups(ScoreGroups)   # C1–C4 stateful scoring
+           → groupby(hash(model_id) % n).map_groups(ScoreGroups)  # C1–C4, bounded groups
            → results (flat anomaly-result schema)
 
 Transport hops, rate-limited queues, the hash ring, afterKey pagination
@@ -22,6 +22,7 @@ fixed config.seed).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import DetectorConfig
@@ -55,8 +56,6 @@ def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
         return batch.append_column("model_id", mid)
     # vectorize over unique entity combos: compute the murmur3 id once per
     # combo, then gather (batches repeat few entities many times)
-    import numpy as np
-
     cols = [batch[c].to_pylist() for c in cats]
     combos = list(zip(*cols)) if cols else []
     uniq: dict[tuple, str] = {}
@@ -65,6 +64,42 @@ def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
             uniq[combo] = entity_model_id(config.config_id, dict(zip(cats, map(str, combo))))
     mid = np.asarray([uniq[c] for c in combos], dtype=object)
     return batch.append_column("model_id", pa.array(mid))
+
+
+def resolve_coarse_groups(coarse_groups: int | None) -> int:
+    """Group count for the scoring exchange. ``None`` → 8× the cluster's
+    CPUs (enough groups that the slowest is <13% of one core's share,
+    bounded so the shuffle never creates one Ray group per model — the
+    per-group-overhead cliff at the reference's 1M-entity HC scale,
+    ``SearchFeatureDao.java:316-322``). ``0`` → legacy per-model groups
+    (parity tests). On a real cluster CPU count scales with nodes, so
+    group count (and per-group memory) scales with the cluster, not with
+    entity count."""
+    if coarse_groups is not None:
+        return int(coarse_groups)
+    import ray
+
+    return max(32, int(ray.cluster_resources().get("CPU", 4)) * 8)
+
+
+def add_coarse_key(ds, n_coarse: int, cols: tuple[str, ...] = ("model_id",)):
+    """Append ``_coarse`` = hash(cols) % n_coarse — the bounded shuffle
+    key for stateful per-model stages. Vectorized (pandas hash_array over
+    the concatenated key strings)."""
+    from ..functions.hashing import hash_strings
+
+    def add(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_coarse", pa.array([], pa.int64()))
+        import pyarrow.compute as pc
+
+        key = pc.cast(batch[cols[0]], pa.string())
+        for c in cols[1:]:
+            key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
+        ck = hash_strings(key.to_numpy(zero_copy_only=False)) % np.uint64(n_coarse)
+        return batch.append_column("_coarse", pa.array(ck.astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def detect(
@@ -78,6 +113,7 @@ def detect(
     cold_start_history: bool = True,
     force_fused: bool | None = None,
     chunk_rows: int = 65536,
+    coarse_groups: int | None = None,
 ):
     """events Dataset → anomaly results Dataset (one row per entity-window).
 
@@ -123,7 +159,18 @@ def detect(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    results = agg.groupby("model_id").map_groups(
+    # Coarse-keyed scoring exchange: shuffle on hash(model_id) % n_coarse
+    # (bounded group count — ScoreGroups iterates the models inside one
+    # group), not one Ray group per model; per-model groups are the
+    # per-group-overhead cliff at the reference's 1M-entity HC scale.
+    # coarse_groups=0 pins the legacy per-model plan (parity tests).
+    n_coarse = resolve_coarse_groups(coarse_groups)
+    if n_coarse > 0:
+        agg = add_coarse_key(agg, n_coarse)
+        group_key = "_coarse"
+    else:
+        group_key = "model_id"
+    results = agg.groupby(group_key).map_groups(
         ScoreGroups,
         fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir,
                                    detailed=detailed, fused=fused,

@@ -40,7 +40,8 @@ class ForecastGroups:
                  output_after: int = 32, confidence: float = 0.9,
                  checkpoint_dir: str | None = None, config_id: str = "forecast",
                  fused_config: DetectorConfig | None = None,
-                 backend: str = "holt_winters", seed: int = 0):
+                 backend: str = "holt_winters", seed: int = 0,
+                 entity_cols: tuple[str, ...] = ()):
         from ..state.checkpoint import CheckpointStore
 
         if backend not in ("holt_winters", "rcf"):
@@ -56,6 +57,7 @@ class ForecastGroups:
         self.fused_config = fused_config  # group rows are window partials
         self.backend = backend
         self.seed = seed
+        self.entity_cols = tuple(entity_cols)  # split key for coarse groups
 
     def _new_forecaster(self, model_id: str):
         from ..functions.hashing import murmur3_x64_128
@@ -73,7 +75,24 @@ class ForecastGroups:
         )
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        # The group may hold MANY entities (coarse-keyed shuffle — see
+        # ScoreGroups): split on the entity columns and forecast each
+        # stream independently, in stable entity order.
+        if "_coarse" in group.columns:
+            group = group.drop(columns=["_coarse"])
+        if self.entity_cols:
+            keys = [c for c in self.entity_cols if c in group.columns]
+            if keys:
+                parts = [
+                    self._forecast_entity(sub)
+                    for _, sub in group.groupby(keys, sort=True)
+                ]
+                if not parts:
+                    return pd.DataFrame()
+                return parts[0] if len(parts) == 1 else pd.concat(parts)
+        return self._forecast_entity(group)
 
+    def _forecast_entity(self, group: pd.DataFrame) -> pd.DataFrame:
         if self.fused_config is not None:
             from ..stages.window import finalize_partial_group
 
@@ -219,6 +238,7 @@ def forecast(
     concurrency=None,
     checkpoint_dir: str | None = None,
     backend: str = "holt_winters",
+    coarse_groups: int | None = None,
 ):
     """events Dataset → forecast rows (one per entity × horizon step).
 
@@ -250,14 +270,24 @@ def forecast(
     keys = list(config.category_fields) or None
     if keys is None:
         raise ValueError("forecast() needs category fields (one model per entity)")
-    return agg.groupby(keys).map_groups(
+    # coarse-keyed exchange (see detect()): bounded group count, entities
+    # iterated inside each group; coarse_groups=0 pins per-entity groups
+    from .detector import add_coarse_key, resolve_coarse_groups
+
+    n_coarse = resolve_coarse_groups(coarse_groups)
+    if n_coarse > 0:
+        agg = add_coarse_key(agg, n_coarse, cols=tuple(keys))
+        group_key = ["_coarse"]
+    else:
+        group_key = keys
+    return agg.groupby(group_key).map_groups(
         ForecastGroups,
         fn_constructor_kwargs=dict(
             value_col=feats[0], interval_ms=config.interval_s * 1000,
             horizon=horizon, period=period, output_after=config.model_output_after(),
             confidence=confidence, checkpoint_dir=checkpoint_dir,
             config_id=config.config_id, fused_config=config if fused else None,
-            backend=backend, seed=config.seed,
+            backend=backend, seed=config.seed, entity_cols=tuple(keys),
         ),
         batch_format="pandas",
         concurrency=pool(concurrency),

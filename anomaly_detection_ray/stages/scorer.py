@@ -1,12 +1,15 @@
 """Stateful scoring stage — SURVEY.md §2.C1/C2/C4.
 
 ``ScoreGroups`` is the callable-class for
-``groupby(model_id).map_groups(...)``: one group = one model's
-(entity's) full time-ordered slice. Ray's hash partitioning on model_id
-replaces the reference's consistent-hash ring + per-model locks
-(``HashRing.java:61-199``, ``RealTimeInferencer.java:225-238``) — a
-model's samples always land in one group, processed by one actor, in
-window order (per-group sort = the §2.F ordering requirement; ordering
+``groupby(hash(model_id) % n_coarse).map_groups(...)``: one group = a
+BOUNDED set of models' full time-ordered slices (detect() keys the
+shuffle coarsely so the exchange never creates one Ray group per model
+— the per-group-overhead cliff at the reference's 1M-entity HC scale).
+The coarse hash partitioning replaces the reference's consistent-hash
+ring + per-model locks (``HashRing.java:61-199``,
+``RealTimeInferencer.java:225-238``) — a model's samples always land in
+one group, processed by one actor, in window order (one group-wide sort
+on (model_id, window_end) = the §2.F ordering requirement; ordering
 across models is irrelevant, models are independent).
 
 With a ``checkpoint_dir`` the stage restores each model before
@@ -154,13 +157,42 @@ class ScoreGroups:
         self.cache = ModelCache(config, self.store, max_models=max_cached_models)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        # The group may hold MANY models (coarse-keyed shuffle: detect()
+        # hash-partitions on hash(model_id) % n_coarse so the exchange
+        # produces a BOUNDED number of groups instead of one Ray group
+        # per model — at the reference's HC scale of 10^6 entities
+        # (SearchFeatureDao.java:316-322) per-model groups hit the
+        # per-group-overhead cliff). Models are scored independently, in
+        # stable model_id order, each in window order.
         c = self.config
+        if "_coarse" in group.columns:
+            group = group.drop(columns=["_coarse"])
         if self.fused:
-            from .window import finalize_partial_group
+            # ONE vectorized finalize for the whole coarse group (all
+            # models at once) — a per-model finalize was ~45% of the
+            # per-model wall at HC scale
+            from .window import finalize_partials_multi
 
-            group = finalize_partial_group(group, c)
-        group = group.sort_values("window_end_ms", kind="stable").reset_index(drop=True)
-        model_id = str(group["model_id"].iloc[0])
+            carry = [col for col in c.category_fields if col in group.columns]
+            if "model_id" in group.columns:
+                carry.append("model_id")
+            group = finalize_partials_multi(group, c, carry)
+        # one stable sort for the whole group; pandas groupby preserves
+        # intra-group row order, so each model's slice arrives sorted
+        group = group.sort_values(["model_id", "window_end_ms"], kind="stable")
+        parts = [
+            self._score_model(str(mid), sub)
+            for mid, sub in group.groupby("model_id", sort=True)
+        ]
+        if not parts:
+            return group.iloc[0:0]
+        # keep empty per-model frames: they carry the result columns, so
+        # an all-empty group still emits the right schema
+        return parts[0] if len(parts) == 1 else pd.concat(parts)
+
+    def _score_model(self, model_id: str, group: pd.DataFrame) -> pd.DataFrame:
+        c = self.config
+        group = group.reset_index(drop=True)  # pre-sorted by __call__
 
         model = self.cache.get(model_id)
 

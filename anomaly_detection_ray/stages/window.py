@@ -332,6 +332,51 @@ def finalize_partial_group(df, config: DetectorConfig):
     return res
 
 
+def finalize_partials_multi(df, config: DetectorConfig, group_cols: list[str]):
+    """Vectorized :func:`finalize_partial_group` for a frame holding MANY
+    models' partial rows (the coarse-keyed scoring exchange): ONE pandas
+    groupby over (group_cols…, window) replaces a per-model finalize —
+    identical per-model output (the per-(group, window) merge order is
+    the same sorted order), ~10× less pandas overhead at tens of models
+    per coarse group."""
+    import pandas as pd
+
+    keys = [*group_cols, "window_start_ms", "window_end_ms"]
+    # same intra-model ordering as finalize_partial_group: stable sort by
+    # every non-carry column, with the group columns leading so rows of
+    # one (group, window) stay contiguous in that deterministic order
+    noncarry = [c for c in df.columns if c not in group_cols]
+    df = df.sort_values([*group_cols, *noncarry], kind="stable")
+    gb = df.groupby(keys, sort=True, dropna=False)
+    out = {}
+    for f in config.features:
+        if f.agg == "min":
+            out[f.name] = gb[f"{f.name}__min"].min()
+        elif f.agg == "max":
+            out[f.name] = gb[f"{f.name}__max"].max()
+        elif f.agg == "sum":
+            out[f.name] = gb[f"{f.name}__sum"].sum(min_count=1)
+        elif f.agg == "value_count":
+            out[f.name] = gb[f"{f.name}__cnt"].sum()
+        elif f.agg == "cardinality_hll":
+            out[f.name] = gb[f"{f.name}__hll"].agg(_hll_count)
+        elif f.agg == "percentile_tdigest":
+            out[f.name] = gb[f"{f.name}__td"].agg(
+                lambda s, q=f.percentile: _tdigest_q(s, q))
+        else:  # avg
+            s = gb[f"{f.name}__sum"].sum(min_count=1)
+            c = gb[f"{f.name}__cnt"].sum()
+            out[f.name] = s / c.where(c > 0)
+    res = pd.DataFrame(out).reset_index()
+    for f in config.feature_names():
+        v = res[f].to_numpy(dtype=np.float64, copy=True)
+        v[~np.isfinite(v)] = np.nan
+        res[f] = v
+    # column order parity with finalize_partial_group: window keys,
+    # features, then the carried group columns
+    return res[["window_start_ms", "window_end_ms", *config.feature_names(), *group_cols]]
+
+
 def date_range_aggregate(ds, config: DetectorConfig, ranges_ms: list[tuple[int, int]], ts_col: str = "ts"):
     """A7: N explicit [from, to) buckets + per-feature sub-aggs
     (``ParseUtils.java:338-395``; used for cold-start samples). Empty

@@ -6,12 +6,14 @@ from __future__ import annotations
 def pool(concurrency: int | tuple[int, int] | None = None) -> tuple[int, int]:
     """Normalize a concurrency spec into an autoscaling actor-pool range.
 
-    Always ``(1, N)``: pools start at one actor and grow only when CPUs
-    are actually free, so chained actor-pool stages can never reserve
-    every CPU and starve the read/shuffle tasks (the deadlock the Ray
-    guide's 'a pool that reserves every CPU starves the other stages'
-    warning describes — we hit it with fixed-size pools on a 4-CPU
-    session)."""
+    ``(max(1, N//4), N)``: the floor gives big pools a running start —
+    Ray's autoscaler ramps from the floor only as CPUs free up, and a
+    floor of 1 left a 30-actor scoring pool at ~25% utilization for the
+    first half of an HC run. N//4 keeps ≥3/4 of the CPUs free for the
+    upstream read/shuffle tasks, so chained actor-pool stages still can't
+    reserve every CPU and starve the other stages (the deadlock the Ray
+    guide warns about — we hit it with FIXED pools on a 4-CPU session;
+    at 4 CPUs the floor is 1, same as before)."""
     if isinstance(concurrency, tuple):
         return concurrency
     if concurrency is None:
@@ -20,4 +22,5 @@ def pool(concurrency: int | tuple[int, int] | None = None) -> tuple[int, int]:
         n = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     else:
         n = int(concurrency)
-    return (1, max(1, n))
+    n = max(1, n)
+    return (max(1, n // 4), n)

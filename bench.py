@@ -352,10 +352,83 @@ def scaling() -> dict:
     }
 
 
+HC_ENTITIES = int(os.environ.get("ADR_HC_ENTITIES", "10000"))
+HC_WINDOWS = int(os.environ.get("ADR_HC_WINDOWS", "40"))
+
+
+def hc_bench() -> dict:
+    """High-cardinality detect: wall time vs entity count (N/4 then N
+    entities, same windows per entity). The coarse-keyed scoring exchange
+    (hash(model_id) % groups) must keep this near-linear in entity count —
+    per-model Ray groups were the r3 scale cliff (one group per entity)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    def events(n_entities: int) -> pa.Table:
+        rng = np.random.default_rng(7)
+        e = np.repeat(np.arange(n_entities), HC_WINDOWS)
+        w = np.tile(np.arange(HC_WINDOWS), n_entities)
+        phase = rng.uniform(0, 2 * np.pi, n_entities)[e]
+        vals = 200.0 + 100.0 * np.cos(2 * np.pi * w / 24 + phase) + rng.normal(0, 5, e.size)
+        names = np.asarray([f"e{i:05d}" for i in range(n_entities)], dtype=object)
+        ts = (1704067200000 + w.astype("int64") * 600_000)
+        return pa.table({
+            "entity": pa.array(names[e]),
+            "ts": pa.array(ts).cast(pa.timestamp("ms")),
+            "value": pa.array(vals),
+        })
+
+    def cfg() -> DetectorConfig:
+        return DetectorConfig(
+            config_id="hc-bench", interval_s=600, shingle_size=4,
+            features=(FeatureSpec("value_avg", "value", "avg"),),
+            category_fields=("entity",), num_trees=10, sample_size=64,
+        )
+
+    def run(n_entities: int) -> float:
+        tbl = events(n_entities)
+        ds = rd.from_arrow(tbl).repartition(max(8, NUM_CPUS))
+        t0 = time.perf_counter()
+        n = detect(ds, cfg(), ts_col="ts").count()
+        dt = time.perf_counter() - t0
+        assert n > 0
+        return round(dt, 3)
+
+    run(HC_ENTITIES // 20)  # warm-up: actor pool spin-up, code import
+    t_lo = run(HC_ENTITIES // 4)
+    t_hi = run(HC_ENTITIES)
+    ray.shutdown()
+    linearity = round((t_hi / t_lo) / 4.0, 3)  # 1.0 = perfectly linear
+    return {
+        "metric": "hc_detect_linearity",
+        "value": linearity,
+        "unit": "ratio",
+        "queries": {f"detect_{HC_ENTITIES // 4}_entities": t_lo,
+                    f"detect_{HC_ENTITIES}_entities": t_hi},
+        "sf": f"synthetic {HC_ENTITIES} entities x {HC_WINDOWS} windows",
+        "num_cpus": NUM_CPUS,
+        "extra": {"entities_per_sec_hi": round(HC_ENTITIES / t_hi, 1),
+                  "rows_hi": HC_ENTITIES * HC_WINDOWS},
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
     elif "--headline" in sys.argv:
         print(json.dumps(headline_only()))
+    elif "--hc" in sys.argv:
+        print(json.dumps(hc_bench()))
     else:
         print(json.dumps(bench_suite()))

@@ -310,6 +310,53 @@ def test_detect_deterministic(ray_session, stream_table):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_detect_coarse_plan_bit_identical(ray_session, stream_table):
+    """Coarse-keyed scoring exchange (hash(model_id) % n groups, many
+    models per group) must be bit-identical to the legacy one-group-per-
+    model plan — models are independent and each is still processed in
+    window order. coarse_groups=3 forces multiple models per group (8
+    entities); both fused plans are covered since mergeable(cfg) is True,
+    and force_fused=False covers the raw two-shuffle plan too."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    cfg = _detector_cfg()
+    sort_cols = ["model_id", "window_end_ms"]
+
+    def run(**kw):
+        return (detect(rd.from_arrow(stream_table), cfg, ts_col="ts", concurrency=2, **kw)
+                .to_pandas().sort_values(sort_cols).reset_index(drop=True))
+
+    legacy = run(coarse_groups=0)
+    coarse = run(coarse_groups=3)
+    assert "_coarse" not in coarse.columns
+    pd.testing.assert_frame_equal(coarse, legacy)
+    coarse_raw = run(coarse_groups=3, force_fused=False)
+    legacy_raw = run(coarse_groups=0, force_fused=False)
+    pd.testing.assert_frame_equal(coarse_raw, legacy_raw)
+
+
+def test_forecast_coarse_plan_bit_identical(ray_session, stream_table):
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.forecast import forecast
+
+    cfg = _detector_cfg()
+    sort_cols = ["entity", "horizon_index"]
+
+    def run(**kw):
+        return (forecast(rd.from_arrow(stream_table), cfg, horizon=6, concurrency=2, **kw)
+                .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+                [["entity", "horizon_index", "forecast_value", "forecast_lower",
+                  "forecast_upper", "confidence", "forecast_window_start_ms",
+                  "forecast_window_end_ms"]])
+
+    legacy = run(coarse_groups=0)
+    coarse = run(coarse_groups=3)
+    pd.testing.assert_frame_equal(coarse, legacy)
+
+
 def test_process_many_identical_to_process():
     """The batched model path must be bit-identical to per-point process()
     across gaps, NaN features and imputation."""
