@@ -472,7 +472,8 @@ def simhash_sketch(ds, text_col: str = "text", id_col: str = "doc_id", concurren
 
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-                           concurrency: int | None = None, n_rows: int | None = None):
+                           concurrency: int | None = None, n_rows: int | None = None,
+                           collect: bool = True):
     """Near-dups by SimHash: bucket on each of 4 16-bit chunks (any pair
     within hamming ≤ 3 of 64 bits shares ≥1 identical chunk when ≤3 bits
     differ across 4 chunks — pigeonhole), verify hamming inside buckets."""
@@ -480,14 +481,14 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id", m
     # count the INPUT when unsized (cheap for parquet/from_arrow sources;
     # counting the lazy sketch would execute the hash stage twice)
     return hamming_near_dup_pairs(sk, id_col="doc_id", hash_col="simhash",
-                                  max_hamming=max_hamming,
+                                  max_hamming=max_hamming, collect=collect,
                                   n_rows=n_rows if n_rows is not None else ds.count())
 
 
 def hamming_near_dup_pairs(sk, id_col: str = "doc_id", hash_col: str = "simhash",
                            max_hamming: int = 3, n_chunks: int = 4,
                            n_rows: int | None = None, max_bucket: int = 500,
-                           chunk_pairs: bool = False):
+                           chunk_pairs: bool = False, collect: bool = True):
     """Generic pigeonhole near-dup over ANY 64-bit sketch column (SimHash
     text sketches, image dHash/pHash, …): explode each hash into
     ``n_chunks`` equal bit-chunks, bucket on (chunk, value), verify true
@@ -502,7 +503,9 @@ def hamming_near_dup_pairs(sk, id_col: str = "doc_id", hash_col: str = "simhash"
     collapse into giant single-chunk buckets. C(n_chunks, 2) replicas of
     a 16-byte row per sketch; text/pixels never shuffle either way.
 
-    → pa.Table (doc_a, doc_b, hamming), sorted. Buckets over
+    → pa.Table (doc_a, doc_b, hamming), sorted; with ``collect=False`` a
+    Dataset of the same columns (unsorted) — the cluster-scale consumer,
+    like the Jaccard/MinHash paths. Buckets over
     ``max_bucket`` members are skipped (a degenerate all-equal sketch
     value would otherwise go quadratic — same cap discipline as the
     minhash path)."""
@@ -577,19 +580,33 @@ def hamming_near_dup_pairs(sk, id_col: str = "doc_id", hash_col: str = "simhash"
               + (b["chunk_key"].to_numpy().astype(np.int64) % n_coarse))
         return b.append_column("ckey", pa.array(ck))
 
-    from ray.data.aggregate import Min
+    # cross-chunk duplicates (a pair can match in up to 4 chunk buckets)
+    # dedupe DISTRIBUTED on a coarse hash of the pair — hamming is
+    # identical for every instance, so drop_duplicates per pair is exact.
+    # (Ray's native multi-key groupby is a full sort shuffle with a
+    # measured ~139 s cliff at 426k rows — a degenerate high-dup-rate
+    # sketch corpus produces exactly that many pair instances.)
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        a_ = b["doc_a"].to_numpy().astype(np.int64)
+        d_ = b["doc_b"].to_numpy().astype(np.int64)
+        return pa.table({"doc_a": pa.array(a_), "doc_b": pa.array(d_),
+                         "hamming": b["hamming"],
+                         "pkey": pa.array(_coarse_of_pairs(a_, d_, n_coarse))})
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "hamming"]]
 
     deduped = (
         sk.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ckey")
         .map_groups(pairs_of_coarse, batch_format="pandas")
-        # cross-chunk duplicates (a pair can match in up to 4 chunk
-        # buckets) dedupe DISTRIBUTED — hamming is identical for every
-        # instance, so a (doc_a, doc_b) groupby + Min is exact
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(add_pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(distinct_pairs, batch_format="pandas")
     )
+    if not collect:
+        return deduped
     pairs = deduped.to_pandas()
     if not len(pairs):
         pairs = pd.DataFrame(

@@ -610,6 +610,32 @@ def test_hamming_near_dup_vs_bruteforce(ray_session):
                 assert bin(int(u[a] ^ u[b])).count("1") == hm
 
 
+def test_hamming_pairs_degenerate_high_dup_dataset(ray_session):
+    """A high-dup-rate sketch corpus (50 groups x 40 identical sketches
+    -> ~156k pair INSTANCES across the 4 chunk buckets) must flow through
+    the coarse pair-keyed dedup as a Dataset end-to-end: collect=False
+    returns an unmaterialized Dataset, the distinct pair count is exact
+    (50 * C(40,2)), and every pair's hamming is 0. This is the shape the
+    r3 native multi-key groupby + forced to_pandas hit a ~139 s sort-
+    shuffle cliff on."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import hamming_near_dup_pairs
+
+    groups, per = 50, 40
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**63, groups, dtype=np.int64)
+    hs = np.repeat(vals, per)
+    ids = np.arange(hs.size, dtype=np.int64)
+    sk = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "simhash": pa.array(hs)}))
+    out = hamming_near_dup_pairs(sk, n_rows=hs.size, collect=False)
+    assert hasattr(out, "map_batches")  # a Dataset, not a driver table
+    df = out.to_pandas()
+    assert len(df) == groups * per * (per - 1) // 2
+    assert (df["hamming"] == 0).all()
+    assert not df.duplicated(["doc_a", "doc_b"]).any()
+
+
 def test_quality_flags_rules():
     """Gopher-rule quality filter: each bound rejects its crafted doc."""
     from anomaly_detection_ray.functions.textstats import quality_flags
