@@ -427,6 +427,7 @@ def build_index(
         bucket_shift=kwargs.get("bucket_shift", 17),
         block_size=kwargs.get("block_size", DEFAULT_BLOCK_SIZE),
         store_positions=kwargs.get("store_positions", False),
+        text_field=kwargs.get("text_col", "content"),
     )
 
 
@@ -434,7 +435,8 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
                     mode: str, bucket_shift: int, block_size: int,
                     store_positions: bool = False,
                     dirs: list[str] | None = None,
-                    deletes: dict | None = None) -> dict:
+                    deletes: dict | None = None,
+                    text_field: str | None = None) -> dict:
     """Global stats + manifest over the given slices (in slice-id order).
     Pure recompute from the slices' chunk-stat columns — no dependence on
     a previous ``stats.parquet``, so re-finalizing after a crash or a
@@ -498,6 +500,9 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
         "bucket_shift": bucket_shift,
         "block_size": block_size,
         "store_positions": bool(store_positions),
+        # the ONE indexed text field's source column — exists-queries on
+        # any other non-docmap field match nothing (OpenSearch unmapped)
+        "text_field": text_field,
         "stats_sha256": sha256_file(stats_path),
         "slices": [
             {
@@ -581,6 +586,7 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
         store_positions=kwargs["store_positions"],
         dirs=[s["dir"] for s in manifest["slices"]] + [rel_dir],
         deletes=manifest.get("deletes"),
+        text_field=manifest.get("text_field"),
     )
 
 

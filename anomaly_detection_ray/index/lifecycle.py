@@ -497,6 +497,7 @@ def merge_slices(
         # (they still govern the untouched slices — harmless for the new
         # slice, whose id is newer than every live_from)
         deletes=None if full else manifest.get("deletes"),
+        text_field=manifest.get("text_field"),
     )
 
     if gc:

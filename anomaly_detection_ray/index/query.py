@@ -88,6 +88,8 @@ class QueryEngine:
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
         self.analyzer = Analyzer(self.manifest.get("analyzer_mode", "code"))
+        # the indexed text field's source column (None on legacy manifests)
+        self.text_field = self.manifest.get("text_field")
         # file list comes FROM the manifest (not a glob): slices become
         # visible only at the atomic manifest flip, so a crashed/partial
         # segment add can never serve half-finalized postings. Each file
@@ -945,6 +947,10 @@ class QueryEngine:
         t = self.live_docmap(columns=["doc_id", field])
         if docs.size < t.num_rows:
             t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        # missing values drop out of the buckets (OpenSearch terms aggs
+        # default) — a null bucket would also poison the (count, value)
+        # sort when it ties a string bucket
+        t = t.filter(pc.is_valid(t[field]))
         counts = t.group_by(field).aggregate([("doc_id", "count")])
         rows = sorted(
             zip(counts[field].to_pylist(), counts["doc_id_count"].to_pylist()),

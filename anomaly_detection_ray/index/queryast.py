@@ -9,7 +9,7 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"term":  {"<field>": value}}             # docmap column or indexed term
     {"terms": {"<field>": [v1, v2, ...]}}     # any-of (is_in / postings union)
     {"range": {"<field>": {"gte"/"gt"/"lte"/"lt": v, ...}}}
-    {"match": {"<text-field>": "free text"}}  # analyzed, conjunctive (filter context)
+    {"match": {"<text-field>": "free text"}}  # analyzed, operator=or (≡ long-form defaults)
     {"match": {"<f>": {"query": q, "operator": "or"|"and",
                        "minimum_should_match": n}}}   # OpenSearch long form
     {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
@@ -20,7 +20,8 @@ exactly that surface as a JSON-dict AST compiled against a built index:
                                               # long form {"value": v, "fuzziness": n,
                                               # "prefix_length": p, "transpositions": b,
                                               # "max_expansions": m}
-    {"exists": {"field": "<field>"}}          # docmap column non-null
+    {"exists": {"field": "<field>"}}          # docmap column non-null; text field
+                                              # → all docs; unmapped → none
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...],
                "minimum_should_match": n}}
 
@@ -89,10 +90,16 @@ class QueryCompiler:
             return self.engine.union_docs([str(v) for v in values])
         if kind == "exists":
             field = body["field"]
-            if not self._is_meta_field(field):
+            if self._is_meta_field(field):
+                return self._docmap_filter(pc.field(field).is_valid())
+            tf = getattr(self.engine, "text_field", None)
+            if tf is None or field == tf:
                 # the indexed text field exists on every indexed doc
+                # (legacy manifests without text_field keep the old
+                # any-non-meta-field behavior)
                 return self._all_docs()
-            return self._docmap_filter(pc.field(field).is_valid())
+            # unmapped field → matches nothing (OpenSearch exists)
+            return np.empty(0, dtype=np.int64)
         if kind == "wildcard":
             ((field, pattern),) = body.items()
             if self._is_meta_field(field):
@@ -138,9 +145,10 @@ class QueryCompiler:
         if kind == "match":
             ((_field, spec),) = body.items()
             if not isinstance(spec, dict):
-                # short form keeps the plugin's filter-context semantics
-                # (ParseUtils builds conjunctive matches): operator=and
-                return np.asarray(self.engine.conjunctive(str(spec)), dtype=np.int64)
+                # short form ≡ long form with defaults (operator=or) —
+                # OpenSearch parity; ParseUtils-style conjunctive matches
+                # spell it {"query": …, "operator": "and"} explicitly
+                spec = {"query": spec}
             text = str(spec["query"])
             operator = spec.get("operator", "or")  # OpenSearch default
             if operator == "and":

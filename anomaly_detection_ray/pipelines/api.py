@@ -284,11 +284,17 @@ class DetectorAPI:
             sampled = g.iloc[:: max(1, len(g) // 300 * 4 and 4)]  # stride ≈ preview sampling
             vals = linear_uniform_impute(sampled[feats].to_numpy(), len(g))
             model = TRCFModel(self.config, f"preview_{ent}")
-            rows = []
-            for i, we in enumerate(g["window_end_ms"].to_numpy()):
-                r = model.process(vals[i], int(we))
-                rows.append((we, r["anomaly_score"], r["anomaly_grade"]))
-            df = pd.DataFrame(rows, columns=["window_end_ms", "anomaly_score", "anomaly_grade"])
+            # batch scorer (bit-identical to per-point process() — the
+            # forest's chunked scoring is batching-independent, pytest-
+            # proven); windows are sorted so nothing is dropped
+            ends = g["window_end_ms"].to_numpy(dtype=np.int64)
+            r = model.process_many(vals, ends)
+            keep = r["keep"]
+            df = pd.DataFrame({
+                "window_end_ms": ends[keep],
+                "anomaly_score": r["anomaly_score"][keep],
+                "anomaly_grade": r["anomaly_grade"][keep],
+            })
             for c, v in zip(cats, ent if isinstance(ent, tuple) else (ent,)):
                 df[c] = v
             out.append(df)
@@ -297,13 +303,25 @@ class DetectorAPI:
     # ---- _run / job tick ----
 
     def run_once(self, results_dir: str | None = None, checkpoint_dir: str | None = None,
-                 write_mode: str = "replace", time_range_ms=None, task_store=None):
+                 write_mode: str = "replace", time_range_ms=None, task_store=None,
+                 piece_intervals: int = 1000):
         """One batch run. With ``task_store`` (a
         :class:`..state.taskstore.TaskStore`), the run is tracked as an
         ADTask-style doc: CREATED → RUNNING → FINISHED(n_result_rows) /
         FAILED(error); a rerun of a FINISHED (config, range) task is a
         no-op returning the finished doc (the reference refuses to
-        restart finished historical tasks)."""
+        restart finished historical tasks).
+
+        A TRACKED run over an explicit ``time_range_ms`` processes the
+        range in pieces of ``piece_intervals`` detector intervals,
+        updating ``task_progress`` / ``init_progress`` and the
+        current-piece resume marker after each piece — the reference's
+        per-piece ADTask updates (``ADBatchTaskRunner.java:1271-1301``,
+        pieceSize = 1000 points). Models continue across pieces through
+        checkpoints (piece-split ≡ single-run is the checkpointed-split
+        invariant the state tests prove), so a user polling a long
+        historical run sees windows-scored progress, not a blind wait.
+        ``n_result_rows`` counts THIS run's written rows only."""
         from .detector import detect
         from ..stages.sink import write_results
 
@@ -315,22 +333,16 @@ class DetectorAPI:
                 return task
             task_store.transition(task["_id"], "RUNNING")
         try:
+            if task is not None and time_range_ms is not None:
+                return self._run_pieces(task, task_store, results_dir, checkpoint_dir,
+                                        write_mode, tuple(time_range_ms), piece_intervals)
             res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col,
                          checkpoint_dir=checkpoint_dir, time_range_ms=time_range_ms)
             if results_dir:
-                out = write_results(res, results_dir, mode=write_mode)
+                n = write_results(res, results_dir, mode=write_mode)
                 if task is not None:
-                    import glob as _glob
-
-                    import pyarrow.parquet as _pq
-
-                    n = sum(
-                        _pq.read_metadata(f).num_rows
-                        for f in _glob.glob(os.path.join(results_dir, "**", "*.parquet"),
-                                            recursive=True)
-                    )
                     task_store.transition(task["_id"], "FINISHED", n_result_rows=n)
-                return out
+                return results_dir
             if task is not None:
                 res = res.materialize()
                 task_store.transition(task["_id"], "FINISHED", n_result_rows=res.count())
@@ -339,6 +351,46 @@ class DetectorAPI:
             if task is not None:
                 task_store.transition(task["_id"], "FAILED", error=repr(e))
             raise
+
+    def _run_pieces(self, task, task_store, results_dir, checkpoint_dir,
+                    write_mode, time_range_ms, piece_intervals: int):
+        """Piece loop of a tracked historical run (see run_once)."""
+        from .detector import detect
+        from ..stages.sink import write_results
+
+        interval_ms = self.config.interval_s * 1000
+        lo, hi = time_range_ms
+        piece_ms = max(1, int(piece_intervals)) * interval_ms
+        # model continuity across pieces rides the checkpoint store; a
+        # task-private directory when the caller didn't bring one
+        ckpt = checkpoint_dir or os.path.join(task_store.root, f"{task['_id']}_ckpt")
+        out_after = self.config.model_output_after()
+        total_rows = 0
+        outs = []
+        plo, first = lo, True
+        while plo < hi:
+            phi = min(hi, plo + piece_ms)
+            task_store.update_progress(task["_id"], current_piece=(plo, phi))
+            res = detect(self._ds(pruned=True), self.config, ts_col=self.ts_col,
+                         checkpoint_dir=ckpt, time_range_ms=(plo, phi),
+                         cold_start_history=first)
+            if results_dir:
+                total_rows += write_results(
+                    res, results_dir, mode=(write_mode if first else "append"))
+            else:
+                res = res.materialize()
+                total_rows += res.count()
+                outs.append(res)
+            task_store.update_progress(
+                task["_id"],
+                task_progress=(phi - lo) / max(1, hi - lo),
+                init_progress=((phi - lo) / interval_ms) / max(1, out_after),
+            )
+            plo, first = phi, False
+        task_store.transition(task["_id"], "FINISHED", n_result_rows=total_rows)
+        if results_dir:
+            return results_dir
+        return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
 
     def start_job(self, results_dir: str, checkpoint_dir: str):
         """One realtime tick: continue checkpointed models over whatever
@@ -489,9 +541,46 @@ class DetectorAPI:
                     "RUNNING" if out["entity_model"] and out["entity_model"]["init_progress"] >= 1.0
                     else "INIT" if out["entity_model"] else "NOT_STARTED"
                 )
+                # EntityProfileRunner.java:305-324 data/model recency:
+                # is_active = the entity's model is materialized (our
+                # checkpoint store is the cache analogue),
+                # last_active_ms = the model's last processed window,
+                # last_sample_ms = the latest raw sample for the entity
+                # in the (filter_query-scoped) source
+                em = out["entity_model"]
+                out["is_active"] = em is not None
+                out["last_active_ms"] = em["last_window_end_ms"] if em else None
+                out["last_sample_ms"] = self._entity_last_sample_ms(entity)
             else:
                 out["models"] = models[:100]
         return out
+
+    def _entity_last_sample_ms(self, entity: dict) -> int | None:
+        """Latest raw-sample timestamp (epoch ms) for one entity — the
+        EntityProfileRunner's last-sample search (a max-ts agg over the
+        entity's term filter), distributed: per-batch filter + max, tiny
+        driver-side reduce."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ts_col = self.ts_col
+        items = [(k, str(v)) for k, v in entity.items()]
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = None
+            for k, v in items:
+                mm = pc.equal(pc.cast(b[k], pa.string()), v)
+                m = mm if m is None else pc.and_(m, mm)
+            return b.filter(m).select([ts_col])
+
+        mx = self._ds(pruned=True).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).max(ts_col)
+        if mx is None:
+            return None
+        if isinstance(mx, (int, np.integer)):
+            return int(mx)
+        return int(pa.scalar(mx, pa.timestamp("ms")).cast(pa.int64()).as_py())
 
     def top_anomalies(self, k: int = 10) -> pd.DataFrame:
         from .detector import detect, top_anomaly_results

@@ -15,6 +15,22 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import ray
+
+
+@ray.remote
+class _RowTally:
+    """Zero-CPU tally of rows streamed into a sink (fire-and-forget adds
+    from the write stage; read once after the blocking write returns)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += int(k)
+
+    def total(self) -> int:
+        return self.n
 
 
 def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fraction: float = 0.5,
@@ -34,7 +50,9 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
     ``mode``: ``replace`` (default — REPROCESSING semantics: this run's
     days atomically replace any previous content of those partitions) or
     ``append`` (INCREMENTAL-TICK semantics: a checkpointed job tick adds
-    only its new windows, so earlier same-day rows must survive)."""
+    only its new windows, so earlier same-day rows must survive).
+
+    Returns the number of rows THIS run wrote (post-shedding)."""
     import pyarrow.compute as pc
 
     if keep not in ("all", "soft", "anomalies"):
@@ -63,7 +81,15 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
 
         ds = ds.map_batches(shed, batch_format="pyarrow", zero_copy_batch=True)
 
+    # count the rows THIS run writes while they stream past (a zero-CPU
+    # tally actor — re-counting files after the fact would include prior
+    # runs' rows under mode='append' / a shared out_dir)
+    counter = _RowTally.options(num_cpus=0).remote()
+
     def add_date(b: pa.Table) -> pa.Table:
+        # blocking add: a fire-and-forget submit could still be in
+        # flight when the write returns and total() reads short
+        ray.get(counter.add.remote(b.num_rows))
         day = (b["window_end_ms"].to_numpy() // 86_400_000).astype(np.int64)
         return b.append_column("result_date", pa.array(day))
 
@@ -72,7 +98,9 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
         ds.write_parquet(out_dir, partition_cols=["result_date"])
     else:
         _write_replacing_partitions(ds, out_dir)
-    return out_dir
+    n_rows = ray.get(counter.total.remote())
+    ray.kill(counter)
+    return n_rows
 
 
 def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_date") -> None:
@@ -150,3 +178,119 @@ def gc_results(out_dir: str, retention_days: int, now_day: int) -> list[int]:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             removed.append(day)
     return removed
+
+
+class ResultIndexManager:
+    """Generation-rolled CUSTOM result sink — the Parquet analogue of the
+    reference's result-index rollover + delete loop
+    (``timeseries/indices/IndexManagement.java:1306-1395``: a rollover
+    request carrying ``MaxIndexAgeCondition`` (custom result index
+    min_age, days), ``MaxIndexSizeCondition`` (min_size, MB) and — for
+    the default index — ``MaxIndexDocsCondition``; the alias rolls when
+    ANY condition is met, and rolled-off generations older than the
+    custom TTL are deleted).
+
+    Layout: ``root/gen-000001/result_date=D/…`` — the ACTIVE generation
+    is the highest-numbered directory; callers write through
+    ``write_results(res, mgr.active(), …)`` and call
+    ``maybe_rollover(now_day)`` on their job tick (the reference
+    schedules the same check every ``historyRolloverPeriod``). Whole-
+    generation deletion keeps retention crash-safe the same way
+    ``gc_results`` does for day partitions. ``now_day`` always flows in
+    from the caller — determinism rule, no wall clock."""
+
+    def __init__(self, root: str, min_age_days: int | None = 7,
+                 min_size_bytes: int | None = None, min_docs: int | None = None):
+        self.root = root
+        self.min_age_days = min_age_days
+        self.min_size_bytes = min_size_bytes
+        self.min_docs = min_docs
+        os.makedirs(root, exist_ok=True)
+
+    # ---- generations ----
+
+    def generations(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root)
+            if n.startswith("gen-") and os.path.isdir(os.path.join(self.root, n))
+        )
+
+    def active(self, now_day: int = 0) -> str:
+        gens = self.generations()
+        if not gens:
+            return self._create_generation(1, now_day)
+        return os.path.join(self.root, gens[-1])
+
+    def _create_generation(self, n: int, now_day: int) -> str:
+        import json
+
+        path = os.path.join(self.root, f"gen-{n:06d}")
+        os.makedirs(path, exist_ok=True)
+        meta = {"created_day": int(now_day), "generation": n}
+        tmp = os.path.join(path, ".meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, ".meta.json"))
+        return path
+
+    def _meta(self, gen_dir: str) -> dict:
+        import json
+
+        try:
+            with open(os.path.join(gen_dir, ".meta.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"created_day": 0, "generation": 0}
+
+    def stats(self, gen_dir: str | None = None) -> dict:
+        """size/doc-count of a generation from parquet footers only."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        gen_dir = gen_dir or self.active()
+        files = _glob.glob(os.path.join(gen_dir, "**", "*.parquet"), recursive=True)
+        return {
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "docs": sum(_pq.read_metadata(f).num_rows for f in files),
+            "files": len(files),
+        }
+
+    # ---- the rollover check (ANY condition met → roll) ----
+
+    def maybe_rollover(self, now_day: int) -> bool:
+        gens = self.generations()
+        if not gens:
+            self._create_generation(1, now_day)
+            return False
+        gen_dir = os.path.join(self.root, gens[-1])
+        meta = self._meta(gen_dir)
+        st = self.stats(gen_dir)
+        if st["files"] == 0:
+            return False  # nothing written yet — an empty index never rolls
+        roll = False
+        if self.min_age_days is not None:
+            roll |= (int(now_day) - meta["created_day"]) >= self.min_age_days
+        if self.min_size_bytes is not None:
+            roll |= st["bytes"] >= self.min_size_bytes
+        if self.min_docs is not None:
+            roll |= st["docs"] >= self.min_docs
+        if roll:
+            self._create_generation(meta["generation"] + 1, now_day)
+        return roll
+
+    # ---- TTL deletion of rolled-off generations ----
+
+    def gc(self, now_day: int, ttl_days: int) -> list[str]:
+        """Delete non-active generations created more than ``ttl_days``
+        ago (customResultIndexTTL). Returns removed generation names."""
+        import shutil
+
+        gens = self.generations()
+        removed = []
+        for name in gens[:-1]:  # the active generation never deletes
+            gen_dir = os.path.join(self.root, name)
+            if self._meta(gen_dir)["created_day"] < int(now_day) - int(ttl_days):
+                shutil.rmtree(gen_dir, ignore_errors=True)
+                removed.append(name)
+        return removed

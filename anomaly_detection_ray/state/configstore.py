@@ -127,6 +127,14 @@ class ConfigStore:
             )
         if self.job_enabled(config_id):
             raise JobRunningError(f"stop the job for {config_id} before updating")
+        if name is not None and name != cur["name"]:
+            # the reference's update handler re-checks name uniqueness
+            # (it would otherwise let two configs share a name that
+            # create() had rejected)
+            for doc in self.iter_docs():
+                if doc["_id"] != config_id and doc["name"] == name:
+                    raise ValueError(f"detector name {name!r} already exists "
+                                     f"(id {doc['_id']})")
         body = config_to_json(config) if isinstance(config, DetectorConfig) else dict(config)
         doc = {
             "_id": config_id,

@@ -66,6 +66,13 @@ class TaskStore:
             "seq": 0,
             "n_result_rows": None,
             "error": None,
+            # per-piece progress, mirroring the reference's ADTask fields
+            # (ADBatchTaskRunner.java:1271-1301 updates task_progress /
+            # init_progress and the current-piece resume marker after
+            # every scored piece)
+            "task_progress": 0.0,
+            "init_progress": 0.0,
+            "current_piece": None,
         }
         self._write(doc)
         return doc
@@ -83,10 +90,34 @@ class TaskStore:
             raise ValueError(f"illegal transition {doc['state']} → {state}")
         doc["state"] = state
         doc["seq"] += 1
+        if state == "FINISHED":
+            doc["task_progress"] = 1.0
         if n_result_rows is not None:
             doc["n_result_rows"] = int(n_result_rows)
         if error is not None:
             doc["error"] = str(error)
+        self._write(doc)
+        return doc
+
+    def update_progress(self, task_id: str, *, task_progress: float | None = None,
+                        init_progress: float | None = None,
+                        current_piece=None) -> dict:
+        """Per-piece progress update while the task is live (CREATED/
+        INIT/RUNNING). Progress is clamped to [0, 1] and MONOTONE —
+        a late out-of-order update can't walk it backwards (the
+        reference only ever advances these fields)."""
+        doc = self.get(task_id)
+        if doc["state"] in ("FINISHED", "FAILED", "STOPPED"):
+            raise ValueError(f"cannot update progress of a {doc['state']} task")
+        if task_progress is not None:
+            doc["task_progress"] = max(doc.get("task_progress") or 0.0,
+                                       min(1.0, float(task_progress)))
+        if init_progress is not None:
+            doc["init_progress"] = max(doc.get("init_progress") or 0.0,
+                                       min(1.0, float(init_progress)))
+        if current_piece is not None:
+            doc["current_piece"] = list(current_piece)
+        doc["seq"] += 1
         self._write(doc)
         return doc
 

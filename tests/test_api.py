@@ -57,6 +57,36 @@ def test_preview_deterministic(ray_session, events_file):
     assert np.array_equal(a["anomaly_score"].to_numpy(), b["anomaly_score"].to_numpy())
 
 
+def test_preview_batch_scoring_equals_per_point(ray_session, events_file):
+    """preview() scores each entity with ONE process_many call; recompute
+    one entity with the per-point process() loop it replaced and require
+    bit-equality (the reference's preview is sequential per point,
+    AnomalyDetectorRunner; our batch path is batching-independent)."""
+    from anomaly_detection_ray.functions.imputation import linear_uniform_impute
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.stages.window import window_aggregate
+    from anomaly_detection_ray.state.model import TRCFModel
+
+    cfg = _cfg()
+    api = DetectorAPI(cfg, events_file)
+    got = api.preview(max_entities=1)
+    ent = got[cfg.category_fields[0]].iloc[0]
+    feats = cfg.feature_names()
+    agg = window_aggregate(api._ds(pruned=True), cfg, ts_col=api.ts_col).to_pandas()
+    g = agg[agg[cfg.category_fields[0]] == ent].sort_values("window_start_ms")
+    sampled = g.iloc[:: max(1, len(g) // 300 * 4 and 4)]
+    vals = linear_uniform_impute(sampled[feats].to_numpy(), len(g))
+    model = TRCFModel(cfg, f"preview_{(ent,)}")
+    rows = [
+        (we, r["anomaly_score"], r["anomaly_grade"])
+        for i, we in enumerate(g["window_end_ms"].to_numpy())
+        if (r := model.process(vals[i], int(we))) is not None
+    ]
+    want = np.asarray([r[1] for r in rows])
+    have = got[got[cfg.category_fields[0]] == ent]["anomaly_score"].to_numpy()
+    assert np.array_equal(have, want)
+
+
 def test_run_once_writes_partitioned_results(ray_session, events_file, tmp_path):
     from anomaly_detection_ray.pipelines.api import DetectorAPI
 
@@ -152,8 +182,16 @@ def test_profile_model_states_and_entity(ray_session, events_file, tmp_path):
     assert len(p["models"]) == 4 and all(m["model_size_bytes"] > 0 for m in p["models"])
     ent = api.profile(checkpoint_dir=ck, entity={"entity": "entity000"})
     assert ent["entity_state"] == "RUNNING" and ent["entity_model"]["n_points"] > 32
+    # EntityProfileRunner depth: active flag, model-side last window,
+    # data-side last sample; the model is caught up to the data
+    assert ent["is_active"] is True
+    assert ent["entity_model"]["model_size_bytes"] > 0
+    assert ent["last_active_ms"] and ent["last_sample_ms"]
+    assert 0 <= ent["last_active_ms"] - ent["last_sample_ms"] < 600_000
     missing = api.profile(checkpoint_dir=ck, entity={"entity": "nope"})
     assert missing["entity_state"] == "NOT_STARTED"
+    assert missing["is_active"] is False and missing["last_active_ms"] is None
+    assert missing["last_sample_ms"] is None
 
 
 def test_validate_feature_checks(ray_session, events_file):
@@ -241,3 +279,44 @@ def test_needed_columns_pruned_read(ray_session):
     full = detect(rd.read_parquet("/root/testdata/sf0.001/events.parquet"), cfg)\
         .to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(pruned, full[pruned.columns])
+
+
+def test_result_index_rollover_and_ttl(ray_session, events_file, tmp_path):
+    """ADIndexManagement-style rollover: the active generation rolls when
+    ANY condition (min-age days / min-size bytes / min-docs) is met, new
+    writes land in the new generation, and TTL gc deletes rolled-off
+    generations only (IndexManagement.java:1306-1395)."""
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.stages.sink import ResultIndexManager, write_results
+
+    api = DetectorAPI(_cfg(), events_file)
+    res = api.run_once()
+
+    # --- size-based rollover ---
+    mgr = ResultIndexManager(str(tmp_path / "by_size"), min_age_days=None,
+                             min_size_bytes=1)  # any write exceeds 1 byte
+    g1 = mgr.active(now_day=100)
+    assert not mgr.maybe_rollover(now_day=100)  # empty index never rolls
+    write_results(res, g1, mode="append")
+    assert mgr.maybe_rollover(now_day=100)
+    g2 = mgr.active(now_day=100)
+    assert g2 != g1 and mgr.generations() == ["gen-000001", "gen-000002"]
+    write_results(res, g2, mode="append")  # new writes land in gen 2
+    assert mgr.stats(g2)["docs"] == mgr.stats(g1)["docs"] > 0
+
+    # --- age-based rollover ---
+    mga = ResultIndexManager(str(tmp_path / "by_age"), min_age_days=7)
+    a1 = mga.active(now_day=100)
+    write_results(res, a1, mode="append")
+    assert not mga.maybe_rollover(now_day=106)  # younger than min_age
+    assert mga.maybe_rollover(now_day=107)
+    assert len(mga.generations()) == 2
+
+    # --- doc-count rollover + TTL gc (active generation never deletes) ---
+    mgd = ResultIndexManager(str(tmp_path / "by_docs"), min_age_days=None, min_docs=1)
+    d1 = mgd.active(now_day=100)
+    write_results(res, d1, mode="append")
+    assert mgd.maybe_rollover(now_day=100)
+    assert mgd.gc(now_day=100, ttl_days=30) == []            # too young
+    assert mgd.gc(now_day=200, ttl_days=30) == ["gen-000001"]
+    assert mgd.generations() == ["gen-000002"]               # active survives

@@ -140,3 +140,24 @@ def test_job_doc_fields_and_idempotence(tmp_path):
     assert s["enabled"] is False and s["enabled_tick"] == 3 and s["disabled_tick"] == 7
     with pytest.raises(FileNotFoundError):
         store.start_job("missing-id")
+
+
+def test_update_rejects_duplicate_name(tmp_path):
+    """update(name=...) re-checks name uniqueness like create() — the
+    reference's update handler refuses duplicate detector names too."""
+    import pytest
+
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.state.configstore import ConfigStore
+
+    store = ConfigStore(str(tmp_path))
+    cfg = DetectorConfig(config_id="x", interval_s=600,
+                         features=(FeatureSpec("f", "value", "avg"),))
+    a = store.create("det-a", cfg)
+    store.create("det-b", cfg)
+    with pytest.raises(ValueError, match="already exists"):
+        store.update(a["_id"], cfg, name="det-b")
+    # renaming to an unused name (and keeping one's own name) still works
+    store.update(a["_id"], cfg, name="det-a")
+    d = store.update(a["_id"], cfg, name="det-c")
+    assert d["name"] == "det-c"

@@ -37,6 +37,7 @@ def leaf_strategy():
         st.sampled_from(PREFIXES).map(lambda p: {"prefix": {"content": p}}),
         st.sampled_from(WILDCARDS).map(lambda w: {"wildcard": {"content": w}}),
         st.just({"exists": {"field": "lang"}}),
+        st.just({"exists": {"field": "zz_unmapped"}}),  # unmapped → none
         st.just({"match_all": {}}),
         st.builds(
             lambda ts, op, msm: {

@@ -29,8 +29,12 @@ def test_term_text_and_match(eng):
     e, df, oracle = eng
     got = e.execute_filter({"term": {"content": "merge"}})
     assert list(got) == sorted(oracle.postings.get("merge", {}))
+    # short form ≡ long-form defaults: operator=or (OpenSearch parity)
     got = e.execute_filter({"match": {"content": "merge sort"}})
-    assert list(got) == oracle.conjunctive("merge sort")
+    union = sorted(set(oracle.postings.get("merge", {})) | set(oracle.postings.get("sort", {})))
+    assert list(got) == union
+    conj = e.execute_filter({"match": {"content": {"query": "merge sort", "operator": "and"}}})
+    assert list(conj) == oracle.conjunctive("merge sort")
 
 
 def test_range_meta(eng):
@@ -71,9 +75,9 @@ def test_match_long_form_operator_and_msm(eng):
     # operator=or (OpenSearch default): any term
     got = e.execute_filter({"match": {"content": {"query": q}}})
     assert list(got) == sorted(set().union(*sets))
-    # operator=and ≡ the short form's conjunctive semantics
-    got = e.execute_filter({"match": {"content": {"query": q, "operator": "and"}}})
+    # short form ≡ long-form defaults (operator=or)
     assert list(got) == list(e.execute_filter({"match": {"content": q}}))
+    got = e.execute_filter({"match": {"content": {"query": q, "operator": "and"}}})
     assert list(got) == sorted(sets[0] & sets[1] & sets[2])
     # minimum_should_match over the analyzed terms
     got = e.execute_filter(
@@ -154,3 +158,14 @@ def test_bm25_topk_filtered(eng):
     # oracle cross-check of the ranking restricted to allowed docs
     exp = [(d, s) for d, s in oracle.bm25_topk("merge sort", k=10_000) if d in allowed][:10]
     assert [d for d, _ in hits] == [d for d, _ in exp]
+
+
+def test_exists_semantics(eng):
+    """exists: docmap column → non-null rows; the indexed TEXT field →
+    every doc; any other (unmapped) field → nothing (OpenSearch drops
+    exists on unmapped fields)."""
+    e, df, _ = eng
+    all_docs = sorted(df["doc_id"])
+    assert list(e.execute_filter({"exists": {"field": "content"}})) == all_docs
+    assert list(e.execute_filter({"exists": {"field": "lang"}})) == all_docs
+    assert list(e.execute_filter({"exists": {"field": "no_such_field"}})) == []

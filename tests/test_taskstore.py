@@ -70,3 +70,93 @@ def test_run_once_tracks_task(ray_session, tmp_path):
         bad.run_once(results_dir=str(tmp_path / "r2"), task_store=store)
     fdoc = store.list(config_id="bad-det")[0]
     assert fdoc["state"] == "FAILED" and fdoc["error"]
+
+
+def test_progress_update_rules(tmp_path):
+    store = TaskStore(str(tmp_path))
+    tid = store.create("det-p", time_range_ms=(0, 1000))["_id"]
+    assert store.get(tid)["task_progress"] == 0.0
+    store.transition(tid, "RUNNING")
+    d = store.update_progress(tid, task_progress=0.5, init_progress=0.25,
+                              current_piece=(0, 500))
+    assert d["task_progress"] == 0.5 and d["current_piece"] == [0, 500]
+    # monotone: a late lower update can't walk progress backwards
+    d = store.update_progress(tid, task_progress=0.3)
+    assert d["task_progress"] == 0.5
+    # clamped to 1.0
+    d = store.update_progress(tid, init_progress=7.0)
+    assert d["init_progress"] == 1.0
+    store.transition(tid, "FINISHED", n_result_rows=1)
+    assert store.get(tid)["task_progress"] == 1.0
+    with pytest.raises(ValueError, match="FINISHED"):
+        store.update_progress(tid, task_progress=0.9)
+
+
+class _RecordingStore(TaskStore):
+    def __init__(self, root):
+        super().__init__(root)
+        self.history = []
+
+    def update_progress(self, task_id, **kw):
+        doc = super().update_progress(task_id, **kw)
+        self.history.append((doc["task_progress"], doc["init_progress"],
+                             tuple(doc["current_piece"] or ())))
+        return doc
+
+
+def test_run_once_piecewise_progress(ray_session, tmp_path):
+    """A tracked run over an explicit range processes it in pieces and
+    advances task_progress/init_progress monotonically to 1.0 at FINISH
+    (ADBatchTaskRunner.java:1271-1301 per-piece updates). n_result_rows
+    counts THIS run's rows only, even over a shared results_dir."""
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    n = 2000
+    base = 1_704_067_200_000
+    tbl = pa.table(
+        {
+            "ts": pa.array((base + np.arange(n) * 60_000).astype("int64")),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(np.sin(np.arange(n) / 7.0) + 3.0),
+        }
+    )
+    src = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, src)
+    cfg = DetectorConfig(config_id="piece-det", interval_s=600,
+                         category_fields=("event_type",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),))
+    api = DetectorAPI(cfg, src)
+    store = _RecordingStore(str(tmp_path / "tasks"))
+    results = str(tmp_path / "results")
+    # 2000 minutes = 200 windows; 100-interval pieces → two chunks
+    lo, hi = base, base + n * 60_000
+    api.run_once(results_dir=results, task_store=store,
+                 time_range_ms=(lo, hi), piece_intervals=100)
+    doc = store.list(config_id="piece-det")[0]
+    assert doc["state"] == "FINISHED" and doc["task_progress"] == 1.0
+    assert doc["n_result_rows"] > 0
+    progress = [h[0] for h in store.history]
+    assert len(progress) >= 4  # 2 pieces × (marker + after-piece) updates
+    assert progress == sorted(progress)  # monotone
+    assert progress[-1] == 1.0
+    inits = [h[1] for h in store.history]
+    assert inits == sorted(inits) and inits[-1] == 1.0
+    # written rows match the doc's count exactly (this run only)
+    import glob
+    import os
+
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(os.path.join(results, "**", "*.parquet"), recursive=True))
+    assert total == doc["n_result_rows"]
+    # a SECOND config appending into the same results_dir still reports
+    # only its own rows (the r3 recursive-glob count was cumulative)
+    cfg2 = DetectorConfig(config_id="piece-det-2", interval_s=600,
+                          category_fields=("event_type",),
+                          features=(FeatureSpec("value_avg", "value", "avg"),))
+    api2 = DetectorAPI(cfg2, src)
+    api2.run_once(results_dir=results, task_store=store, write_mode="append")
+    doc2 = store.list(config_id="piece-det-2")[0]
+    total2 = sum(pq.read_table(f).num_rows
+                 for f in glob.glob(os.path.join(results, "**", "*.parquet"), recursive=True))
+    assert doc2["n_result_rows"] == total2 - total
