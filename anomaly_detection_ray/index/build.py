@@ -485,7 +485,11 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
     stats_tbl = stats_tbl.sort_values("term").reset_index(drop=True)
     stats_path = os.path.join(out_dir, "stats.parquet")
     tmp_stats = f"{stats_path}.tmp-{os.getpid()}"
-    pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), tmp_stats)
+    # modest row groups: the term-sorted dictionary's row-group statistics
+    # are the LAZY serving mode's prune index (termdict.TermDictionary) —
+    # one giant group would force every dictionary scan to read the file
+    pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), tmp_stats,
+                   row_group_size=131072)
     os.replace(tmp_stats, stats_path)
 
     n_docs = int(sum(m["n_docs"] for m in slice_manifests))

@@ -78,7 +78,8 @@ def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tup
 
 class QueryEngine:
     def __init__(self, index_dir: str, preload_bytes: int = 2 << 30,
-                 postings_cache_bytes: int = 256 << 20):
+                 postings_cache_bytes: int = 256 << 20,
+                 dict_budget_bytes: int = 1 << 30):
         import pyarrow.parquet as pq
         from collections import OrderedDict
 
@@ -130,10 +131,15 @@ class QueryEngine:
                 self._term_cols.append(
                     pq.read_table(f, columns=["term"])["term"].combine_chunks()
                 )
-        # stats.parquet is term-sorted too (build sorts before writing)
-        stats = pads.dataset(os.path.join(index_dir, "stats.parquet")).to_table()
-        self._stats_terms = stats["term"].combine_chunks()
-        self._stats_df = stats["df"].to_numpy()
+        # global term dictionary (stats.parquet, term-sorted): eager
+        # in-RAM Arrow bisect when it fits dict_budget_bytes, else a
+        # row-group-pruned lazy view — the 10^9-vocab serving path
+        # (see index/termdict.py)
+        from .termdict import TermDictionary
+
+        self._dict = TermDictionary(
+            os.path.join(index_dir, "stats.parquet"), budget_bytes=dict_budget_bytes
+        )
         self._docmap_parts = [
             (
                 int(re.search(r"(\d+)$", s["dir"]).group(1)),
@@ -183,10 +189,7 @@ class QueryEngine:
         return live_mask(docs, slices, self.deleted, self._del_lf)
 
     def df(self, term: str) -> int:
-        i = _arrow_bisect(self._stats_terms, term, "left")
-        if i < len(self._stats_terms) and self._stats_terms[i].as_py() == term:
-            return int(self._stats_df[i])
-        return 0
+        return self._dict.df(term)
 
     def chunks_for(self, terms: list[str]) -> pa.Table:
         from .segments import POSTINGS_SCHEMA
@@ -470,12 +473,12 @@ class QueryEngine:
         """Dictionary terms starting with ``prefix`` — a binary-search
         range over the term-sorted global stats (the reason the
         dictionary is stored sorted), like Lucene's TermRangeEnum."""
-        lo = _arrow_bisect(self._stats_terms, prefix, "left")
-        hi = _arrow_bisect(self._stats_terms, prefix + "\U0010ffff", "left")
-        terms = self._stats_terms[lo:hi].to_pylist()
-        if max_expansions is not None and len(terms) > max_expansions:
-            # deterministic: keep the most selective? Lucene keeps first-N
-            # by term order — match that
+        terms: list[str] = []
+        for sl in self._dict.iter_slices(prefix):
+            terms.extend(sl.to_pylist())
+            if max_expansions is not None and len(terms) >= max_expansions:
+                break  # slices arrive in term order — Lucene keeps first-N
+        if max_expansions is not None:
             terms = terms[:max_expansions]
         return terms
 
@@ -567,17 +570,15 @@ class QueryEngine:
         RE2 match over the Arrow slice (see termscan module docstring)."""
         import pyarrow.compute as pc
 
-        lo = _arrow_bisect(self._stats_terms, prefix, "left") if prefix else 0
-        hi = (
-            _arrow_bisect(self._stats_terms, prefix + "\U0010ffff", "left")
-            if prefix else len(self._stats_terms)
-        )
-        if hi <= lo:
-            return []
-        sl = self._stats_terms.slice(lo, hi - lo)
-        terms = sl.filter(pc.match_substring_regex(sl, anchored_regex)).to_pylist()
+        terms: list[str] = []
+        for sl in self._dict.iter_slices(prefix):
+            terms.extend(
+                sl.filter(pc.match_substring_regex(sl, anchored_regex)).to_pylist()
+            )
+            if max_expansions is not None and len(terms) >= max_expansions:
+                break  # first-N in term order (Lucene); slices are ordered
         if max_expansions is not None:
-            terms = terms[:max_expansions]  # first-N in term order (Lucene)
+            terms = terms[:max_expansions]
         return terms
 
     def wildcard_terms(self, pattern: str, max_expansions: int | None = None) -> list[str]:
@@ -624,29 +625,30 @@ class QueryEngine:
 
         max_edits = auto_fuzziness(term) if fuzziness == "AUTO" else int(fuzziness)
         pre = term[: max(0, int(prefix_length))]
-        lo = _arrow_bisect(self._stats_terms, pre, "left") if pre else 0
-        hi = (
-            _arrow_bisect(self._stats_terms, pre + "\U0010ffff", "left")
-            if pre else len(self._stats_terms)
-        )
-        if hi <= lo:
+        all_dists: list[np.ndarray] = []
+        all_strs: list[str] = []
+        for sl in self._dict.iter_slices(pre):
+            # cheap vectorized length band before any DP work
+            ln = pc.utf8_length(sl)
+            mask = pc.and_(
+                pc.greater_equal(ln, len(term) - max_edits),
+                pc.less_equal(ln, len(term) + max_edits),
+            )
+            cands = sl.filter(mask)
+            if len(cands) == 0:
+                continue
+            # bounded DP straight off the Arrow buffers; only the (few)
+            # matching terms ever become Python strings
+            dist = bounded_distances_arrow(term, cands, max_edits, transpositions)
+            sel = np.flatnonzero(dist <= max_edits)
+            if sel.size:
+                all_dists.append(dist[sel])
+                all_strs.extend(cands.take(pa.array(sel)).to_pylist())
+        if not all_strs:
             return []
-        sl = self._stats_terms.slice(lo, hi - lo)
-        # cheap vectorized length band before any DP work
-        ln = pc.utf8_length(sl)
-        mask = pc.and_(
-            pc.greater_equal(ln, len(term) - max_edits),
-            pc.less_equal(ln, len(term) + max_edits),
-        )
-        cands = sl.filter(mask)
-        # bounded DP straight off the Arrow buffers; only the (few)
-        # matching terms ever become Python strings
-        dist = bounded_distances_arrow(term, cands, max_edits, transpositions)
-        sel = np.flatnonzero(dist <= max_edits)
-        if sel.size == 0:
-            return []
-        strs = cands.take(pa.array(sel)).to_pylist()
-        return _rank_matches(dist[sel], max_edits, strs, max_expansions)
+        # closest-first ranking runs over ALL slices' matches (Lucene's
+        # FuzzyQuery boosts by edit distance across the whole enum)
+        return _rank_matches(np.concatenate(all_dists), max_edits, all_strs, max_expansions)
 
     def fuzzy_docs(self, term: str, **kwargs) -> np.ndarray:
         return self.union_docs(self.fuzzy_terms(term, **kwargs))

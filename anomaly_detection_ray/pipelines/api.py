@@ -555,6 +555,37 @@ class DetectorAPI:
                 out["models"] = models[:100]
         return out
 
+    def task_profile(self, task_store, time_range_ms=None,
+                     checkpoint_dir: str | None = None) -> dict:
+        """_profile of a historical run — ``ADTaskProfileRunner.java:36-66``
+        assembling ``ADTaskProfile.java``: the task doc (state,
+        task_progress/init_progress, current piece, result count) plus
+        model-side totals gathered from the checkpoint store (the
+        reference polls each data node's task cache): model count, byte
+        total, and ``rcf_total_updates`` (max points any model consumed).
+        ``checkpoint_dir`` defaults to the piece-runner's task-private
+        directory under the task store root."""
+        import glob as _glob
+        import json as _json
+
+        tid = task_store.task_id(self.config.config_id, time_range_ms)
+        doc = task_store.get(tid)
+        ckpt = checkpoint_dir or os.path.join(task_store.root, f"{tid}_ckpt")
+        metas = []
+        for mp in sorted(_glob.glob(os.path.join(ckpt, "*", "*.pkl.json"))):
+            try:
+                with open(mp) as f:
+                    metas.append(_json.load(f))
+            except (OSError, ValueError):
+                continue
+        return {
+            "task": doc,
+            "n_models": len(metas),
+            "total_model_bytes": int(sum(m.get("bytes") or 0 for m in metas)),
+            "rcf_total_updates": int(max((m.get("n_points") or 0 for m in metas), default=0)),
+            "shingle_size": self.config.shingle_size,
+        }
+
     def _entity_last_sample_ms(self, entity: dict) -> int | None:
         """Latest raw-sample timestamp (epoch ms) for one entity — the
         EntityProfileRunner's last-sample search (a max-ts agg over the

@@ -160,3 +160,36 @@ def test_run_once_piecewise_progress(ray_session, tmp_path):
     total2 = sum(pq.read_table(f).num_rows
                  for f in glob.glob(os.path.join(results, "**", "*.parquet"), recursive=True))
     assert doc2["n_result_rows"] == total2 - total
+
+
+def test_task_profile(ray_session, tmp_path):
+    """ADTaskProfileRunner analogue: task doc + model totals from the
+    piece-runner's checkpoint store (ADTaskProfile.java fields)."""
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    n = 1200
+    base = 1_704_067_200_000
+    tbl = pa.table(
+        {
+            "ts": pa.array((base + np.arange(n) * 60_000).astype("int64")),
+            "event_type": pa.array(["a", "b"] * (n // 2)),
+            "value": pa.array(np.sin(np.arange(n) / 7.0) + 3.0),
+        }
+    )
+    src = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, src)
+    cfg = DetectorConfig(config_id="prof-det", interval_s=600,
+                         category_fields=("event_type",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),))
+    api = DetectorAPI(cfg, src)
+    store = TaskStore(str(tmp_path / "tasks"))
+    rng = (base, base + n * 60_000)
+    api.run_once(results_dir=str(tmp_path / "res"), task_store=store,
+                 time_range_ms=rng, piece_intervals=60)
+    prof = api.task_profile(store, time_range_ms=rng)
+    assert prof["task"]["state"] == "FINISHED" and prof["task"]["task_progress"] == 1.0
+    assert prof["n_models"] == 2           # two entities → two models
+    assert prof["total_model_bytes"] > 0
+    assert prof["rcf_total_updates"] >= 100  # ~120 windows per entity
+    assert prof["shingle_size"] == cfg.shingle_size
