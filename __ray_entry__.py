@@ -616,6 +616,27 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """,
         "token_count_bpe": _token_count_bpe_sql(),
+        "doc_nll": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM freq)
+SELECT doc_id, round(-avg(ln(c * 1.0 / (SELECT t FROM tot))), 6) AS nll_nats
+FROM toks JOIN freq USING (term)
+GROUP BY doc_id ORDER BY doc_id
+""",
+        "tfidf_keywords": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term,
+             round(tf * ln((SELECT n FROM n) * 1.0 / df), 6) AS score
+      FROM tf JOIN idf USING (term)),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM s)
+SELECT doc_id, rank, term, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+""",
         "lang_id": _lang_id_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents

@@ -759,6 +759,29 @@ def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}))
 
 
+def q_doc_nll(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality scoring (CCNet-style perplexity filter shape):
+    corpus term table (combiner + vocab-sized groupby) → broadcast →
+    per-doc mean negative log-likelihood. Value-exact vs the SQL twin."""
+    from ..stages.lmscore import doc_nll
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = doc_nll(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Top-3 tf·idf keywords per document (idf = ln(N/df), ties by term
+    ascending) — deterministic corpus tagging; value-exact vs a
+    window-function SQL twin."""
+    from ..stages.lmscore import tfidf_keywords
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = tfidf_keywords(ds, k=3).to_pandas()
+    return (out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+            .astype({"rank": "int64"}))
+
+
 def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality filter (token count / mean length / repetition
     / symbol ratio / stopword presence bounds — Rae et al. 2021 A1.1):
@@ -1384,6 +1407,8 @@ REGISTRY = {
     "term_stats": q_term_stats,
     "doc_token_stats": q_doc_token_stats,
     "token_count_bpe": q_token_count_bpe,
+    "doc_nll": q_doc_nll,
+    "tfidf_keywords": q_tfidf_keywords,
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_decontam": q_corpus_clean_decontam,

@@ -639,11 +639,15 @@ class _OverlapCount:
             # int64: np.add.reduceat over a BOOL array computes logical
             # OR per segment, not counts
             hit = np.isin(vals, self.bench, assume_unique=False).astype(np.int64)
-            # clip: reduceat rejects start == len(hit) (empty trailing docs);
-            # empty segments are zeroed right after
-            idx = np.minimum(offs[:-1], vals.size - 1)
-            n_overlap = np.add.reduceat(hit, idx)
-            n_overlap = np.where(np.diff(offs) > 0, n_overlap, 0).astype(np.int64)
+            # reduceat over NON-EMPTY docs' starts only: the earlier
+            # clamp-to-size-1 trick for trailing empty docs stole the
+            # preceding doc's LAST element (its segment ended at the
+            # clamped start), undercounting that doc's overlap by one
+            lens = np.diff(offs)
+            nz = lens > 0
+            n_overlap = np.zeros(lens.size, np.int64)
+            if nz.any():
+                n_overlap[nz] = np.add.reduceat(hit, offs[:-1][nz])
         else:
             n_overlap = np.zeros(len(t["doc_id"]), np.int64)
         return pa.table({

@@ -886,3 +886,54 @@ def test_corpus_clean_degenerate_inputs(ray_session):
     out = corpus_clean(rd.from_arrow(allbad)).to_pandas().sort_values("doc_id")
     assert list(out["status"]) == ["quality", "quality"]
     assert list(out["group_id"]) == [-1, -1]
+
+
+def test_lmscore_hand_computed(ray_session):
+    """Unigram NLL and tf-idf keywords on a 3-doc corpus, checked against
+    hand-computed values (token-less docs drop from NLL, ties by term)."""
+    import math
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.lmscore import doc_nll, tfidf_keywords
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(["a a b", "b c", "??!"])})
+    ds = rd.from_arrow(docs)
+    # counts: a=2, b=2, c=1, total=5
+    nll = doc_nll(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(nll["doc_id"]) == [0, 1]  # doc 2 has no tokens
+    want0 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    want1 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert nll["nll_nats"].to_numpy() == pytest.approx([round(want0, 6), round(want1, 6)])
+    # df: a=1, b=2, c=1; N=3
+    kw = (tfidf_keywords(ds, k=3).to_pandas()
+          .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    d0 = kw[kw["doc_id"] == 0]
+    assert list(d0["term"]) == ["a", "b"]  # 2·ln3 > 1·ln1.5
+    assert d0["score"].to_numpy() == pytest.approx(
+        [round(2 * math.log(3), 6), round(math.log(1.5), 6)])
+    d1 = kw[kw["doc_id"] == 1]
+    assert list(d1["term"]) == ["c", "b"]  # ln3 > ln1.5
+    assert 2 not in set(kw["doc_id"])
+
+
+def test_overlap_count_trailing_empty_doc(ray_session):
+    """Regression: a trailing token-less doc must not steal the previous
+    doc's last shingle from its overlap count (the reduceat clamp bug)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import decontaminate
+
+    # doc 0 = TWO 8-token shingles, both in the bench set; doc 1 = empty
+    # → the old clamp ended doc 0's reduceat segment one short and
+    # counted 1 instead of 2
+    text = "a b c d e f g h i"
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array([text, "?!"])})
+    bench = pa.table({"doc_id": pa.array([99], pa.int64()),
+                      "text": pa.array([text])})
+    out = decontaminate(rd.from_arrow(docs), rd.from_arrow(bench)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_overlap"] == 2 and bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "n_overlap"] == 0
