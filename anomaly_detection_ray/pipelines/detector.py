@@ -49,21 +49,46 @@ def needed_columns(config: DetectorConfig, ts_col: str = "ts") -> list[str]:
     )
 
 
-def _add_model_id(batch: pa.Table, config: DetectorConfig) -> pa.Table:
+def _add_model_id(batch: pa.Table, config: DetectorConfig,
+                  cache: dict | None = None) -> pa.Table:
     cats = list(config.category_fields)
     if not cats:
         mid = pa.array([config.config_id] * batch.num_rows)
         return batch.append_column("model_id", mid)
     # vectorize over unique entity combos: compute the murmur3 id once per
-    # combo, then gather (batches repeat few entities many times)
+    # combo, then gather (batches repeat few entities many times); the
+    # optional cache persists combos ACROSS batches (ModelIds actor)
     cols = [batch[c].to_pylist() for c in cats]
     combos = list(zip(*cols)) if cols else []
-    uniq: dict[tuple, str] = {}
+    uniq = cache if cache is not None else {}
     for combo in combos:
         if combo not in uniq:
             uniq[combo] = entity_model_id(config.config_id, dict(zip(cats, map(str, combo))))
     mid = np.asarray([uniq[c] for c in combos], dtype=object)
     return batch.append_column("model_id", pa.array(mid))
+
+
+class ModelIds:
+    """Stateful model-id (+ coarse shuffle key) projection: the
+    pure-Python murmur3 per UNIQUE entity combo amortizes across every
+    batch an actor sees (at 10k+ entities per batch the per-batch
+    recompute was ~0.2 s), and the fused ``_coarse`` column saves a
+    second map stage before the scoring exchange."""
+
+    def __init__(self, config: DetectorConfig, n_coarse: int = 0):
+        self.config = config
+        self.n_coarse = int(n_coarse)
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _add_model_id(batch, self.config, self.cache)
+        if self.n_coarse > 0:
+            from ..functions.hashing import hash_strings
+
+            mids = out["model_id"].to_numpy(zero_copy_only=False)
+            ck = (hash_strings(mids) % np.uint64(self.n_coarse)).astype(np.int64)
+            out = out.append_column("_coarse", pa.array(ck))
+        return out
 
 
 def resolve_coarse_groups(coarse_groups: int | None) -> int:
@@ -143,33 +168,30 @@ def detect(
     # force_fused=False pins the two-shuffle plan (tests assert both plans
     # agree; non-mergeable aggs fall back automatically)
     fused = mergeable(config) if force_fused is None else (force_fused and mergeable(config))
-    if fused:
-        # single-shuffle plan: map-side window partials (combiner) →
-        # ONE groupby(model_id) that merges partials and scores. Only
-        # window-level partial rows move through the exchange; the
-        # two-shuffle fallback below sort-shuffles every raw event twice.
-        agg = partial_window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
-        agg = agg.map_batches(
-            lambda b: _add_model_id(b, config), batch_format="pyarrow", zero_copy_batch=True
-        )
-    else:
-        agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
-        agg = agg.map_batches(
-            lambda b: _add_model_id(normalize_features(b, feats), config),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
     # Coarse-keyed scoring exchange: shuffle on hash(model_id) % n_coarse
     # (bounded group count — ScoreGroups iterates the models inside one
     # group), not one Ray group per model; per-model groups are the
     # per-group-overhead cliff at the reference's 1M-entity HC scale.
     # coarse_groups=0 pins the legacy per-model plan (parity tests).
     n_coarse = resolve_coarse_groups(coarse_groups)
-    if n_coarse > 0:
-        agg = add_coarse_key(agg, n_coarse)
-        group_key = "_coarse"
+    proj = dict(
+        fn_constructor_kwargs=dict(config=config, n_coarse=n_coarse),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    if fused:
+        # single-shuffle plan: map-side window partials (combiner) →
+        # ONE groupby(model_id) that merges partials and scores. Only
+        # window-level partial rows move through the exchange; the
+        # two-shuffle fallback below sort-shuffles every raw event twice.
+        agg = partial_window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
+        agg = agg.map_batches(ModelIds, **proj)
     else:
-        group_key = "model_id"
+        agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
+        agg = agg.map_batches(
+            lambda b: normalize_features(b, feats), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(ModelIds, **proj)
+    group_key = "_coarse" if n_coarse > 0 else "model_id"
     results = agg.groupby(group_key).map_groups(
         ScoreGroups,
         fn_constructor_kwargs=dict(config=config, checkpoint_dir=checkpoint_dir,

@@ -52,6 +52,9 @@ def run_ticks(
     clock=time.monotonic,
     tail_source=None,
     should_run=None,
+    result_manager=None,
+    retention_days: int | None = None,
+    now_day=None,
 ) -> int:
     """The scheduler loop. ``n_ticks=0`` runs until interrupted; each
     tick fires at most once per ``interval_s`` of wall time (the job
@@ -68,7 +71,16 @@ def run_ticks(
     between the two harmlessly reprocesses the same files. Caveat
     (matches the reference's realtime behavior, which also queries only
     the current window): an entity first appearing mid-stream cold-starts
-    from the files of ITS tick, not the full history."""
+    from the files of ITS tick, not the full history.
+
+    With ``result_manager`` (a :class:`..stages.sink.ResultIndexManager`)
+    each tick writes into the manager's ACTIVE generation and runs the
+    rollover check + TTL gc after writing — the reference schedules the
+    same rollover-and-delete pass every historyRolloverPeriod
+    (``IndexManagement.java:1126-1134``). ``now_day`` supplies epoch days
+    (defaults to wall clock — allowed HERE, the CLI owns time; tests
+    inject a counter); ``retention_days`` alone prunes day partitions via
+    ``gc_results`` when no manager is used."""
     interval = float(interval_s if interval_s is not None else api.config.interval_s)
     i = 0
     while n_ticks == 0 or i < n_ticks:
@@ -77,21 +89,33 @@ def run_ticks(
             # JobProcessor halts until re-enabled; we exit the loop
             break
         t0 = clock()
+        day = int(now_day() if callable(now_day)
+                  else now_day if now_day is not None
+                  else time.time() // 86_400)
         files = tail_source.poll() if tail_source is not None else None
         if tail_source is None or files:
+            out_dir = result_manager.active(day) if result_manager is not None else results_dir
             prev_path = api.events_path
             if files:
                 api.events_path = files
             try:
                 if forecast:
-                    api.forecast_start_job(results_dir, checkpoint_dir,
+                    api.forecast_start_job(out_dir, checkpoint_dir,
                                            horizon=horizon, period=period)
                 else:
-                    api.start_job(results_dir, checkpoint_dir)
+                    api.start_job(out_dir, checkpoint_dir)
             finally:
                 api.events_path = prev_path
             if tail_source is not None:
                 tail_source.commit(files)
+            if result_manager is not None:
+                result_manager.maybe_rollover(day)
+                if retention_days is not None:
+                    result_manager.gc(day, retention_days)
+            elif retention_days is not None:
+                from .stages.sink import gc_results
+
+                gc_results(results_dir, retention_days, day)
         i += 1
         if on_tick is not None:
             on_tick(i)
@@ -124,6 +148,14 @@ def main(argv=None) -> int:
     p.add_argument("--tail-manifest", default=None,
                    help="JSON manifest path; when set, each tick reads only "
                         "files new/changed since the last committed tick")
+    p.add_argument("--roll-min-age-days", type=int, default=None,
+                   help="rollover: roll the active result generation at this age")
+    p.add_argument("--roll-min-size-mb", type=int, default=None,
+                   help="rollover: roll when the active generation exceeds this size")
+    p.add_argument("--roll-min-docs", type=int, default=None,
+                   help="rollover: roll when the active generation exceeds this row count")
+    p.add_argument("--retention-days", type=int, default=None,
+                   help="delete result partitions/generations older than this")
     args = p.parse_args(argv)
 
     import ray
@@ -152,11 +184,24 @@ def main(argv=None) -> int:
             from .sources.tailing import TailingSource
 
             tail = TailingSource(args.events, args.tail_manifest)
+        mgr = None
+        if (args.roll_min_age_days is not None or args.roll_min_size_mb is not None
+                or args.roll_min_docs is not None):
+            from .stages.sink import ResultIndexManager
+
+            mgr = ResultIndexManager(
+                args.results,
+                min_age_days=args.roll_min_age_days,
+                min_size_bytes=(args.roll_min_size_mb * (1 << 20)
+                                if args.roll_min_size_mb is not None else None),
+                min_docs=args.roll_min_docs,
+            )
         n = run_ticks(
             api, args.results, args.checkpoints,
             n_ticks=args.max_ticks, interval_s=args.interval,
             forecast=args.forecast, horizon=args.horizon, period=args.period,
             tail_source=tail, should_run=should_run,
+            result_manager=mgr, retention_days=args.retention_days,
         )
         print(json.dumps({"ticks": n, "results": args.results}))
         return 0

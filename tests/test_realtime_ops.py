@@ -345,3 +345,60 @@ def test_gc_results_retention(tmp_path):
     # idempotent; missing dir is a no-op
     assert gc_results(str(out), 30, 160) == []
     assert gc_results(str(tmp_path / "missing"), 30, 160) == []
+
+
+def test_run_ticks_with_rollover_and_retention(ray_session, tmp_path):
+    """Tick loop composed with the generation-rolled result sink: each
+    tick writes into the active generation, min-docs rollover fires
+    after the first tick's rows land, and TTL gc drops the rolled-off
+    generation once it ages out (IndexManagement.java:1126-1134's
+    scheduled rollover-and-delete)."""
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+    from anomaly_detection_ray.sources.streams import generate_interval_stream
+    from anomaly_detection_ray.stages.sink import ResultIndexManager
+    from anomaly_detection_ray.tick import config_from_json, run_ticks
+
+    t = generate_interval_stream(n_entities=2, n_windows=100, interval_s=600, seed=9,
+                                 events_per_window=1)
+    df = t.to_pandas()
+    ts_ms = df["ts"].astype("datetime64[ms]").astype("int64")
+    cut = int(ts_ms.quantile(0.5))
+    evdir = tmp_path / "events"
+    evdir.mkdir()
+    pq.write_table(t.filter((ts_ms <= cut).to_numpy()), str(evdir / "p1.parquet"))
+    cfg = config_from_json({
+        "config_id": "roll-e2e", "interval_s": 600, "shingle_size": 4,
+        "category_fields": ["entity"],
+        "features": [{"name": "value_avg", "column": "value", "agg": "avg"}],
+        "num_trees": 5, "sample_size": 32,
+    })
+    api = DetectorAPI(cfg, str(evdir))
+    mgr = ResultIndexManager(str(tmp_path / "res"), min_age_days=None, min_docs=1)
+    days = iter([100, 200, 300])
+    seen = {}
+
+    def on_tick(i):
+        # runs AFTER the tick's write + rollover + gc
+        seen[i] = (mgr.generations(),
+                   {g: mgr.stats(str(tmp_path / "res" / g))["docs"]
+                    for g in mgr.generations()})
+        if i == 1:
+            pq.write_table(t.filter((ts_ms > cut).to_numpy()), str(evdir / "p2.parquet"))
+
+    n = run_ticks(api, str(tmp_path / "res"), str(tmp_path / "ck"), n_ticks=2,
+                  interval_s=0, sleep=lambda s: None, on_tick=on_tick,
+                  result_manager=mgr, retention_days=30,
+                  now_day=lambda: next(days))
+    assert n == 2
+    # tick 1 (day 100): rows landed in gen-1, min_docs=1 rolled to gen-2,
+    # gc kept both (age 0)
+    gens1, docs1 = seen[1]
+    assert gens1 == ["gen-000001", "gen-000002"]
+    assert docs1["gen-000001"] > 0 and docs1["gen-000002"] == 0
+    # tick 2 (day 200): rows landed in gen-2, rolled to gen-3, and the
+    # TTL gc (30 days) deleted BOTH day-100 generations; the active one
+    # never deletes
+    gens2, _ = seen[2]
+    assert gens2 == ["gen-000003"]
