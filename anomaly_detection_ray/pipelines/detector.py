@@ -68,27 +68,22 @@ def _add_model_id(batch: pa.Table, config: DetectorConfig,
     return batch.append_column("model_id", pa.array(mid))
 
 
-class ModelIds:
-    """Stateful model-id (+ coarse shuffle key) projection: the
-    pure-Python murmur3 per UNIQUE entity combo amortizes across every
-    batch an actor sees (at 10k+ entities per batch the per-batch
-    recompute was ~0.2 s), and the fused ``_coarse`` column saves a
-    second map stage before the scoring exchange."""
+def _project_model_ids(batch: pa.Table, config: DetectorConfig, n_coarse: int,
+                       cache: dict) -> pa.Table:
+    """Model-id (+ fused ``_coarse`` shuffle key) projection. Runs as a
+    plain TASK-pool map — a stateful actor pool here would chain with the
+    ScoreGroups pool and the two floors together can reserve enough CPUs
+    to starve the read/shuffle tasks (measured: detect crawls). The
+    per-unique-combo murmur3 cache is process-local (Ray reuses worker
+    processes, so it still amortizes across the batches a worker sees)."""
+    out = _add_model_id(batch, config, cache)
+    if n_coarse > 0:
+        from ..functions.hashing import hash_strings
 
-    def __init__(self, config: DetectorConfig, n_coarse: int = 0):
-        self.config = config
-        self.n_coarse = int(n_coarse)
-        self.cache: dict = {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = _add_model_id(batch, self.config, self.cache)
-        if self.n_coarse > 0:
-            from ..functions.hashing import hash_strings
-
-            mids = out["model_id"].to_numpy(zero_copy_only=False)
-            ck = (hash_strings(mids) % np.uint64(self.n_coarse)).astype(np.int64)
-            out = out.append_column("_coarse", pa.array(ck))
-        return out
+        mids = out["model_id"].to_numpy(zero_copy_only=False)
+        ck = (hash_strings(mids) % np.uint64(n_coarse)).astype(np.int64)
+        out = out.append_column("_coarse", pa.array(ck))
+    return out
 
 
 def resolve_coarse_groups(coarse_groups: int | None) -> int:
@@ -174,23 +169,24 @@ def detect(
     # per-group-overhead cliff at the reference's 1M-entity HC scale.
     # coarse_groups=0 pins the legacy per-model plan (parity tests).
     n_coarse = resolve_coarse_groups(coarse_groups)
-    proj = dict(
-        fn_constructor_kwargs=dict(config=config, n_coarse=n_coarse),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-    )
+    _mid_cache: dict = {}  # deserialized once per worker → amortizes there
+
+    def project(b: pa.Table) -> pa.Table:
+        return _project_model_ids(b, config, n_coarse, _mid_cache)
+
     if fused:
         # single-shuffle plan: map-side window partials (combiner) →
         # ONE groupby(model_id) that merges partials and scores. Only
         # window-level partial rows move through the exchange; the
         # two-shuffle fallback below sort-shuffles every raw event twice.
         agg = partial_window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
-        agg = agg.map_batches(ModelIds, **proj)
+        agg = agg.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     else:
         agg = window_aggregate(events_ds, config, ts_col=ts_col, time_range_ms=agg_range)
         agg = agg.map_batches(
-            lambda b: normalize_features(b, feats), batch_format="pyarrow",
+            lambda b: project(normalize_features(b, feats)), batch_format="pyarrow",
             zero_copy_batch=True,
-        ).map_batches(ModelIds, **proj)
+        )
     group_key = "_coarse" if n_coarse > 0 else "model_id"
     results = agg.groupby(group_key).map_groups(
         ScoreGroups,
