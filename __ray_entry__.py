@@ -417,6 +417,16 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _temperature_mix_sql() -> str:
+    """Twin of ``q_temperature_mix`` — counts, pow thresholds and hash
+    all recomputed inside the query."""
+    from anomaly_detection_ray.pipelines.queries import TEMP_MIX_ALPHA, TEMP_MIX_SEED
+    from anomaly_detection_ray.stages.sampling import temperature_mix_sql
+
+    return temperature_mix_sql("documents", "doc_id", "lang", TEMP_MIX_ALPHA,
+                               seed=TEMP_MIX_SEED, columns="doc_id, lang")
+
+
 def _near_dup_groups_sql() -> str:
     """The jaccard pair CTE (same candidate/df-cap semantics as
     ``_jaccard_sql``) + a recursive transitive closure: each sampled doc's
@@ -648,6 +658,7 @@ GROUP BY text ORDER BY doc_id
         "corpus_clean": _corpus_clean_sql(),
         "corpus_clean_decontam": _corpus_clean_sql(decontam=True),
         "stratified_sample": _stratified_sample_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "decontaminate": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
 w AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []

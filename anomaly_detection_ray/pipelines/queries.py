@@ -863,6 +863,26 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64", "lang": "str"}))
 
 
+TEMP_MIX_ALPHA = 0.5
+TEMP_MIX_SEED = 11
+
+
+def q_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based source rebalancing (output distribution ∝
+    p_source^alpha, the multilingual/multi-source mixing rule): per-source
+    counts → (n/n_min)^(alpha-1) keep fractions → deterministic hash
+    selection. Value-exact vs a twin that recomputes counts, pow
+    thresholds and the hash in SQL."""
+    from ..stages.sampling import temperature_mix
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang"])
+    out = temperature_mix(ds, "doc_id", "lang", TEMP_MIX_ALPHA,
+                          seed=TEMP_MIX_SEED).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "lang": "str"}))
+
+
 def q_corpus_clean_decontam(sf_dir: str) -> pd.DataFrame:
     """Corpus cleaning WITH the decontamination stage: quality → 8-gram
     benchmark-overlap removal (bench = doc_id % 25 == 0 subset, broadcast
@@ -1413,6 +1433,7 @@ REGISTRY = {
     "corpus_clean": q_corpus_clean,
     "corpus_clean_decontam": q_corpus_clean_decontam,
     "stratified_sample": q_stratified_sample,
+    "temperature_mix": q_temperature_mix,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,

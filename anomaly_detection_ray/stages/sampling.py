@@ -89,3 +89,46 @@ def stratified_sample_sql(table: str, id_col: str, strata_col: str, fractions: d
         f"< (CASE {strata_col} {cases} ELSE {thr[None]} END) "
         f"ORDER BY {id_col}"
     )
+
+
+def temperature_fractions(counts: dict, alpha: float) -> dict:
+    """Per-stratum keep fractions for TEMPERATURE sampling: the output
+    distribution follows p_s^alpha (the multilingual-rebalancing rule of
+    public LLM pipelines — alpha<1 upweights rare sources), realized as
+    f_s = (n_s / n_min)^(alpha-1) so the rarest stratum keeps 100% and
+    no stratum oversamples. Plain-float pow so the SQL twin's pow()
+    computes the identical thresholds."""
+    if not counts:
+        return {}
+    cmin = min(counts.values())
+    return {s: (c / cmin) ** (alpha - 1.0) for s, c in counts.items()}
+
+
+def temperature_mix(ds, id_col: str, strata_col: str, alpha: float, seed: int = 0):
+    """Temperature-mix a corpus by a source/language column: one tiny
+    count aggregation (map-side combined, stratum-cardinality rows) →
+    keep fractions → the same deterministic hash-threshold selection as
+    :func:`stratified_sample`. No shuffle of the corpus itself."""
+    from ray.data.aggregate import Count
+
+    counts_pd = ds.groupby(strata_col).aggregate(Count(alias_name="c")).to_pandas()
+    counts = dict(zip(counts_pd[strata_col], counts_pd["c"].astype(int)))
+    fractions = temperature_fractions(counts, alpha)
+    return stratified_sample(ds, id_col, strata_col, fractions,
+                             default_fraction=0.0, seed=seed)
+
+
+def temperature_mix_sql(table: str, id_col: str, strata_col: str, alpha: float,
+                        seed: int = 0, columns: str = "*") -> str:
+    """DuckDB twin of :func:`temperature_mix` — computes the per-stratum
+    counts AND the identical pow/round thresholds inside the query, so
+    the oracle derives nothing from the engine."""
+    return f"""
+WITH n AS (SELECT {strata_col} AS s, count(*) AS c FROM {table} GROUP BY 1),
+m AS (SELECT min(c) AS cmin FROM n),
+f AS (SELECT s, CAST(round(pow(c * 1.0 / (SELECT cmin FROM m), {alpha} - 1.0)
+                           * 4294967296) AS BIGINT) AS thr FROM n)
+SELECT {columns} FROM {table} t JOIN f ON t.{strata_col} = f.s
+WHERE ((t.{id_col} + {seed})::HUGEINT * {KNUTH_C}) % 4294967296 < f.thr
+ORDER BY t.{id_col}
+"""

@@ -937,3 +937,33 @@ def test_overlap_count_trailing_empty_doc(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert out.loc[0, "n_overlap"] == 2 and bool(out.loc[0, "contaminated"])
     assert out.loc[1, "n_overlap"] == 0
+
+
+def test_temperature_mix_rebalances(ray_session):
+    """Temperature mixing: the rarest stratum keeps 100%, heavier strata
+    keep (n/n_min)^(alpha-1), and the OUTPUT distribution moves toward
+    p^alpha (flatter for alpha<1). Deterministic rerun-identical."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.sampling import (
+        temperature_fractions, temperature_mix)
+
+    n_a, n_b = 1600, 100  # 16:1 skew
+    ids = np.arange(n_a + n_b, dtype=np.int64)
+    langs = np.array(["en"] * n_a + ["fr"] * n_b, dtype=object)
+    tbl = pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+
+    fr = temperature_fractions({"en": n_a, "fr": n_b}, alpha=0.5)
+    assert fr["fr"] == 1.0 and fr["en"] == pytest.approx((16) ** -0.5)
+
+    out1 = temperature_mix(rd.from_arrow(tbl), "doc_id", "lang", 0.5, seed=3).to_pandas()
+    out2 = temperature_mix(rd.from_arrow(tbl), "doc_id", "lang", 0.5, seed=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+    counts = out1["lang"].value_counts()
+    assert counts["fr"] == n_b  # rarest keeps everything
+    # en kept ≈ 1600/sqrt(16) = 400 (low-discrepancy hash tracks closely)
+    assert abs(counts["en"] - n_a * 16 ** -0.5) < 40
+    # output ratio moved from 16:1 toward sqrt(16)=4:1
+    assert 3.0 < counts["en"] / counts["fr"] < 5.0
