@@ -417,6 +417,47 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _mlt_sql() -> str:
+    """Twin of ``q_more_like_this``: the seed doc's terms are ranked by
+    the same tf·idf interestingness (f · ln(N/df), df ≥ 2, ties by term),
+    the top 25 feed the standard disjunctive BM25 CTE, and the seed doc
+    itself is excluded — all computed inside the query (the seed text
+    comes from the documents table). Same float-exactness class as the
+    ``bm25_topk`` twin (both sides do the identical double math)."""
+    from anomaly_detection_ray.pipelines.queries import MLT_DOC_ID
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT sum(dl) FROM dl) AS total),
+seed AS (SELECT unnest(regexp_extract_all(lower(
+             (SELECT text FROM documents WHERE doc_id = {MLT_DOC_ID})),
+             '[a-z0-9]+')) AS term),
+seedtf AS (SELECT term, count(*) AS f FROM seed GROUP BY term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+sel AS (SELECT s.term FROM seedtf s JOIN dfq d USING (term)
+        WHERE d.df >= 2
+        ORDER BY s.f * ln((SELECT n_docs FROM stats) * 1.0 / d.df) DESC, s.term
+        LIMIT 25),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN (SELECT term FROM sel) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total * 1.0 / s.n_docs))) ) AS score
+  FROM tf JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, rank, score_r FROM (
+  SELECT doc_id, round(score, 6) AS score_r,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE doc_id != {MLT_DOC_ID}) t
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def _temperature_mix_sql() -> str:
     """Twin of ``q_temperature_mix`` — counts, pow thresholds and hash
     all recomputed inside the query."""
@@ -659,6 +700,7 @@ GROUP BY text ORDER BY doc_id
         "corpus_clean_decontam": _corpus_clean_sql(decontam=True),
         "stratified_sample": _stratified_sample_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "more_like_this": _mlt_sql(),
         "decontaminate": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
 w AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []

@@ -320,9 +320,10 @@ MLT_DOC_ID = 42
 
 def q_more_like_this(sf_dir: str) -> pd.DataFrame:
     """MoreLikeThis: top-10 docs similar to doc 42 (tf·idf term
-    selection → disjunctive BM25, self excluded). rows-only — the
-    float interestingness ordering is not safely SQL-twinnable; pytest
-    covers self-rank and exclusion semantics."""
+    selection → disjunctive BM25, self excluded). Oracle-backed (r4):
+    the twin ranks seed terms by the identical f·ln(N/df) double math —
+    the same float-exactness class as the bm25_topk twin — plus the
+    self-rank/exclusion pytest."""
     import pyarrow.dataset as pads
 
     eng = index_for(sf_dir)
@@ -1434,6 +1435,7 @@ REGISTRY = {
     "corpus_clean_decontam": q_corpus_clean_decontam,
     "stratified_sample": q_stratified_sample,
     "temperature_mix": q_temperature_mix,
+    "more_like_this": q_more_like_this,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
@@ -1459,7 +1461,6 @@ REGISTRY = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "highlight_search": q_highlight_search,
-    "more_like_this": q_more_like_this,
     "entity_cardinality_hll": q_entity_cardinality_hll,
     "value_percentile_tdigest": q_value_percentile_tdigest,
     "simhash_sketch": q_simhash_sketch,
