@@ -102,6 +102,16 @@ def bench_suite() -> dict:
     extra["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 2)
     extra["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 2)
 
+    # ---- distributed serving: 4 engine replicas, scatter/gather ----
+    from anomaly_detection_ray.index.serve import QueryService
+
+    svc = QueryService(idx_dir, n_replicas=4)
+    svc.bm25_topk(qset[:4], k=10, prune=False)  # replica warm-up
+    timed("bm25_100_queries_4rep", lambda: svc.bm25_topk(qset, k=10, prune=False))
+    extra["bm25_serve_qps_4rep"] = round(len(qset) / timings["bm25_100_queries_4rep"], 1)
+    extra["bm25_serve_qps_1eng"] = round(len(qset) / timings["bm25_100_queries"], 1)
+    svc.shutdown()
+
     # ---- block-max pruning + conjunctive block-skip on a LOCALITY corpus
     # (segment-local identifiers → confined candidate ranges — the case
     # where pruning wins; the dense corpus above is its worst case) ----

@@ -1,0 +1,52 @@
+"""QueryService: replica scatter/gather ≡ single engine; refresh picks
+up lifecycle changes."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_ray.index.build import build_index, extend_index
+from anomaly_detection_ray.index.query import QueryEngine
+from anomaly_detection_ray.index.serve import QueryService
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("serveidx"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4,
+                batch_size=64, mode="code")
+    svc = QueryService(out, n_replicas=3)
+    yield out, svc, QueryEngine(out)
+    svc.shutdown()
+
+
+def test_scatter_gather_matches_single_engine(served, tiny_corpus):
+    _, svc, eng = served
+    queries = tiny_corpus["queries"]["query"].to_pylist()[:10]
+    got = svc.bm25_topk(queries, k=5, prune=False)
+    assert len(got) == len(queries)
+    for q, hits in zip(queries, got):
+        assert hits == eng.bm25_topk(q, k=5, prune=False)
+    dsl = [{"term": {"lang": "python"}}, {"match_all": {}},
+           {"prefix": {"content": "me"}}]
+    got_dsl = svc.execute_filter(dsl)
+    for q, docs in zip(dsl, got_dsl):
+        assert docs == eng.execute_filter(q).tolist()
+    # empty batch and single-item batch round-trip
+    assert svc.bm25_topk([], k=5) == []
+    assert svc.bm25_topk([queries[0]], k=3, prune=False) == [eng.bm25_topk(queries[0], k=3, prune=False)]
+
+
+def test_refresh_sees_segment_add(served, tmp_path_factory):
+    out, svc, _ = served
+    add = pa.table({"doc_id": pa.array([77001], pa.int64()),
+                    "content": pa.array(["zzserved fresh replica document"])})
+    src = str(tmp_path_factory.mktemp("serveadd") / "add.parquet")
+    pq.write_table(add, src)
+    before = svc.execute_filter([{"term": {"content": "zzserved"}}])[0]
+    assert before == []  # replicas still see the old manifest
+    extend_index(out, [src])
+    counts = svc.refresh()
+    assert all(c == 201 for c in counts)
+    after = svc.execute_filter([{"term": {"content": "zzserved"}}])[0]
+    assert after == [77001]
