@@ -424,6 +424,17 @@ def hc_bench() -> dict:
     run(HC_ENTITIES // 20)  # warm-up: actor pool spin-up, code import
     t_lo = run(HC_ENTITIES // 4)
     t_hi = run(HC_ENTITIES)
+
+    # forecast rides the same coarse-keyed exchange — one HC data point
+    from anomaly_detection_ray.pipelines.forecast import forecast
+
+    pool_n = max(2, NUM_CPUS - 2)
+    ds = rd.from_arrow(events(HC_ENTITIES)).repartition(max(8, NUM_CPUS))
+    t0 = time.perf_counter()
+    nf = forecast(ds, cfg(), horizon=12, concurrency=(pool_n, pool_n)).count()
+    t_fc = round(time.perf_counter() - t0, 3)
+    assert nf == HC_ENTITIES * 12
+
     ray.shutdown()
     linearity = round((t_hi / t_lo) / 4.0, 3)  # 1.0 = perfectly linear
     return {
@@ -431,10 +442,12 @@ def hc_bench() -> dict:
         "value": linearity,
         "unit": "ratio",
         "queries": {f"detect_{HC_ENTITIES // 4}_entities": t_lo,
-                    f"detect_{HC_ENTITIES}_entities": t_hi},
+                    f"detect_{HC_ENTITIES}_entities": t_hi,
+                    f"forecast_{HC_ENTITIES}_entities": t_fc},
         "sf": f"synthetic {HC_ENTITIES} entities x {HC_WINDOWS} windows",
         "num_cpus": NUM_CPUS,
         "extra": {"entities_per_sec_hi": round(HC_ENTITIES / t_hi, 1),
+                  "forecast_entities_per_sec": round(HC_ENTITIES / t_fc, 1),
                   "rows_hi": HC_ENTITIES * HC_WINDOWS},
     }
 
