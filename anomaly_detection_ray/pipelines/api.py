@@ -358,12 +358,27 @@ class DetectorAPI:
         from .detector import detect
         from ..stages.sink import write_results
 
+        import shutil
+
         interval_ms = self.config.interval_s * 1000
         lo, hi = time_range_ms
         piece_ms = max(1, int(piece_intervals)) * interval_ms
         # model continuity across pieces rides the checkpoint store; a
         # task-private directory when the caller didn't bring one
         ckpt = checkpoint_dir or os.path.join(task_store.root, f"{task['_id']}_ckpt")
+        if checkpoint_dir is None:
+            # restart-from-scratch (the reference resets non-finished
+            # historical tasks): a crashed attempt's task-private
+            # checkpoints would make the rerun drop already-seen windows
+            # as out-of-order and emit a partial result set
+            shutil.rmtree(ckpt, ignore_errors=True)
+        if results_dir and write_mode == "replace":
+            # clear this range's day partitions — later pieces APPEND, so
+            # a crashed attempt's partial rows in those days would
+            # otherwise duplicate on the rerun
+            for day in range(lo // 86_400_000, hi // 86_400_000 + 1):
+                shutil.rmtree(os.path.join(results_dir, f"result_date={day}"),
+                              ignore_errors=True)
         out_after = self.config.model_output_after()
         total_rows = 0
         outs = []

@@ -118,6 +118,8 @@ def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_d
     shutil.rmtree(staging, ignore_errors=True)
     try:
         ds.write_parquet(staging, partition_cols=[partition_col])
+        if not os.path.isdir(staging):
+            return  # zero-row dataset: Ray never created the staging dir
         for name in sorted(os.listdir(staging)):
             if not name.startswith(f"{partition_col}="):
                 continue

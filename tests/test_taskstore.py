@@ -1,6 +1,7 @@
 """ADTask-style task docs: state machine + run_once wiring."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -193,3 +194,81 @@ def test_task_profile(ray_session, tmp_path):
     assert prof["total_model_bytes"] > 0
     assert prof["rcf_total_updates"] >= 100  # ~120 windows per entity
     assert prof["shingle_size"] == cfg.shingle_size
+
+
+def test_failed_piecewise_task_restarts_clean(ray_session, tmp_path, monkeypatch):
+    """A crash mid-pieces lands the task in FAILED with the current-piece
+    marker set; create() resets it to CREATED (the reference restarts
+    non-finished historical tasks from scratch) and the rerun finishes
+    with replace-mode results identical to an uninterrupted run."""
+    import glob
+
+    import anomaly_detection_ray.pipelines.api as api_mod
+    from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    n = 1200
+    base = 1_704_067_200_000
+    tbl = pa.table(
+        {
+            "ts": pa.array((base + np.arange(n) * 60_000).astype("int64")),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(np.sin(np.arange(n) / 7.0) + 3.0),
+        }
+    )
+    src = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, src)
+    cfg = DetectorConfig(config_id="restart-det", interval_s=600,
+                         category_fields=("event_type",),
+                         features=(FeatureSpec("value_avg", "value", "avg"),))
+    api = DetectorAPI(cfg, src)
+    store = TaskStore(str(tmp_path / "tasks"))
+    results = str(tmp_path / "results")
+    rng = (base, base + n * 60_000)
+
+    real_write = api_mod.write_results if hasattr(api_mod, "write_results") else None
+    from anomaly_detection_ray.stages import sink as sink_mod
+
+    calls = {"n": 0}
+    orig = sink_mod.write_results
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected piece-2 crash")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sink_mod, "write_results", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        api.run_once(results_dir=results, task_store=store,
+                     time_range_ms=rng, piece_intervals=60)
+    tid = store.task_id("restart-det", rng)
+    doc = store.get(tid)
+    assert doc["state"] == "FAILED" and doc["error"]
+    assert doc["current_piece"] is not None  # resume marker for observers
+    assert 0 < doc["task_progress"] < 1.0
+
+    # restart: reset to CREATED, rerun FROM SCRATCH (task-private
+    # checkpoints + this range's day partitions wiped — the reference
+    # restarts non-finished historical tasks rather than resuming)
+    monkeypatch.setattr(sink_mod, "write_results", orig)
+    api.run_once(results_dir=results, task_store=store,
+                 time_range_ms=rng, piece_intervals=60)
+    doc = store.get(tid)
+    assert doc["state"] == "FINISHED" and doc["task_progress"] == 1.0
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(results + "/**/*.parquet", recursive=True))
+    assert total == doc["n_result_rows"] > 0
+    # ...and the restarted run's output equals an uninterrupted run's
+    clean = str(tmp_path / "clean")
+    api2 = DetectorAPI(cfg, src)
+    api2.run_once(results_dir=clean, task_store=TaskStore(str(tmp_path / "t2")),
+                  time_range_ms=rng, piece_intervals=60)
+
+    def load(d):
+        t = pa.concat_tables(pq.read_table(f) for f in
+                             sorted(glob.glob(d + "/**/*.parquet", recursive=True)))
+        return (t.to_pandas().sort_values(["model_id", "window_end_ms"])
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(load(results), load(clean))
