@@ -76,28 +76,29 @@ class ForecastGroups:
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         # The group may hold MANY entities (coarse-keyed shuffle — see
-        # ScoreGroups): split on the entity columns and forecast each
-        # stream independently, in stable entity order.
+        # ScoreGroups): ONE vectorized partial-merge + ONE stable sort
+        # for the whole group, then split on the entity columns and
+        # forecast each stream independently, in stable entity order.
         if "_coarse" in group.columns:
             group = group.drop(columns=["_coarse"])
-        if self.entity_cols:
-            keys = [c for c in self.entity_cols if c in group.columns]
-            if keys:
-                parts = [
-                    self._forecast_entity(sub)
-                    for _, sub in group.groupby(keys, sort=True)
-                ]
-                if not parts:
-                    return pd.DataFrame()
-                return parts[0] if len(parts) == 1 else pd.concat(parts)
+        keys = [c for c in self.entity_cols if c in group.columns]
+        if self.fused_config is not None:
+            from ..stages.window import finalize_partials_multi
+
+            group = finalize_partials_multi(group, self.fused_config, keys)
+        group = group.sort_values([*keys, "window_end_ms"], kind="stable")
+        if keys:
+            parts = [
+                self._forecast_entity(sub)
+                for _, sub in group.groupby(keys, sort=True)
+            ]
+            if not parts:
+                return pd.DataFrame()
+            return parts[0] if len(parts) == 1 else pd.concat(parts)
         return self._forecast_entity(group)
 
     def _forecast_entity(self, group: pd.DataFrame) -> pd.DataFrame:
-        if self.fused_config is not None:
-            from ..stages.window import finalize_partial_group
-
-            group = finalize_partial_group(group, self.fused_config)
-        group = group.sort_values("window_end_ms", kind="stable")
+        # pre-merged and pre-sorted by __call__
         entity_cols = [c for c in group.columns if c not in
                        {self.value_col, "window_start_ms", "window_end_ms"}]
         model_id = "forecast_" + self.config_id + "_" + "|".join(
