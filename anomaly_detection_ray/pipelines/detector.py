@@ -57,7 +57,7 @@ def _add_model_id(batch: pa.Table, config: DetectorConfig,
         return batch.append_column("model_id", mid)
     # vectorize over unique entity combos: compute the murmur3 id once per
     # combo, then gather (batches repeat few entities many times); the
-    # optional cache persists combos ACROSS batches (ModelIds actor)
+    # optional cache persists combos ACROSS batches (worker-local dict)
     cols = [batch[c].to_pylist() for c in cats]
     combos = list(zip(*cols)) if cols else []
     uniq = cache if cache is not None else {}
