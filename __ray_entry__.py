@@ -95,6 +95,25 @@ ORDER BY doc_id
 """
 
 
+def _phrase_slop_sql() -> str:
+    """Twin of ``q_phrase_slop_search`` (2-term in-order proximity): some
+    occurrence of the first token has the second within the next
+    ``1 + slop`` positions."""
+    from anomaly_detection_ray.functions.analyzer import Analyzer
+    from anomaly_detection_ray.pipelines.queries import PHRASE_QUERY, PHRASE_SLOP
+
+    a, b = Analyzer("simple").tokens(PHRASE_QUERY)
+    w = 1 + PHRASE_SLOP
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE len(list_filter(
+  generate_series(1, len(toks)),
+  i -> toks[i] = '{a}' AND list_contains(toks[i + 1 : i + {w}], '{b}'))) > 0
+ORDER BY doc_id
+"""
+
+
 def _prefix_sql() -> str:
     """Twin of ``q_prefix_search``: any analyzed token starts with the
     prefix."""
@@ -612,6 +631,7 @@ FROM c GROUP BY event_type ORDER BY event_type
 """,
         "bm25_topk": _bm25_sql(),
         "phrase_search": _phrase_sql(),
+        "phrase_slop_search": _phrase_slop_sql(),
         "prefix_search": _prefix_sql(),
         "phrase_prefix_search": _phrase_prefix_sql(),
         "wildcard_search": _wildcard_sql(),

@@ -701,25 +701,53 @@ class QueryEngine:
             out[t] = np.sort((docs << np.int64(32)) | pos)
         return out
 
-    def phrase(self, query: str) -> np.ndarray:
+    def phrase(self, query: str, slop: int = 0) -> np.ndarray:
         """Sorted doc_ids whose analyzed token stream contains the query
         tokens CONSECUTIVELY (match_phrase, filter context). One
         vectorized key-walk verifies adjacency across every candidate
         doc at once: start from the first term's (doc, pos) keys and
         keep those whose successor key exists for each following term —
-        no per-doc loop, no text access."""
+        no per-doc loop, no text access.
+
+        ``slop > 0`` relaxes to IN-ORDER proximity: the terms must appear
+        in query order within a window of ``len(terms)-1+slop`` positions
+        (∃ p_1<…<p_k with p_k−p_1 ≤ k−1+slop). This is the in-order
+        subset of Lucene's sloppy phrase — the reordering-at-cost-2 moves
+        Lucene also accepts are deliberately NOT matched (documented
+        divergence; in-order-within-window is the semantics the SQL twin
+        can state exactly). Vectorized greedy chain: from every start
+        position, hop to each next term's EARLIEST later occurrence
+        (searchsorted) — greedy minimizes the end for a fixed start, so
+        the window test is exact."""
         terms = self.analyzer.tokens(query)
         if not terms:
             return np.empty(0, dtype=np.int64)
         if len(terms) == 1:
             return self.term_docs(terms[0])
         keys = self._position_keys(terms)
-        s = keys[terms[0]]
-        for i, t in enumerate(terms[1:], start=1):
-            if s.size == 0:
+        if slop <= 0:
+            s = keys[terms[0]]
+            for i, t in enumerate(terms[1:], start=1):
+                if s.size == 0:
+                    break
+                s = s[np.isin(s + np.int64(i), keys[t], assume_unique=False)]
+            return np.unique(s >> np.int64(32)).astype(np.int64)
+        cur = keys[terms[0]]
+        start = cur
+        for t in terms[1:]:
+            if cur.size == 0:
                 break
-            s = s[np.isin(s + np.int64(i), keys[t], assume_unique=False)]
-        return np.unique(s >> np.int64(32)).astype(np.int64)
+            nxt = keys[t]
+            if nxt.size == 0:
+                cur = start = cur[:0]
+                break
+            idx = np.searchsorted(nxt, cur + np.int64(1), side="left")
+            ok = idx < nxt.size
+            cand = nxt[np.minimum(idx, nxt.size - 1)]
+            ok &= (cand >> np.int64(32)) == (cur >> np.int64(32))
+            cur, start = cand[ok], start[ok]
+        m = (cur - start) <= np.int64(len(terms) - 1 + slop)
+        return np.unique(start[m] >> np.int64(32)).astype(np.int64)
 
     def phrase_prefix(self, query: str, max_expansions: int | None = 50) -> np.ndarray:
         """match_phrase_prefix (autocomplete): the query's last token is a

@@ -13,6 +13,9 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"match": {"<f>": {"query": q, "operator": "or"|"and",
                        "minimum_should_match": n}}}   # OpenSearch long form
     {"match_phrase": {"<text-field>": "a b"}} # consecutive tokens (positional sidecar)
+    {"match_phrase": {"<f>": {"query": "a b", "slop": n}}}  # in-order proximity
+                                              # (window ≤ k-1+slop; Lucene's
+                                              # reorder-at-cost-2 NOT matched)
     {"prefix": {"<field>": "val"}}            # dictionary range scan / starts_with
     {"wildcard": {"<field>": "v?l*"}}         # dictionary scan, RE2-compiled pattern
     {"regexp":   {"<field>": "v[ae]l.*"}}     # anchored RE2 over dictionary / column
@@ -161,8 +164,14 @@ class QueryCompiler:
             vals, counts = np.unique(np.concatenate(per_term), return_counts=True)
             return vals[counts >= msm]  # each term's postings are unique
         if kind == "match_phrase":
-            ((_field, text),) = body.items()
-            return np.asarray(self.engine.phrase(str(text)), dtype=np.int64)
+            ((_field, spec),) = body.items()
+            if isinstance(spec, dict):
+                # long form: {"query": q, "slop": n} — in-order proximity
+                return np.asarray(
+                    self.engine.phrase(str(spec["query"]), slop=int(spec.get("slop", 0))),
+                    dtype=np.int64,
+                )
+            return np.asarray(self.engine.phrase(str(spec)), dtype=np.int64)
         if kind == "match_phrase_prefix":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.phrase_prefix(str(text)), dtype=np.int64)

@@ -142,6 +142,19 @@ def q_phrase_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop_search(sf_dir: str) -> pd.DataFrame:
+    """Sloppy match_phrase (in-order proximity): 'part … filter' with up
+    to PHRASE_SLOP intervening positions — value-exact vs a windowed SQL
+    twin (for a 2-term phrase the in-order-within-window semantics is a
+    plain exists over a bounded slice)."""
+    eng = index_for(sf_dir)
+    docs = eng.phrase(PHRASE_QUERY, slop=PHRASE_SLOP)
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 PHRASE_PREFIX_QUERY = "part fil"  # 'part' then any fil*-prefixed token
 
 
@@ -1411,6 +1424,7 @@ REGISTRY = {
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "phrase_search": q_phrase_search,
+    "phrase_slop_search": q_phrase_slop_search,
     "prefix_search": q_prefix_search,
     "phrase_prefix_search": q_phrase_prefix_search,
     "wildcard_search": q_wildcard_search,

@@ -527,3 +527,66 @@ def test_locality_corpus_prune_and_skip_parity(ray_session, tmp_path_factory):
     full = np.intersect1d(eng.term_docs("value"), cand)
     got = eng.conjunctive("seg00003loc0 value")
     assert np.array_equal(np.sort(full), np.sort(got))
+
+
+def test_phrase_slop_vs_bruteforce(ray_session, tiny_corpus, tmp_path_factory):
+    """Sloppy phrase (in-order within window p_k−p_1 ≤ k−1+slop): the
+    vectorized greedy chain must equal a brute-force scan over every
+    doc's token positions, for 2- and 3-term phrases at slop 0..3;
+    slop=0 ≡ the exact-adjacency path; DSL long form carries slop."""
+    import itertools
+
+    out = str(tmp_path_factory.mktemp("slopidx"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=8,
+                batch_size=64, mode="code", store_positions=True)
+    eng = QueryEngine(out)
+    table = tiny_corpus["table"]
+    oracle = BruteForceIndex(
+        table["doc_id"].to_pylist(), table["content"].to_pylist(), Analyzer("code")
+    )
+
+    def brute_slop(terms, slop):
+        hits = []
+        for did, toks in oracle.doc_tokens.items():
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+            if any(not pos[t] for t in terms):
+                continue
+            found = False
+            for p1 in pos[terms[0]]:
+                cur = p1
+                ok = True
+                for t in terms[1:]:
+                    nxt = [p for p in pos[t] if p > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if ok and cur - p1 <= len(terms) - 1 + slop:
+                    found = True
+                    break
+            if found:
+                hits.append(did)
+        return sorted(hits)
+
+    rng = np.random.default_rng(9)
+    cases = []
+    for did in rng.choice(table["doc_id"].to_pylist(), size=8, replace=False):
+        toks = oracle.doc_tokens[int(did)]
+        if len(toks) < 8:
+            continue
+        i = int(rng.integers(0, len(toks) - 6))
+        cases.append([toks[i], toks[i + 2]])             # gap of 1 → needs slop ≥ 1
+        cases.append([toks[i], toks[i + 1], toks[i + 3]])  # 3 terms, gap inside
+    assert cases
+    for terms, slop in itertools.product(cases, (0, 1, 2, 3)):
+        q = " ".join(terms)
+        got = list(eng.phrase(q, slop=slop))
+        assert got == brute_slop(eng.analyzer.tokens(q), slop), (q, slop)
+    # slop=0 ≡ exact-adjacency walk; DSL long form routes the slop
+    q2 = " ".join(cases[0])
+    assert list(eng.phrase(q2, slop=0)) == list(eng.phrase(q2))
+    from anomaly_detection_ray.index.queryast import QueryCompiler
+
+    qc = QueryCompiler(eng)
+    got_dsl = list(qc.execute({"match_phrase": {"content": {"query": q2, "slop": 2}}}))
+    assert got_dsl == list(eng.phrase(q2, slop=2))
