@@ -436,6 +436,29 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def _chunk_dedup_sql() -> str:
+    """Twin of ``q_chunk_dedup``: consecutive k-token chunks, global
+    first occurrence by (doc_id, chunk_idx) via row_number over the
+    chunk STRING (the engine keys on a 2×64-bit chunk hash)."""
+    from anomaly_detection_ray.pipelines.queries import CHUNK_DEDUP_TOKENS as K
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(generate_series(1, CAST(ceil(len(toks) / {K}.0) AS BIGINT))) AS i
+      FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, i AS chunk_idx,
+              array_to_string(toks[(i - 1) * {K} + 1 : i * {K}], ' ') AS chunk
+       FROM c),
+r AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _mlt_sql() -> str:
     """Twin of ``q_more_like_this``: the seed doc's terms are ranked by
     the same tf·idf interestingness (f · ln(N/df), df ≥ 2, ties by term),
@@ -720,6 +743,7 @@ GROUP BY text ORDER BY doc_id
         "corpus_clean_decontam": _corpus_clean_sql(decontam=True),
         "stratified_sample": _stratified_sample_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "chunk_dedup": _chunk_dedup_sql(),
         "more_like_this": _mlt_sql(),
         "decontaminate": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

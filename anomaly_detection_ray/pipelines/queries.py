@@ -877,6 +877,23 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64", "lang": "str"}))
 
 
+CHUNK_DEDUP_TOKENS = 8
+
+
+def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4-style cross-document span dedup stats: per doc, how many of its
+    consecutive 8-token chunks survive global first-occurrence dedup
+    (min (doc_id, chunk_idx) keeps). Value-exact vs the window-function
+    SQL twin."""
+    from ..stages.dedup import chunk_dedup_stats
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    out = chunk_dedup_stats(ds, chunk_tokens=CHUNK_DEDUP_TOKENS).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_chunks": "int64", "n_kept": "int64"}))
+
+
 TEMP_MIX_ALPHA = 0.5
 TEMP_MIX_SEED = 11
 
@@ -1449,6 +1466,7 @@ REGISTRY = {
     "corpus_clean_decontam": q_corpus_clean_decontam,
     "stratified_sample": q_stratified_sample,
     "temperature_mix": q_temperature_mix,
+    "chunk_dedup": q_chunk_dedup,
     "more_like_this": q_more_like_this,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,

@@ -991,3 +991,74 @@ def attach_group_labels(ds, comp, id_col: str = "doc_id", n_rows: int | None = N
         .groupby("ckey")
         .map_groups(join_groups, batch_format="pandas")
     )
+
+
+def chunk_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                      chunk_tokens: int = 8, n_rows: int | None = None,
+                      concurrency=None):
+    """C4-style cross-document SPAN dedup, collapsed to per-doc stats:
+    each doc's analyzed token stream splits into consecutive
+    ``chunk_tokens``-token chunks (trailing partial kept), and every
+    chunk occurrence except the globally FIRST — min (doc_id, chunk_idx)
+    — counts as a drop (C4 removes repeated three-sentence spans across
+    the corpus the same way; the reference has no analogue, this is the
+    training-data side).
+
+    → Dataset (doc_id, n_chunks, n_kept). Scale shape: the text never
+    shuffles — only (hash128, doc_id, chunk_idx) rows do, coarse-keyed on
+    the chunk hash (bounded groups); the per-doc rollup is a native
+    partial-combined aggregate bounded by doc count. Chunk identity is a
+    2×64-bit hash (independent seeds), so engine/SQL divergence needs a
+    128-bit collision."""
+    from ray.data.aggregate import Count, Sum
+
+    analyzer = Analyzer("simple")
+    k = int(chunk_tokens)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_strings
+
+        ids = batch[id_col].to_numpy()
+        toks = analyzer.tokens_batch([t or "" for t in batch[text_col].to_pylist()])
+        out_id, out_idx, chunks = [], [], []
+        for did, tl in zip(ids, toks):
+            n = (len(tl) + k - 1) // k
+            for ci in range(n):
+                out_id.append(did)
+                out_idx.append(ci)
+                chunks.append(" ".join(tl[ci * k:(ci + 1) * k]))
+        if not chunks:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        arr = np.asarray(chunks, dtype=object)
+        h1 = hash_strings(arr).astype(np.int64)
+        h2 = hash_strings(np.char.add(np.asarray(chunks), "\x1e")).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.asarray(out_id, np.int64)),
+                         "chunk_idx": pa.array(np.asarray(out_idx, np.int64)),
+                         "h1": pa.array(h1), "h2": pa.array(h2)})
+
+    n_all = n_rows if n_rows is not None else ds.count()
+    n_coarse = max(32, n_all // 10_000)
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        ck = (b["h1"].to_numpy().astype(np.uint64) % np.uint64(n_coarse)).astype(np.int64)
+        return b.append_column("ckey", pa.array(ck))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        # global first occurrence per chunk = min (doc_id, chunk_idx);
+        # all occurrences of one (h1, h2) live in this coarse group
+        g = g.sort_values(["h1", "h2", "doc_id", "chunk_idx"], kind="stable")
+        keep = ~g.duplicated(["h1", "h2"], keep="first")
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "kept": keep.to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .map_groups(first_wins, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_chunks"), Sum("kept", alias_name="n_kept"))
+    )

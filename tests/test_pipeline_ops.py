@@ -967,3 +967,30 @@ def test_temperature_mix_rebalances(ray_session):
     assert abs(counts["en"] - n_a * 16 ** -0.5) < 40
     # output ratio moved from 16:1 toward sqrt(16)=4:1
     assert 3.0 < counts["en"] / counts["fr"] < 5.0
+
+
+def test_chunk_dedup_planted(ray_session):
+    """Span dedup: doc 0 and doc 2 share their first 8-token chunk —
+    global first occurrence (doc 0, chunk 0) wins; intra-doc repeats of
+    the same chunk also drop."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import chunk_dedup_stats
+
+    span = "a b c d e f g h"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            span + " tail one two three four five six seven",  # 2 chunks
+            "totally different words " * 4,                     # unique
+            span + " " + span,                                  # dup of doc0 c0, twice
+            "",                                                 # token-less
+        ]),
+    })
+    out = (chunk_dedup_stats(rd.from_arrow(docs), chunk_tokens=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1, 2]  # empty doc emits nothing
+    d = out.set_index("doc_id")
+    assert d.loc[0, "n_chunks"] == 2 and d.loc[0, "n_kept"] == 2
+    assert d.loc[1, "n_kept"] == d.loc[1, "n_chunks"]
+    assert d.loc[2, "n_chunks"] == 2 and d.loc[2, "n_kept"] == 0  # both copies lose
