@@ -1040,3 +1040,121 @@ class QueryEngine:
         scores = np.zeros(uniq.size)
         np.add.at(scores, inv, imps)
         return _topk_with_ties(uniq, scores, k)
+
+
+def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
+    """Separate the SCORING part of an OpenSearch-shaped query from its
+    filter-context remainder: a top-level ``match`` (or a bool whose
+    ``must`` contains exactly one match) scores with BM25; everything
+    else stays a filter. The composed bool(filter… ∧ must match) shape is
+    exactly what the reference's ParseUtils generates
+    (``ParseUtils.java:314-331``)."""
+    if not query:
+        return None, None
+    ((kind, body),) = query.items()
+    if kind == "match":
+        ((_f, spec),) = body.items()
+        return (spec["query"] if isinstance(spec, dict) else str(spec)), None
+    if kind == "bool":
+        musts = list(body.get("must", []))
+        scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
+        if len(scoring) == 1:
+            ((_f, spec),) = scoring[0]["match"].items()
+            text = spec["query"] if isinstance(spec, dict) else str(spec)
+            residual = {k: v for k, v in body.items()}
+            residual["must"] = [m for m in musts if m is not scoring[0]]
+            if not residual["must"]:
+                residual.pop("must")
+            return text, ({"bool": residual} if residual else None)
+    return None, query
+
+
+def search(engine: QueryEngine, body: dict, source_files: list[str] | None = None,
+           text_col: str = "content") -> dict:
+    """OpenSearch ``_search``-shaped request → response envelope — the
+    composed surface a user of the reference actually exchanges:
+
+        {"query": …, "size": k, "from": n, "search_after": [score, id],
+         "aggs": {name: {"terms": {"field": f, "size": s}}},
+         "highlight": {"fields": {…}}}
+
+    →   {"hits": {"total": {"value": n, "relation": "eq"},
+                  "hits": [{"_id", "_score", "_source", "highlight"?}]},
+         "aggregations": {name: {"buckets": [{"key", "doc_count"}]}}}
+
+    Query context: a top-level ``match`` (or single bool-must match)
+    scores with BM25 over the residual filter (``bm25_topk_filtered``);
+    pure filter context returns constant score 1.0 in doc_id order
+    (OpenSearch's filter/constant_score behavior). ``aggs`` = terms
+    facets over the full matching set (not just the page), like
+    OpenSearch. ``highlight`` needs ``source_files`` — this index stores
+    metadata + lineage hashes in the docmap, not the text, so snippets
+    read exactly the hit rows back from the source parquet (predicate
+    pushdown), trading _source storage for corpus-scale index size."""
+    import pyarrow.compute as pc
+
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    query = body.get("query")
+    text, residual = _split_scoring_clause(query)
+
+    if text is not None:
+        if body.get("search_after") is not None:
+            if residual is not None:
+                raise ValueError("search_after supports pure match queries")
+            sa = body["search_after"]
+            page = engine.bm25_search_after(text, k=size, search_after=(int(sa[1]), float(sa[0])))
+        elif residual is None:
+            page = engine.bm25_topk(text, k=frm + size, prune=False)[frm:]
+        else:
+            page = engine.bm25_topk_filtered(text, residual, k=frm + size)[frm:]
+        # total = |docs matching any query term| ∧ filter (OpenSearch's
+        # hit count for an OR match)
+        matched = engine.union_docs(engine.query_terms(text))
+        if residual is not None:
+            allowed = engine.execute_filter(residual)
+            matched = matched[np.isin(matched, allowed, assume_unique=True)]
+        total = int(matched.size)
+        hits = [{"_id": int(d), "_score": float(s)} for d, s in page]  # exact: search_after cursors need the unrounded sort value
+    else:
+        docs = engine.execute_filter(query)
+        total = int(docs.size)
+        hits = [{"_id": int(d), "_score": 1.0} for d in docs[frm:frm + size]]
+
+    # _source from the docmap (metadata + lineage hash; text lives in the
+    # source parquet by design)
+    if hits and engine._docmap is not None:
+        ids = [h["_id"] for h in hits]
+        t = engine.live_docmap(filter=pc.field("doc_id").isin(ids))
+        rows = {r["doc_id"]: r for r in t.to_pylist()}
+        for h in hits:
+            src = dict(rows.get(h["_id"], {}))
+            src.pop("doc_id", None)
+            h["_source"] = src
+
+    if body.get("highlight") and text is not None:
+        if not source_files:
+            raise ValueError("highlight needs source_files (text is not stored in the index)")
+        from ..stages.highlight import snippets_for_hits
+
+        snips = snippets_for_hits(
+            engine, source_files, text,
+            [(h["_id"], h["_score"]) for h in hits], text_col=text_col,
+        )
+        for h, s in zip(hits, snips):
+            h["highlight"] = {text_col: [s["snippet"]]}
+
+    out = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        out["aggregations"] = {}
+        for name, spec in aggs.items():
+            if "terms" not in spec:
+                raise ValueError(f"unsupported aggregation {list(spec)} (terms only)")
+            field = spec["terms"]["field"]
+            k = int(spec["terms"].get("size", 10))
+            buckets = engine.facets(query, field, k=k)
+            out["aggregations"][name] = {
+                "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
+            }
+    return out

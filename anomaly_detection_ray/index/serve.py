@@ -44,6 +44,12 @@ class _EngineReplica:
     def mlt_many(self, texts: list[str], k: int) -> list:
         return [self.engine.more_like_this(t, k=k) for t in texts]
 
+    def search_many(self, bodies: list[dict], source_files, text_col: str) -> list:
+        from .query import search
+
+        return [search(self.engine, b, source_files=source_files, text_col=text_col)
+                for b in bodies]
+
     def refresh(self) -> int:
         from .query import QueryEngine
 
@@ -107,6 +113,11 @@ class QueryService:
 
     def more_like_this(self, texts: list[str], k: int = 10) -> list:
         return self._scatter(list(texts), "mlt_many", k)
+
+    def search(self, bodies: list[dict], source_files: list[str] | None = None,
+               text_col: str = "content") -> list[dict]:
+        """One _search response envelope per request body."""
+        return self._scatter(list(bodies), "search_many", source_files, text_col)
 
     def refresh(self) -> list[int]:
         """Re-open the index on every replica (post lifecycle tick);

@@ -169,3 +169,64 @@ def test_exists_semantics(eng):
     assert list(e.execute_filter({"exists": {"field": "content"}})) == all_docs
     assert list(e.execute_filter({"exists": {"field": "lang"}})) == all_docs
     assert list(e.execute_filter({"exists": {"field": "no_such_field"}})) == []
+
+
+def test_search_envelope(eng, tiny_corpus, tmp_path_factory):
+    """The OpenSearch-shaped _search composition: scored match + filter +
+    terms aggs + pagination + _source, consistent with the component
+    APIs it composes."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+
+    # scored match with from/size pagination
+    r = search(e, {"query": {"match": {"content": "merge sort"}}, "size": 5})
+    top = e.bm25_topk("merge sort", k=5, prune=False)
+    assert [h["_id"] for h in r["hits"]["hits"]] == [d for d, _ in top]
+    assert all(h["_source"]["lang"] for h in r["hits"]["hits"])  # docmap _source
+    r2 = search(e, {"query": {"match": {"content": "merge sort"}}, "size": 5, "from": 5})
+    assert [h["_id"] for h in r2["hits"]["hits"]] == [d for d, _ in e.bm25_topk("merge sort", k=10, prune=False)[5:]]
+    # total = docs matching ANY term (OpenSearch OR-match hit count)
+    union = set(oracle.postings.get("merge", ())) | set(oracle.postings.get("sort", ()))
+    assert r["hits"]["total"]["value"] == len(union)
+
+    # bool must-match + filter → filtered BM25 + filtered total
+    q = {"bool": {"must": [{"match": {"content": "merge sort"}}],
+                  "filter": [{"term": {"lang": "java"}}]}}
+    r3 = search(e, {"query": q, "size": 5})
+    fhits = e.bm25_topk_filtered("merge sort", {"bool": {"filter": [{"term": {"lang": "java"}}]}}, k=5)
+    assert [h["_id"] for h in r3["hits"]["hits"]] == [d for d, _ in fhits]
+    allowed = set(df[df["lang"] == "java"]["doc_id"])
+    assert r3["hits"]["total"]["value"] == len(union & allowed)
+
+    # pure filter context: score 1.0, doc order, exact total
+    r4 = search(e, {"query": {"term": {"lang": "python"}}, "size": 3})
+    pys = sorted(df[df["lang"] == "python"]["doc_id"])
+    assert [h["_id"] for h in r4["hits"]["hits"]] == pys[:3]
+    assert all(h["_score"] == 1.0 for h in r4["hits"]["hits"])
+    assert r4["hits"]["total"]["value"] == len(pys)
+
+    # terms aggs ≡ facets over the whole matching set
+    r5 = search(e, {"query": {"match": {"content": "merge"}}, "size": 1,
+                    "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}}})
+    assert [(b["key"], b["doc_count"]) for b in r5["aggregations"]["langs"]["buckets"]] == \
+        e.facets({"match": {"content": "merge"}}, "lang", k=3)
+
+    # search_after pages equal the cursor API's
+    first = search(e, {"query": {"match": {"content": "merge sort"}}, "size": 4})
+    last = first["hits"]["hits"][-1]
+    nxt = search(e, {"query": {"match": {"content": "merge sort"}},
+                     "size": 4, "search_after": [last["_score"], last["_id"]]})
+    assert [h["_id"] for h in nxt["hits"]["hits"]] == \
+        [d for d, _ in e.bm25_topk("merge sort", k=8, prune=False)[4:8]]
+
+    # highlight requires source files; with them, snippets come back
+    r6 = search(e, {"query": {"match": {"content": "merge"}}, "size": 3,
+                    "highlight": {"fields": {"content": {}}}},
+                source_files=tiny_corpus["paths"])
+    assert all("merge" in h["highlight"]["content"][0].lower()
+               or "<em>" in h["highlight"]["content"][0]
+               for h in r6["hits"]["hits"])
+    with pytest.raises(ValueError, match="source_files"):
+        search(e, {"query": {"match": {"content": "merge"}}, "size": 1,
+                   "highlight": {"fields": {"content": {}}}})

@@ -35,6 +35,15 @@ def test_scatter_gather_matches_single_engine(served, tiny_corpus):
     # empty batch and single-item batch round-trip
     assert svc.bm25_topk([], k=5) == []
     assert svc.bm25_topk([queries[0]], k=3, prune=False) == [eng.bm25_topk(queries[0], k=3, prune=False)]
+    # the _search envelope serves through the replicas too
+    from anomaly_detection_ray.index.query import search
+
+    bodies = [{"query": {"match": {"content": q}}, "size": 3,
+               "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}}}
+              for q in queries[:4]]
+    got_env = svc.search(bodies)
+    for b, env in zip(bodies, got_env):
+        assert env == search(eng, b)
 
 
 def test_refresh_sees_segment_add(served, tmp_path_factory):
