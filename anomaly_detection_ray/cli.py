@@ -10,7 +10,8 @@ session). Subcommands map 1:1 to the library surface:
     extend   --index DIR --files F [F …]
     delete   --index DIR (--ids 1,2,3 | --query '<DSL JSON>')
     compact  --index DIR [--max-slices K] [--gc]
-    query    --index DIR (--bm25 "text" | --dsl '<DSL JSON>') [--k 10]
+    query    --index DIR (--bm25 "text" | --dsl '<DSL JSON>' |
+                          --search '<_search body JSON>') [--k 10]
     stats    --index DIR
 
 Each invocation prints ONE JSON line (machine-readable, like bench.py).
@@ -86,6 +87,10 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--bm25", default=None)
     q.add_argument("--dsl", default=None, help="filter-DSL JSON")
+    q.add_argument("--search", default=None,
+                   help="_search request-body JSON (query/size/from/aggs/...)")
+    q.add_argument("--source-files", nargs="*", default=None,
+                   help="source parquet files (required for --search highlight)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
 
@@ -144,10 +149,17 @@ def main(argv=None) -> int:
         elif args.cmd == "query":
             from .index.query import QueryEngine
 
-            if (args.bm25 is None) == (args.dsl is None):
-                p.error("query needs exactly one of --bm25 / --dsl")
+            n_modes = sum(x is not None for x in (args.bm25, args.dsl, args.search))
+            if n_modes != 1:
+                p.error("query needs exactly one of --bm25 / --dsl / --search")
             eng = QueryEngine(args.index)
-            if args.bm25 is not None:
+            if args.search is not None:
+                from .index.query import search
+
+                out = {"cmd": "query",
+                       **search(eng, json.loads(args.search),
+                                source_files=args.source_files)}
+            elif args.bm25 is not None:
                 hits = eng.bm25_topk(args.bm25, k=args.k, prune=not args.no_prune)
                 out = {"cmd": "query", "hits": [
                     {"doc_id": d, "score": round(s, 6)} for d, s in hits

@@ -32,6 +32,14 @@ def test_cli_lifecycle_end_to_end(ray_session, tiny_corpus, tmp_path_factory, ca
                json.dumps({"term": {"lang": "python"}}))
     assert out["n_hits"] > 0
 
+    out = _run(capsys, "query", "--index", idx, "--search", json.dumps({
+        "query": {"match": {"content": "merge sort"}}, "size": 3,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}},
+    }))
+    assert len(out["hits"]["hits"]) == 3 and out["hits"]["total"]["value"] > 0
+    assert out["hits"]["hits"][0]["_id"] == top
+    assert len(out["aggregations"]["langs"]["buckets"]) == 2
+
     out = _run(capsys, "delete", "--index", idx, "--ids", str(top))
     assert out["n_deleted_total"] == 1
     out = _run(capsys, "query", "--index", idx, "--bm25", "merge sort", "--k", "5")
