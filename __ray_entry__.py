@@ -1,11 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``queries()`` exposes every implemented operator/pipeline from
-SURVEY.md §2 (registry in ``anomaly_detection_ray/pipelines/queries.py``);
-``oracle_sql()`` holds the DuckDB-equivalent SQL for each
-SQL-expressible one (same column names, same rounding). Non-SQL ops
-(RCF scoring, MinHash/SimHash/winnowing sketches, media decode,
-imputation) are registered without an oracle → rows-only check.
+SURVEY.md §2 (registry in ``anomaly_detection_ray/pipelines/queries.py``;
+50 of 71 entries oracle-backed); ``oracle_sql()`` holds the
+DuckDB-equivalent SQL for each SQL-expressible one (same column names,
+same rounding). Genuinely non-SQL ops (RCF detect/forecast scoring,
+MinHash/SimHash/winnowing sketches, HLL/t-digest approximations,
+highlighting snippets, media decode) register without an oracle →
+rows-only check, each with pytest parity/golden coverage instead.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
