@@ -15,7 +15,9 @@ def served(ray_session, tiny_corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("serveidx"))
     build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4,
                 batch_size=64, mode="code")
-    svc = QueryService(out, n_replicas=3)
+    # fractional CPUs: replica actors must leave the 4-CPU test session
+    # room for build/compact tasks (full-CPU replicas deadlock it)
+    svc = QueryService(out, n_replicas=3, num_cpus=0.25)
     yield out, svc, QueryEngine(out)
     svc.shutdown()
 
@@ -59,3 +61,32 @@ def test_refresh_sees_segment_add(served, tmp_path_factory):
     assert all(c == 201 for c in counts)
     after = svc.execute_filter([{"term": {"content": "zzserved"}}])[0]
     assert after == [77001]
+
+
+def test_refresh_sees_delete_and_compaction(ray_session, tiny_corpus, tmp_path_factory):
+    """The replica visibility flip covers the whole lifecycle: a delete
+    is invisible until refresh(), and a subsequent forceMerge(1) serves
+    identically through the replicas (rank/score vs a fresh engine)."""
+    from anomaly_detection_ray.index.lifecycle import compact_index, delete_docs
+
+    out = str(tmp_path_factory.mktemp("servelc"))
+    build_index(tiny_corpus["paths"], out, slices=1, num_partitions=4,
+                batch_size=64, mode="code")
+    svc = QueryService(out, n_replicas=2, num_cpus=0.25)
+    try:
+        q = "merge sort"
+        top = svc.bm25_topk([q], k=3, prune=False)[0]
+        victim = top[0][0]
+        delete_docs(out, [victim])
+        # replicas still serve the old manifest until refresh
+        assert svc.bm25_topk([q], k=3, prune=False)[0] == top
+        svc.refresh()
+        after = svc.bm25_topk([q], k=3, prune=False)[0]
+        assert victim not in [d for d, _ in after]
+        compact_index(out, gc=True)
+        svc.refresh()
+        compacted = svc.bm25_topk([q], k=3, prune=False)[0]
+        assert compacted == QueryEngine(out).bm25_topk(q, k=3, prune=False)
+        assert victim not in [d for d, _ in compacted]
+    finally:
+        svc.shutdown()
