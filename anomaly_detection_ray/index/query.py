@@ -1042,29 +1042,53 @@ class QueryEngine:
         return _topk_with_ties(uniq, scores, k)
 
 
+def _match_text_and_default(body: dict) -> tuple[str, bool]:
+    """Text of a ``match`` clause + whether it uses the DEFAULT operator
+    semantics (operator=or, minimum_should_match≤1). Long-form options
+    change the HIT SET, not the per-doc BM25 score."""
+    ((_f, spec),) = body.items()
+    text = spec["query"] if isinstance(spec, dict) else str(spec)
+    is_default = not isinstance(spec, dict) or (
+        spec.get("operator", "or") == "or"
+        and int(spec.get("minimum_should_match", 1)) <= 1
+    )
+    return text, is_default
+
+
 def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
     """Separate the SCORING part of an OpenSearch-shaped query from its
     filter-context remainder: a top-level ``match`` (or a bool whose
     ``must`` contains exactly one match) scores with BM25; everything
     else stays a filter. The composed bool(filter… ∧ must match) shape is
     exactly what the reference's ParseUtils generates
-    (``ParseUtils.java:314-331``)."""
+    (``ParseUtils.java:314-331``).
+
+    A match with ``operator=and`` / ``minimum_should_match`` still scores
+    with BM25 (docs matching all/enough terms have identical OR-sum and
+    AND-sum scores — the non-matching terms contribute 0), but the HIT
+    SET shrinks, so the clause itself stays in the filter-context
+    residual: the scored page and ``hits.total`` are intersected with its
+    conjunctive/msm semantics instead of silently widening to the OR
+    match."""
     if not query:
         return None, None
     ((kind, body),) = query.items()
     if kind == "match":
-        ((_f, spec),) = body.items()
-        return (spec["query"] if isinstance(spec, dict) else str(spec)), None
+        text, default = _match_text_and_default(body)
+        return text, (None if default else dict(query))
     if kind == "bool":
         musts = list(body.get("must", []))
         scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
         if len(scoring) == 1:
-            ((_f, spec),) = scoring[0]["match"].items()
-            text = spec["query"] if isinstance(spec, dict) else str(spec)
+            text, default = _match_text_and_default(scoring[0]["match"])
             residual = {k: v for k, v in body.items()}
-            residual["must"] = [m for m in musts if m is not scoring[0]]
-            if not residual["must"]:
-                residual.pop("must")
+            if default:
+                # default-operator match: lift it out of the residual
+                residual["must"] = [m for m in musts if m is not scoring[0]]
+                if not residual["must"]:
+                    residual.pop("must")
+            # else: the match stays in the residual's must — filter
+            # context applies its operator/msm while its text scores
             return text, ({"bool": residual} if residual else None)
     return None, query
 
@@ -1095,6 +1119,10 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
 
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
+    if frm > 0 and body.get("search_after") is not None:
+        # OpenSearch rejects from>0 combined with search_after — a
+        # malformed request must error, not return a silently-wrong page
+        raise ValueError("`from` parameter must be set to 0 when `search_after` is used")
     query = body.get("query")
     text, residual = _split_scoring_clause(query)
 

@@ -38,6 +38,27 @@ import pyarrow.parquet as pq
 MAX_CODEPOINT = "\U0010ffff"
 
 
+def _monotone_bounds(mins: list[str], maxs: list[str]) -> tuple[list[str], list[str]]:
+    """Make the per-group boundary arrays monotone non-decreasing so the
+    prune bisect is sound. Parquet statistics may be TRUNCATED (a min
+    rounded down, a max rounded up), which can leave stats locally out of
+    order even though the row groups themselves are globally term-sorted
+    — and a bisect over an unsorted array can skip an intersecting group
+    (a silent miss). A running cumulative max restores monotonicity while
+    staying a valid bound in both directions: for maxs, cummax ≥ each
+    group's stat ≥ its true max; for mins, every earlier group's stat is
+    ≤ its own true min ≤ this group's true min (groups are sorted), so
+    cummax(min stats)[g] ≤ true min[g]. Either replacement can only
+    OVER-read a neighbouring group, never miss one."""
+    mins, maxs = list(mins), list(maxs)
+    for i in range(1, len(mins)):
+        if mins[i] < mins[i - 1]:
+            mins[i] = mins[i - 1]
+        if maxs[i] < maxs[i - 1]:
+            maxs[i] = maxs[i - 1]
+    return mins, maxs
+
+
 def _arrow_bisect(col: pa.Array, needle: str, side: str) -> int:
     """Binary search over a sorted Arrow string array (no materialize)."""
     lo, hi = 0, len(col)
@@ -79,7 +100,7 @@ class TermDictionary:
             if mins is None:
                 self.eager = True  # no usable statistics → load it all
             else:
-                self._mins, self._maxs = mins, maxs
+                self._mins, self._maxs = _monotone_bounds(mins, maxs)
         if self.eager:
             t = self._pf.read(columns=["term", "df"])
             self._terms = t["term"].combine_chunks()

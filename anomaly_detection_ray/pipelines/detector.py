@@ -198,8 +198,11 @@ def detect(
     )
     if agg_range is not time_range_ms:
         lo = time_range_ms[0]
+        import pyarrow.compute as pc
+
         results = results.map_batches(
-            lambda df: df[df["window_start_ms"] >= lo], batch_format="pandas"
+            lambda b: b.filter(pc.greater_equal(b["window_start_ms"], lo)),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
     return results
 

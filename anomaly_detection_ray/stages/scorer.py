@@ -185,10 +185,28 @@ class ScoreGroups:
             for mid, sub in group.groupby("model_id", sort=True)
         ]
         if not parts:
-            return group.iloc[0:0]
+            # empty group (Ray's map_groups never produces one, but a
+            # retried/replayed task could): emit the RESULT schema, not
+            # the input schema — a block-schema mismatch here would
+            # poison the downstream block stream
+            return self._empty_result(group)
         # keep empty per-model frames: they carry the result columns, so
         # an all-empty group still emits the right schema
         return parts[0] if len(parts) == 1 else pd.concat(parts)
+
+    def _empty_result(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Zero-row frame with the same columns ``_score_chunk`` emits."""
+        res = group.iloc[0:0].copy()
+        for col in ("anomaly_score", "anomaly_grade", "confidence"):
+            res[col] = np.array([], dtype=np.float64)
+        res["is_anomaly"] = np.array([], dtype=bool)
+        if self.detailed:
+            for f in self.config.feature_names():
+                for suf in ("_expected", "_attribution", "_past"):
+                    res[f + suf] = np.array([], dtype=np.float64)
+            if self.config.rules:
+                res["suppressed_by_rule"] = np.array([], dtype=bool)
+        return res
 
     def _score_model(self, model_id: str, group: pd.DataFrame) -> pd.DataFrame:
         c = self.config

@@ -230,3 +230,48 @@ def test_search_envelope(eng, tiny_corpus, tmp_path_factory):
     with pytest.raises(ValueError, match="source_files"):
         search(e, {"query": {"match": {"content": "merge"}}, "size": 1,
                    "highlight": {"fields": {"content": {}}}})
+
+
+def test_search_envelope_operator_and_msm(eng):
+    """Long-form match options restrict the HIT SET of _search without
+    changing per-doc BM25 scores: operator=and pages/counts only the
+    conjunctive matches (OpenSearch parity — an AND match is scored, but
+    never widens to the OR union), minimum_should_match likewise."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q = "merge sort"
+    sets = [set(oracle.postings.get(t, ())) for t in ("merge", "sort")]
+    full = dict(e.bm25_topk(q, k=10_000, prune=False))
+
+    r = search(e, {"query": {"match": {"content": {"query": q, "operator": "and"}}},
+                   "size": 5})
+    conj = sets[0] & sets[1]
+    assert r["hits"]["total"]["value"] == len(conj)
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert got and all(d in conj for d, _ in got)
+    # page = the BM25 ranking restricted to conjunctive matches
+    exp = sorted(((d, full[d]) for d in conj), key=lambda t: (-t[1], t[0]))[:5]
+    assert got == [(d, pytest.approx(s)) for d, s in exp]
+
+    # the same clause inside a bool must behaves identically
+    rb = search(e, {"query": {"bool": {"must": [
+        {"match": {"content": {"query": q, "operator": "and"}}}]}}, "size": 5})
+    assert [h["_id"] for h in rb["hits"]["hits"]] == [h["_id"] for h in r["hits"]["hits"]]
+    assert rb["hits"]["total"]["value"] == len(conj)
+
+    # minimum_should_match=2 over two terms ≡ operator=and here
+    rm = search(e, {"query": {"match": {"content": {
+        "query": q, "minimum_should_match": 2}}}, "size": 5})
+    assert rm["hits"]["total"]["value"] == len(conj)
+    assert [h["_id"] for h in rm["hits"]["hits"]] == [h["_id"] for h in r["hits"]["hits"]]
+
+
+def test_search_from_with_search_after_rejected(eng):
+    """OpenSearch rejects from>0 combined with search_after."""
+    from anomaly_detection_ray.index.query import search
+
+    e, _, _ = eng
+    with pytest.raises(ValueError, match="search_after"):
+        search(e, {"query": {"match": {"content": "merge"}},
+                   "size": 3, "from": 2, "search_after": [1.0, 0]})

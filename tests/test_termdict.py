@@ -61,6 +61,40 @@ def test_lazy_cache_bounded(dict_file):
     assert len(lazy._cache) <= 2
 
 
+def test_truncated_stats_bounds_never_miss(dict_file):
+    """Parquet statistics truncation can round a group's max UP (and a
+    min DOWN), leaving the boundary arrays locally out of order — the
+    prune bisect must still never skip an intersecting group. Simulate
+    the truncation the writer could apply and check every lookup/scan
+    still matches eager (over-read only, no misses)."""
+    from anomaly_detection_ray.index.termdict import _monotone_bounds
+
+    # unit: cummax restores monotonicity, bounds only widen
+    mins = ["aa", "a", "ca", "bz"]          # locally out of order
+    maxs = ["cz", "bb", "dd", "cz"]
+    m2, x2 = _monotone_bounds(mins, maxs)
+    assert m2 == sorted(m2) and x2 == sorted(x2)
+    assert all(x >= orig for x, orig in zip(x2, maxs))  # maxs only go up (over-read)
+
+    path, vocab = dict_file
+    eager = TermDictionary(path)
+    lazy = TermDictionary(path, budget_bytes=0)
+    # perturb the REAL bounds the way truncation would: round every other
+    # group's max up past its neighbour, truncate every third min down
+    mins = list(lazy._mins)
+    maxs = list(lazy._maxs)
+    for i in range(0, len(maxs) - 1, 2):
+        maxs[i] = maxs[i + 1] + "zz"       # rounded-up max overtakes the next group
+    for i in range(2, len(mins), 3):
+        mins[i] = mins[i][:1]              # truncated-down min falls behind
+    lazy._mins, lazy._maxs = _monotone_bounds(mins, maxs)
+    for t in vocab[::23] + ["", "zzz", vocab[5] + "q"]:
+        assert lazy.df(t) == eager.df(t), t
+    for p in ("a", "bc", "f", "de"):
+        want = [t for t in vocab if t.startswith(p)]
+        assert [t for sl in lazy.iter_slices(p) for t in sl.to_pylist()] == want, p
+
+
 def test_engine_lazy_dictionary_parity(ray_session, tiny_corpus, tmp_path_factory):
     """QueryEngine with a forced-lazy dictionary returns identical results
     for every dictionary-driven surface (df/prefix/wildcard/regexp/fuzzy
