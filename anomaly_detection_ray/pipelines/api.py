@@ -28,6 +28,31 @@ from ..stages.window import add_window_columns
 WINDOW_DELAY_RATIO = 1.2  # TimeSeriesSettings.java:301
 
 
+def _per_entity_map_groups(ds, cats: list[str], fn, coarse_groups: int | None) -> pd.DataFrame:
+    """Run a per-entity pandas UDF over a COARSE-keyed shuffle: group on
+    ``hash(entity) % (8×CPUs)`` and iterate the entities inside each
+    group (same exchange shape as ``detect()``/``forecast()``'s
+    ScoreGroups) — never one Ray group per distinct entity, which is the
+    repo's measured per-group-overhead cliff. ``coarse_groups=0`` pins
+    the legacy per-entity plan for parity tests. Returns the collected
+    pandas result (validation outputs are entity-bounded, tiny rows)."""
+    from .detector import add_coarse_key, resolve_coarse_groups
+
+    n_coarse = resolve_coarse_groups(coarse_groups)
+    if n_coarse <= 0:
+        return ds.groupby(cats).map_groups(fn, batch_format="pandas").to_pandas()
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_coarse"])
+        parts = [fn(sub) for _, sub in g.groupby(cats, sort=True)]
+        if not parts:  # replayed empty group — keep the output schema
+            return fn(g.iloc[0:0])
+        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+    keyed = add_coarse_key(ds, n_coarse, cols=tuple(cats))
+    return keyed.groupby("_coarse").map_groups(per_coarse, batch_format="pandas").to_pandas()
+
+
 class DetectorAPI:
     def __init__(self, config: DetectorConfig, events_path: str, ts_col: str = "ts"):
         self.config = config
@@ -84,13 +109,21 @@ class DetectorAPI:
         recent = frame["window_start_ms"].to_numpy()
         return max(1, int(round(float(np.median(np.diff(np.sort(recent)))) / 1000.0)))
 
-    def suggest_period(self, max_period: int = 96) -> int:
+    def suggest_period(self, max_period: int = 96, coarse_groups: int | None = None) -> int:
         """Seasonal-period suggestion for the forecast side (the
         reference's forecaster validation suggests horizon/interval;
         ``forecast/rest/handler``): per-entity autocorrelation of the
         windowed feature series (FFT-based, inside ``map_groups``), then
         a length-weighted vote across entities. Returns 0 when no lag's
-        autocorrelation clears 0.3 — 'no clear seasonality'."""
+        autocorrelation clears 0.3 — 'no clear seasonality'.
+
+        The per-entity pass shuffles on ``hash(entity) % (8×CPUs)`` and
+        iterates entities INSIDE each group (the detect()/forecast()
+        exchange shape): one Ray/pandas group per DISTINCT entity is the
+        measured per-group-overhead cliff at the reference's 1M-entity
+        HC regime (``SearchFeatureDao.java:316-322``).
+        ``coarse_groups=0`` pins the legacy per-entity plan (parity
+        tests)."""
         from ..stages.window import window_aggregate
 
         feats = self.config.feature_names()
@@ -120,7 +153,7 @@ class DetectorAPI:
             return pd.DataFrame({"period": [period], "weight": [n]})
 
         if cats:
-            votes = agg.groupby(cats).map_groups(entity_period, batch_format="pandas").to_pandas()
+            votes = _per_entity_map_groups(agg, cats, entity_period, coarse_groups)
         else:
             votes = entity_period(agg.to_pandas())
         if "weight" not in votes.columns:  # empty input → no votes at all
@@ -133,11 +166,11 @@ class DetectorAPI:
 
     # ---- _validate ----
 
-    def validate(self) -> dict:
+    def validate(self, coarse_groups: int | None = None) -> dict:
         """Shingle-density (B4) + interval sanity + window-delay
         suggestion (WINDOW_DELAY_RATIO × observed ingest delay is the
         reference's rule; with batch files we report the suggested
-        interval instead)."""
+        interval instead). ``coarse_groups``: see ``suggest_period``."""
         from ..stages.priority import decayed_top_entities  # noqa: F401 (import check)
 
         issues: list[str] = []
@@ -194,6 +227,9 @@ class DetectorAPI:
         cols = cats + ["window_start_ms"]
 
         def entity_density(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({"entity": pd.Series(dtype=object),
+                                     "density": pd.Series(dtype=np.float64)})
             a = np.unique(g["window_start_ms"].to_numpy())
             lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
             full = int(((np.arange(a.size) - lo + 1) == s).sum())
@@ -201,11 +237,10 @@ class DetectorAPI:
             return pd.DataFrame({"entity": [key], "density": [full / max(1, a.size)]})
 
         if cats:
-            dens = (
-                ds.select_columns(cols)
-                .groupby(cats)
-                .map_groups(entity_density, batch_format="pandas")
-                .to_pandas()
+            # coarse-keyed per-entity pass (hash(entity) % 8×CPUs, entities
+            # iterated inside the group) — see _per_entity_map_groups
+            dens = _per_entity_map_groups(
+                ds.select_columns(cols), cats, entity_density, coarse_groups
             )
             # empty input → map_groups yields a columnless empty frame
             density = (dict(zip(dens["entity"], dens["density"]))

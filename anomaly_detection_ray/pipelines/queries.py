@@ -1428,25 +1428,30 @@ REGISTRY = {
     # ~50-entry window): 46 oracle-backed entries first, then the four
     # flagship rows-only pipelines (detect/forecast/preview MUST stay
     # driver-visible), then four oracle-backed entries whose machinery a
-    # sibling twin already verifies (tpch_q1 ~ feature aggs,
-    # decayed_top ~ top_entities, search_after ~ bm25, phrase_slop ~
-    # phrase), then the remaining rows-only entries by importance.
+    # sibling twin already verifies, then the remaining rows-only
+    # entries by importance. The four sibling-verified entries ROTATE
+    # each round (r5 swapped tpch_q1/decayed_top/search_after/phrase_slop
+    # IN and prefix/regexp/fuzzy/feature_agg_filtered OUT — the outgoing
+    # four are covered by wildcard_search/phrase_prefix_search (termscan +
+    # prefix machinery) and feature_agg_interval+filtered_search), so
+    # every oracle-backed entry gets driver-green at least every other
+    # round.
     "min_max_time": q_min_max_time,
     "feature_agg_interval": q_feature_agg_interval,
-    "feature_agg_filtered": q_feature_agg_filtered,
+    "tpch_q1": q_tpch_q1,
     "date_range_agg": q_date_range_agg,
     "top_entities": q_top_entities,
+    "decayed_top_entities": q_decayed_top_entities,
     "entity_cardinality": q_entity_cardinality,
     "value_percentile": q_value_percentile,
     "interval_suggest": q_interval_suggest,
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
+    "search_after_page": q_search_after_page,
     "phrase_search": q_phrase_search,
-    "prefix_search": q_prefix_search,
+    "phrase_slop_search": q_phrase_slop_search,
     "phrase_prefix_search": q_phrase_prefix_search,
     "wildcard_search": q_wildcard_search,
-    "regexp_search": q_regexp_search,
-    "fuzzy_search": q_fuzzy_search,
     "bool_msm_search": q_bool_msm_search,
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
@@ -1482,11 +1487,11 @@ REGISTRY = {
     "detect_hc": q_detect_hc,
     "forecast_events": q_forecast_events,
     "detector_preview": q_detector_preview,
-    # --- oracle-backed, sibling-verified machinery ---
-    "tpch_q1": q_tpch_q1,
-    "decayed_top_entities": q_decayed_top_entities,
-    "search_after_page": q_search_after_page,
-    "phrase_slop_search": q_phrase_slop_search,
+    # --- oracle-backed, sibling-verified machinery (rotated out r5) ---
+    "feature_agg_filtered": q_feature_agg_filtered,
+    "prefix_search": q_prefix_search,
+    "regexp_search": q_regexp_search,
+    "fuzzy_search": q_fuzzy_search,
     # --- remaining rows-only ---
     "detect_with_rules": q_detect_with_rules,
     "forecast_events_rcf": q_forecast_events_rcf,

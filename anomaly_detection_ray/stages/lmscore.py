@@ -88,19 +88,31 @@ def broadcast_term_table(tbl: pd.DataFrame):
 
 
 class _Scorer:
-    """Shared setup: fetch the broadcast table once per actor and build
-    the term → row dict (object-hash lookup beats searchsorted on object
-    strings)."""
+    """Shared setup: fetch the broadcast table once per actor and keep it
+    as the SORTED arrays it arrives as — lookups are ``np.searchsorted``
+    over the term array (the term-dictionary pattern). A Python dict of
+    the full vocabulary would cost ~100 B/term of per-actor heap (tens of
+    GB at a 10⁸-term web vocabulary); the sorted-array view adds nothing
+    beyond the broadcast itself (~16 B/term numeric + the strings)."""
 
     def __init__(self, table_ref, text_col: str, id_col: str):
         import ray
 
         t = table_ref if isinstance(table_ref, dict) else ray.get(table_ref)
-        self.logp = dict(zip(t["terms"], np.log(t["c"] / t["total"])))
-        self.df = dict(zip(t["terms"], t["df"].astype(np.float64)))
-        self.total_docs = None  # set by subclasses that need N
+        self.terms = t["terms"]  # term-sorted (term_table sorts)
+        self.logp = np.log(t["c"] / t["total"])
+        self.df = t["df"].astype(np.float64)
         self.analyzer = Analyzer("simple")
         self.text_col, self.id_col = text_col, id_col
+
+    def _lookup(self, tokens: np.ndarray, values: np.ndarray) -> np.ndarray:
+        """values[vocab index of token], NaN for out-of-vocabulary."""
+        if not len(self.terms):
+            return np.full(len(tokens), np.nan)
+        idx = np.searchsorted(self.terms, tokens)
+        idx_c = np.minimum(idx, len(self.terms) - 1)
+        hit = self.terms[idx_c] == tokens
+        return np.where(hit, values[idx_c], np.nan)
 
 
 class UnigramNLL(_Scorer):
@@ -115,7 +127,7 @@ class UnigramNLL(_Scorer):
         if not flat.size:
             return pa.table({"doc_id": pa.array([], batch[self.id_col].type),
                              "nll_nats": pa.array([], pa.float64())})
-        lp = pd.Series(flat).map(self.logp).to_numpy(np.float64)
+        lp = self._lookup(flat, self.logp)
         offs = np.concatenate(([0], np.cumsum(counts)))
         keep = counts > 0
         # reduceat over NON-EMPTY starts only: clamping empty docs' starts
@@ -148,7 +160,7 @@ class TfIdfTopK(_Scorer):
         doc_of = np.repeat(np.arange(len(counts)), counts)
         tf = (pd.DataFrame({"d": doc_of, "t": flat})
               .groupby(["d", "t"], sort=False).size().reset_index(name="tf"))
-        idf = np.log(self.n_docs / tf["t"].map(self.df).to_numpy(np.float64))
+        idf = np.log(self.n_docs / self._lookup(tf["t"].to_numpy(object), self.df))
         tf["score"] = np.round(tf["tf"].to_numpy(np.float64) * idf, 6)
         # rank AFTER rounding so engine and SQL twin break ties on the
         # same rounded values

@@ -441,6 +441,31 @@ def hc_bench() -> dict:
     t_fc = round(time.perf_counter() - t0, 3)
     assert nf == HC_ENTITIES * 12
 
+    # validation front door (api.validate / suggest_period) at HC scale:
+    # the coarse-keyed per-entity pass vs the legacy one-Ray-group-per-
+    # entity plan it replaced (the same cliff detect() had at r3)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    vdir = "/tmp/adr_bench"
+    os.makedirs(vdir, exist_ok=True)
+    vpath = os.path.join(vdir, "hc_validate_events.parquet")
+    pq.write_table(events(HC_ENTITIES), vpath, row_group_size=2048)
+    api = DetectorAPI(cfg(), vpath)
+    api.suggest_interval()  # warm-up: read path + windowing code
+    t0 = time.perf_counter()
+    assert api.validate(coarse_groups=0)["ok"]  # legacy per-entity plan
+    t_val_legacy = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    assert api.validate()["ok"]
+    t_val = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    api.suggest_period()
+    t_sp = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     linearity = round((t_hi / t_lo) / 4.0, 3)  # 1.0 = perfectly linear
     return {
@@ -449,7 +474,10 @@ def hc_bench() -> dict:
         "unit": "ratio",
         "queries": {f"detect_{HC_ENTITIES // 4}_entities": t_lo,
                     f"detect_{HC_ENTITIES}_entities": t_hi,
-                    f"forecast_{HC_ENTITIES}_entities": t_fc},
+                    f"forecast_{HC_ENTITIES}_entities": t_fc,
+                    f"validate_{HC_ENTITIES}_entities": t_val,
+                    f"validate_{HC_ENTITIES}_entities_legacy_per_entity": t_val_legacy,
+                    f"suggest_period_{HC_ENTITIES}_entities": t_sp},
         "sf": f"synthetic {HC_ENTITIES} entities x {HC_WINDOWS} windows",
         "num_cpus": NUM_CPUS,
         "extra": {"entities_per_sec_hi": round(HC_ENTITIES / t_hi, 1),

@@ -47,6 +47,18 @@ def test_validate_and_suggest(ray_session, events_file):
     assert all(d > 0.5 for d in v["shingle_density"].values())
 
 
+def test_validate_suggest_coarse_parity(ray_session, events_file):
+    """The coarse-keyed per-entity exchange (hash(entity) % 8×CPUs,
+    entities iterated inside the group) is a pure plan change:
+    validate() and suggest_period() outputs are identical to the legacy
+    one-Ray-group-per-entity plan (coarse_groups=0)."""
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    api = DetectorAPI(_cfg(), events_file)
+    assert api.validate() == api.validate(coarse_groups=0)
+    assert api.suggest_period() == api.suggest_period(coarse_groups=0)
+
+
 def test_preview_deterministic(ray_session, events_file):
     from anomaly_detection_ray.pipelines.api import DetectorAPI
 

@@ -918,6 +918,31 @@ def test_lmscore_hand_computed(ray_session):
     assert 2 not in set(kw["doc_id"])
 
 
+def test_lmscore_sorted_array_lookup_memory():
+    """The scoring actors keep the broadcast vocabulary as SORTED numpy
+    arrays + searchsorted lookups — never a per-actor Python dict (which
+    would cost ~100 B/term at a 10⁸-term web vocabulary). Numeric side
+    memory = 16 B/term exactly; OOV tokens come back NaN."""
+    from anomaly_detection_ray.stages.lmscore import _Scorer
+
+    vocab = np.array(sorted(f"t{i:04d}" for i in range(1000)), dtype=object)
+    table = {"terms": vocab,
+             "c": np.arange(1, 1001, dtype=np.int64),
+             "df": np.arange(1, 1001, dtype=np.int64),
+             "total": int(np.arange(1, 1001).sum())}
+    s = _Scorer(table, text_col="text", id_col="doc_id")
+    assert isinstance(s.logp, np.ndarray) and isinstance(s.df, np.ndarray)
+    assert s.logp.nbytes + s.df.nbytes == 16 * len(vocab)  # 16 B/term numeric
+    toks = np.array(["t0000", "zzz-oov", "t0999", "a"], dtype=object)
+    got = s._lookup(toks, s.df)
+    assert got[0] == 1.0 and got[2] == 1000.0
+    assert np.isnan(got[1]) and np.isnan(got[3])
+    # empty vocabulary → all-NaN, no crash
+    empty = _Scorer({"terms": np.empty(0, object), "c": np.empty(0, np.int64),
+                     "df": np.empty(0, np.int64), "total": 1}, "text", "doc_id")
+    assert np.isnan(empty._lookup(toks, empty.df)).all()
+
+
 def test_overlap_count_trailing_empty_doc(ray_session):
     """Regression: a trailing token-less doc must not steal the previous
     doc's last shingle from its overlap count (the reduceat clamp bug)."""
