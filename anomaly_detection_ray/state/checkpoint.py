@@ -10,6 +10,14 @@ samples are dropped (§2.F ordering rule).
 
 Model ids can contain characters unsafe for filenames, so files are
 keyed by sha256(model_id).
+
+Blobs are stamped with a ``format_version`` (the reference keeps golden
+checkpoints of every historical schema and reads them all —
+``ADCheckpointDao.java:60-138`` legacy-JSON handling,
+``src/test/resources/.../checkpoint_1..4.json``): blobs WITHOUT the
+field are version 1 (the pre-stamp shape, still the current layout), a
+known version loads, an unknown/newer version refuses with a clear
+message instead of mis-deserializing a running job's state.
 """
 
 from __future__ import annotations
@@ -20,6 +28,10 @@ import pickle
 
 from ..functions.hashing import sha256_hex
 from .model import TRCFModel
+
+# bump when the state-dict layout changes; add a migration branch in
+# load_state for every version this reader still accepts
+FORMAT_VERSION = 1
 
 
 class CheckpointStore:
@@ -46,13 +58,24 @@ class CheckpointStore:
             state = pickle.load(f)
         if state.get("model_id") != model_id:
             return None  # hash-prefix collision — treat as cold start
+        # BWC: a blob without the stamp predates versioning = format 1,
+        # which is still the live layout — read it as-is. An UNKNOWN
+        # version must refuse loudly (silently mis-reading a newer
+        # engine's state would corrupt a running job), never cold-start.
+        version = int(state.get("format_version", 1))
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint for {model_id!r} has format_version={version}; "
+                f"this engine reads version {FORMAT_VERSION} — upgrade the "
+                "engine or re-train the model"
+            )
         return state
 
     def save_state(self, model_id: str, state: dict, n_points: int | None = None,
                    last_window_end: int | None = None) -> dict:
         p = self._path(model_id)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        state = dict(state, model_id=model_id)
+        state = dict(state, model_id=model_id, format_version=FORMAT_VERSION)
         blob = pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL)
         tmp = f"{p}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -60,6 +83,7 @@ class CheckpointStore:
         os.replace(tmp, p)
         meta = {
             "model_id": model_id,
+            "format_version": FORMAT_VERSION,
             "sha256": sha256_hex(blob),
             "n_points": n_points,
             "last_window_end": last_window_end,

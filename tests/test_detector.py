@@ -7,6 +7,7 @@ randomSeed(0) promise)."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from anomaly_detection_ray.config import DetectorConfig, FeatureSpec
@@ -291,6 +292,83 @@ def test_detect_end_to_end_quality(ray_session, stream_table):
                 & (flagged["window_end_ms"] - s["window_end_ms"]).between(0, 2 * w)
             ).any()
         ),
+        axis=1,
+    )
+    recall = recalled.mean()
+    assert precision >= 0.4, f"precision {precision}"
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_detect_quality_independent_labeled_fixture(ray_session):
+    """Detector quality on a labeled series family the training/spike
+    generator (``sources.streams.generate_interval_stream`` — cosine +
+    multiplicative spikes) NEVER produces: two superimposed seasonal
+    periods (24 and 168 windows) + linear trend + additive point
+    anomalies of alternating sign + a CONTEXTUAL anomaly (the value of
+    the opposite seasonal phase — globally in-range, wrong for its
+    position) + a persistent level shift. Floors are the reference's own
+    labeled-data gates (``SingleStreamModelPerfIT.java:47-53``:
+    precision ≥ 0.4, window-tolerant recall ≥ 0.7). Deterministic from
+    the fixed seed — detect() itself is seeded from config.seed ⊕
+    murmur3(model_id)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.detector import detect
+
+    W = 600_000
+    T0 = 1704067200000
+    n_windows, mag = 900, 300.0
+    rng = np.random.default_rng(7)
+    frames, labels = [], []
+    for e in range(3):
+        i = np.arange(n_windows, dtype=np.float64)
+        phase = rng.uniform(0, 2 * np.pi)
+        vals = (500.0 + 0.05 * i
+                + 80.0 * np.sin(2 * np.pi * i / 24 + phase)
+                + 40.0 * np.sin(2 * np.pi * i / 168 + phase / 2)
+                + rng.normal(0, 3.0, n_windows))
+        lab = np.zeros(n_windows, dtype=bool)
+        pts = rng.choice(np.arange(350, n_windows - 40), size=8, replace=False)
+        pts.sort()
+        keep = [pts[0]]  # ≥30 windows apart so label windows never merge
+        for p in pts[1:]:
+            if p - keep[-1] >= 30:
+                keep.append(p)
+        for k, p in enumerate(keep):
+            vals[p] += mag if k % 2 == 0 else -mag
+            lab[p] = True
+        c = int(keep[0] + 15)  # contextual: phase-opposite, globally in-range
+        vals[c] = (500.0 + 0.05 * c
+                   + 80.0 * np.sin(2 * np.pi * c / 24 + phase + np.pi)
+                   + 40.0 * np.sin(2 * np.pi * c / 168 + phase / 2 + np.pi))
+        lab[c] = True
+        s = int(keep[-1] + 20)  # level shift, labeled at the shift window
+        vals[s:] += 70.0
+        lab[s] = True
+        ts = T0 + (np.arange(n_windows, dtype=np.int64) + 1) * W
+        frames.append(pd.DataFrame({"entity": f"ent{e}", "ts": ts, "value": vals}))
+        labels.append(pd.DataFrame({"entity": f"ent{e}", "window_end_ms": ts, "truth": lab}))
+    ev = pd.concat(frames, ignore_index=True)
+    ev["ts"] = ev["ts"].astype("datetime64[ms]")
+    spikes = pd.concat(labels, ignore_index=True)
+    spikes = spikes[spikes["truth"]]
+    tbl = pa.Table.from_pandas(ev, preserve_index=False)
+
+    cfg = _detector_cfg()
+    res = detect(rd.from_arrow(tbl), cfg, ts_col="ts", concurrency=2).to_pandas()
+    res = res[res["anomaly_score"] > 0]
+    flagged = res[res["anomaly_grade"] > 0]
+    tol = cfg.shingle_size * W
+
+    def near(row, within):
+        s = spikes[spikes["entity"] == row["entity"]]
+        return bool(((row["window_end_ms"] - s["window_end_ms"]).between(0, within)).any())
+
+    tp = flagged.apply(lambda r: near(r, tol), axis=1)
+    precision = tp.mean() if len(flagged) else 0.0
+    recalled = spikes.apply(
+        lambda s: bool(((flagged["entity"] == s["entity"])
+                        & (flagged["window_end_ms"] - s["window_end_ms"]).between(0, 2 * W)).any()),
         axis=1,
     )
     recall = recalled.mean()

@@ -65,6 +65,60 @@ def test_checkpoint_gc(tmp_path):
     assert store.load("new") is not None
 
 
+def test_checkpoint_v1_golden_bwc(tmp_path):
+    """Backward compatibility: a GOLDEN pre-versioning (format 1)
+    checkpoint committed to the repo restores byte-identically and
+    continues its stream with frozen expected scores — the reference
+    round-trips golden checkpoints of every historical schema
+    (``src/test/resources/org/opensearch/ad/ml/checkpoint_1..4.json``,
+    ``ADCheckpointDao.java:60-138``). Re-saving stamps the current
+    format_version; an unknown version refuses with a message instead of
+    mis-deserializing."""
+    import json
+    import os
+    import pickle
+    import shutil
+
+    from anomaly_detection_ray.functions.hashing import sha256_hex
+    from anomaly_detection_ray.state.checkpoint import FORMAT_VERSION
+
+    golden = os.path.join(os.path.dirname(__file__), "data", "checkpoint_v1")
+    root = str(tmp_path / "store")
+    shutil.copytree(golden, root)
+    expected = json.load(open(os.path.join(root, "expected.json")))
+    store = CheckpointStore(root)
+
+    # the stored blob is byte-identical to what was committed …
+    p = store._path("golden-v1-model")
+    blob = open(p, "rb").read()
+    assert sha256_hex(blob) == expected["sha256"]
+    assert "format_version" not in pickle.loads(blob)  # truly pre-stamp
+
+    # … the current reader restores it and continues the stream exactly
+    m = store.load("golden-v1-model")
+    assert m is not None and m.n_points == 200
+    t0 = 1704067200000
+    cont = []
+    for i in range(200, 220):
+        r = m.process(np.array([100.0 + 10 * np.sin(i / 6)]), t0 + (i + 1) * 600_000)
+        cont.append([float(r["anomaly_score"]), float(r["anomaly_grade"])])
+    assert cont == expected["continuation"]
+
+    # re-save stamps the current version (blob + sidecar meta) and reloads
+    meta = store.save(m)
+    assert meta["format_version"] == FORMAT_VERSION
+    assert pickle.loads(open(p, "rb").read())["format_version"] == FORMAT_VERSION
+    assert store.load("golden-v1-model") is not None
+
+    # a NEWER/unknown version refuses with a clear message, never a
+    # silent cold start
+    state = pickle.loads(open(p, "rb").read())
+    state["format_version"] = FORMAT_VERSION + 1
+    open(p, "wb").write(pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL))
+    with pytest.raises(ValueError, match="format_version"):
+        store.load("golden-v1-model")
+
+
 def test_generate_insights():
     clusters = pd.DataFrame(
         {
