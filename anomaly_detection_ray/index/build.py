@@ -44,6 +44,143 @@ from .segments import DEFAULT_BLOCK_SIZE
 
 MANIFEST_NAME = "manifest.json"
 
+# global-term-stats finalize: below this total posting-stat size the
+# driver aggregates inline (instant, byte-stable); above it the stats
+# pass runs as a distributed groupby + range-partitioned sort and the
+# dictionary is written as a DIRECTORY of globally-sorted part files —
+# the driver only ever holds one part's manifest metadata, never the
+# vocabulary (a 10⁹-term dictionary would OOM a driver-side sort)
+STATS_INLINE_BYTES = 512 * 1024 * 1024
+# modest row groups: the term-sorted dictionary's row-group statistics
+# are the LAZY serving mode's prune index (termdict.TermDictionary) —
+# one giant group would force every dictionary scan to read the file
+STATS_ROW_GROUP = 131072
+
+
+def _stats_sha256(path: str) -> str:
+    """Lineage hash of the stats dictionary — a single file, or a
+    directory of part files (hash over 'name:sha256' lines in name
+    order, so any part change or rename changes the digest)."""
+    if os.path.isdir(path):
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                h.update(f"{name}:{sha256_file(os.path.join(path, name))}\n".encode())
+        return h.hexdigest()
+    return sha256_file(path)
+
+
+def _write_stats_part(block, path: str) -> tuple[int, str | None, str | None]:
+    """Write one globally-sorted stats block as a part file; returns
+    (n_terms, first_term, last_term) for the driver's boundary check."""
+    tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if tbl.num_rows == 0:
+        return 0, None, None
+    tbl = tbl.select(["term", "df", "cttf"])
+    pq.write_table(tbl, path, row_group_size=STATS_ROW_GROUP)
+    return tbl.num_rows, tbl["term"][0].as_py(), tbl["term"][tbl.num_rows - 1].as_py()
+
+
+def _write_global_stats(posting_files: list[str], stats_path: str,
+                        inline_bytes: int = STATS_INLINE_BYTES) -> int:
+    """Global (term, df, cttf) dictionary from the posting parts' chunk
+    stat columns, term-sorted, written atomically to ``stats_path``.
+    Returns the term count.
+
+    Small indexes (≤ ``inline_bytes`` of posting parts): driver-side
+    pandas aggregation into ONE file — instant and byte-stable. Bigger:
+    a Ray groupby merges the per-partition stats, a distributed
+    range-partition sort orders them by term, and each sorted block
+    writes its own part file under a ``stats.parquet/`` DIRECTORY — the
+    vocabulary never materializes on the driver (only per-part
+    boundaries do), so a 10⁹-term build finalizes with flat driver RSS.
+    Both layouts serve identically through ``termdict.TermDictionary``."""
+    import pandas as pd
+
+    total_bytes = sum(os.path.getsize(f) for f in posting_files)
+    if not posting_files or total_bytes < inline_bytes:
+        if not posting_files:
+            stats_tbl = pd.DataFrame({"term": pd.Series(dtype="object"),
+                                      "df": pd.Series(dtype="int64"),
+                                      "cttf": pd.Series(dtype="int64")})
+        else:
+            stats_tbl = (
+                pa.concat_tables(pq.read_table(f, columns=["term", "df_chunk", "tf_sum"]) for f in posting_files)
+                .to_pandas()
+                .groupby("term", as_index=False)
+                .agg(df=("df_chunk", "sum"), cttf=("tf_sum", "sum"))
+            )
+        stats_tbl = stats_tbl.sort_values("term").reset_index(drop=True)
+        tmp_stats = f"{stats_path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), tmp_stats,
+                       row_group_size=STATS_ROW_GROUP)
+        _swap_into_place(tmp_stats, stats_path)
+        return int(len(stats_tbl))
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    stats = (
+        rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
+        .groupby("term")
+        .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
+        .sort("term")  # explicit global range-partitioned order (don't
+                       # rely on the groupby's internal sort layout)
+    )
+    tmp_dir = f"{stats_path}.tmp-{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    write = ray.remote(_write_stats_part)
+    refs = []
+    # stream sorted blocks straight to per-part writes: driver holds refs
+    # and part counters only
+    for bundle in stats.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            refs.append(write.remote(ref, os.path.join(tmp_dir, f"part-{len(refs):05d}.parquet")))
+    results = ray.get(refs)
+    # drop empty parts; verify global order across the kept boundaries
+    # (the sort contract — a violation here would corrupt every lazy
+    # dictionary prune downstream, fail loudly instead)
+    n_terms, last_hi = 0, None
+    for i, (n, lo, hi) in enumerate(results):
+        part = os.path.join(tmp_dir, f"part-{i:05d}.parquet")
+        if n == 0:
+            continue
+        if last_hi is not None and lo < last_hi:
+            raise RuntimeError("stats parts out of global term order — sort contract violated")
+        last_hi = hi
+        n_terms += n
+    if n_terms == 0:
+        # degenerate: all-empty posting stats → fall back to one empty file
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return _write_global_stats([], stats_path, inline_bytes)
+    _swap_into_place(tmp_dir, stats_path)
+    return n_terms
+
+
+def _swap_into_place(tmp: str, dst: str) -> None:
+    """Replace ``dst`` (file OR directory, may not exist) with ``tmp``.
+    The index MANIFEST flip is the real commit point — it records the
+    stats sha, so a crash inside this swap is caught by the sha check on
+    the next finalize, which recomputes stats from the posting parts."""
+    import shutil
+
+    old = f"{dst}.old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dst) and not os.path.isdir(tmp):
+        # layout change dir→file: clear the directory first
+        shutil.rmtree(dst, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.remove(old)
+
 
 def _add_partition_key(batch: pa.Table, num_partitions: int) -> pa.Table:
     kh = (hash_strings(batch["term"].to_pylist()) + batch["bucket"].to_numpy().astype(np.uint64)) % np.uint64(
@@ -415,6 +552,7 @@ def build_index(
     """Build a full index: input files → ``slices`` incremental slices →
     global stats + manifest. Returns the global manifest dict."""
     os.makedirs(out_dir, exist_ok=True)
+    stats_inline_bytes = kwargs.pop("stats_inline_bytes", STATS_INLINE_BYTES)
     file_groups = [list(g) for g in np.array_split(sorted(input_files), slices) if len(g)]
     slice_manifests = []
     for i, files in enumerate(file_groups):
@@ -428,6 +566,7 @@ def build_index(
         block_size=kwargs.get("block_size", DEFAULT_BLOCK_SIZE),
         store_positions=kwargs.get("store_positions", False),
         text_field=kwargs.get("text_col", "content"),
+        stats_inline_bytes=stats_inline_bytes,
     )
 
 
@@ -436,7 +575,8 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
                     store_positions: bool = False,
                     dirs: list[str] | None = None,
                     deletes: dict | None = None,
-                    text_field: str | None = None) -> dict:
+                    text_field: str | None = None,
+                    stats_inline_bytes: int = STATS_INLINE_BYTES) -> dict:
     """Global stats + manifest over the given slices (in slice-id order).
     Pure recompute from the slices' chunk-stat columns — no dependence on
     a previous ``stats.parquet``, so re-finalizing after a crash or a
@@ -446,51 +586,18 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
     never by glob). ``dirs`` overrides the default ``segments/slice-{i}``
     naming (compaction writes a fresh dir); ``deletes`` carries the
     tombstone record through a re-finalize (segment adds keep deletes)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
     if dirs is None:
         dirs = [f"segments/slice-{i:04d}" for i in range(len(slice_manifests))]
-    # global term stats (df, cttf): tiny groupby over the chunk-stat columns
+    # global term stats (df, cttf): groupby over the chunk-stat columns —
+    # driver-inline for small indexes, distributed sort + part-file
+    # directory for vocabulary-scale ones (see _write_global_stats)
     posting_files = sorted(
         os.path.join(out_dir, d, "postings", p["path"])
         for d, m in zip(dirs, slice_manifests)
         for p in m["partitions"]
     )
-    total_bytes = sum(os.path.getsize(f) for f in posting_files)
-    if not posting_files:
-        import pandas as pd
-
-        stats_tbl = pd.DataFrame({"term": pd.Series(dtype="object"),
-                                  "df": pd.Series(dtype="int64"),
-                                  "cttf": pd.Series(dtype="int64")})
-    elif total_bytes < 512 * 1024 * 1024:
-        # small index → driver-side aggregation is instant; the Ray
-        # groupby below is the path for indexes that don't fit one node
-        import pandas as pd
-
-        stats_tbl = (
-            pa.concat_tables(pq.read_table(f, columns=["term", "df_chunk", "tf_sum"]) for f in posting_files)
-            .to_pandas()
-            .groupby("term", as_index=False)
-            .agg(df=("df_chunk", "sum"), cttf=("tf_sum", "sum"))
-        )
-    else:
-        stats = (
-            rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
-            .groupby("term")
-            .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
-        )
-        stats_tbl = stats.to_pandas()
-    stats_tbl = stats_tbl.sort_values("term").reset_index(drop=True)
     stats_path = os.path.join(out_dir, "stats.parquet")
-    tmp_stats = f"{stats_path}.tmp-{os.getpid()}"
-    # modest row groups: the term-sorted dictionary's row-group statistics
-    # are the LAZY serving mode's prune index (termdict.TermDictionary) —
-    # one giant group would force every dictionary scan to read the file
-    pq.write_table(pa.Table.from_pandas(stats_tbl, preserve_index=False), tmp_stats,
-                   row_group_size=131072)
-    os.replace(tmp_stats, stats_path)
+    n_terms = _write_global_stats(posting_files, stats_path, stats_inline_bytes)
 
     n_docs = int(sum(m["n_docs"] for m in slice_manifests))
     total_tokens = int(sum(m["total_tokens"] for m in slice_manifests))
@@ -499,7 +606,7 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-        "n_terms": int(len(stats_tbl)),
+        "n_terms": int(n_terms),
         "analyzer_mode": mode,
         "bucket_shift": bucket_shift,
         "block_size": block_size,
@@ -507,7 +614,7 @@ def _finalize_index(out_dir: str, slice_manifests: list[dict], *,
         # the ONE indexed text field's source column — exists-queries on
         # any other non-docmap field match nothing (OpenSearch unmapped)
         "text_field": text_field,
-        "stats_sha256": sha256_file(stats_path),
+        "stats_sha256": _stats_sha256(stats_path),
         "slices": [
             {
                 "dir": d,
@@ -557,6 +664,7 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
     with open(manifest_path) as f:
         manifest = json.load(f)
 
+    stats_inline_bytes = kwargs.pop("stats_inline_bytes", STATS_INLINE_BYTES)
     defaults = {"analyzer_mode": "code", "bucket_shift": 17,
                 "block_size": DEFAULT_BLOCK_SIZE, "store_positions": False}
     for arg_key, manifest_key in (("mode", "analyzer_mode"),
@@ -591,6 +699,7 @@ def extend_index(index_dir: str, new_files: list[str], **kwargs) -> dict:
         dirs=[s["dir"] for s in manifest["slices"]] + [rel_dir],
         deletes=manifest.get("deletes"),
         text_field=manifest.get("text_field"),
+        stats_inline_bytes=stats_inline_bytes,
     )
 
 

@@ -73,14 +73,32 @@ def _arrow_bisect(col: pa.Array, needle: str, side: str) -> int:
 
 
 class TermDictionary:
+    """``path`` is either ONE term-sorted parquet file or a DIRECTORY of
+    globally-sorted part files (the distributed finalize's layout for
+    vocabulary-scale indexes, ``build._write_global_stats``). Both modes
+    flatten to one ordered row-group list; everything downstream (eager
+    load, boundary pruning, the LRU) is layout-blind."""
+
     def __init__(self, path: str, budget_bytes: int = 1 << 30, cache_groups: int = 64):
         import os
 
         self.path = path
-        self._pf = pq.ParquetFile(path)
-        meta = self._pf.metadata
-        self.n_terms = meta.num_rows
-        self.eager = os.path.getsize(path) <= budget_bytes or meta.num_row_groups <= 1
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, n) for n in os.listdir(path) if n.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        self._pfs = [pq.ParquetFile(f) for f in files]
+        # flattened (file, row-group) list in global term order
+        self._grp: list[tuple[int, int]] = [
+            (fi, gi)
+            for fi, pf in enumerate(self._pfs)
+            for gi in range(pf.metadata.num_row_groups)
+        ]
+        self.n_terms = sum(pf.metadata.num_rows for pf in self._pfs)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        self.eager = total_bytes <= budget_bytes or len(self._grp) <= 1
         self._terms: pa.Array | None = None
         self._df: np.ndarray | None = None
         self._mins: list[str] | None = None
@@ -88,10 +106,11 @@ class TermDictionary:
         self._cache: OrderedDict[int, tuple[pa.Array, np.ndarray]] = OrderedDict()
         self._cache_groups = max(1, int(cache_groups))
         if not self.eager:
-            term_idx = meta.schema.to_arrow_schema().get_field_index("term")
             mins, maxs = [], []
-            for g in range(meta.num_row_groups):
-                st = meta.row_group(g).column(term_idx).statistics
+            for fi, gi in self._grp:
+                meta = self._pfs[fi].metadata
+                term_idx = meta.schema.to_arrow_schema().get_field_index("term")
+                st = meta.row_group(gi).column(term_idx).statistics
                 if st is None or st.min is None or st.max is None:
                     mins = None
                     break
@@ -102,7 +121,8 @@ class TermDictionary:
             else:
                 self._mins, self._maxs = _monotone_bounds(mins, maxs)
         if self.eager:
-            t = self._pf.read(columns=["term", "df"])
+            parts = [pf.read(columns=["term", "df"]) for pf in self._pfs]
+            t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
             self._terms = t["term"].combine_chunks()
             self._df = t["df"].to_numpy()
 
@@ -116,7 +136,8 @@ class TermDictionary:
         if hit is not None:
             self._cache.move_to_end(g)
             return hit
-        t = self._pf.read_row_group(g, columns=["term", "df"])
+        fi, gi = self._grp[g]
+        t = self._pfs[fi].read_row_group(gi, columns=["term", "df"])
         val = (t["term"].combine_chunks(), t["df"].to_numpy())
         self._cache[g] = val
         while len(self._cache) > self._cache_groups:
@@ -162,7 +183,7 @@ class TermDictionary:
             return
         groups = (
             self._groups_for_range(prefix, hi_key)
-            if prefix else range(self._pf.metadata.num_row_groups)
+            if prefix else range(len(self._grp))
         )
         for g in groups:
             terms, _ = self._group(g)

@@ -234,6 +234,63 @@ def test_extend_index_segment_add(ray_session, tiny_corpus, tmp_path_factory):
         extend_index(base, [paths[0]], mode="simple")
 
 
+def test_distributed_stats_finalize_parity(ray_session, tiny_corpus, tmp_path_factory):
+    """Vocabulary-scale finalize (stats_inline_bytes=0 forces it): global
+    term stats come from a distributed groupby + range-partitioned sort
+    and land as a DIRECTORY of globally-sorted part files — the driver
+    never materializes the vocabulary. Content must be value-identical
+    to the inline single-file path, and every dictionary surface (eager
+    AND lazy row-group-pruned) must serve identically."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    a_dir = str(tmp_path_factory.mktemp("stats_inline"))
+    b_dir = str(tmp_path_factory.mktemp("stats_dist"))
+    kwargs = dict(slices=2, num_partitions=4, batch_size=64, mode="code")
+    ma = build_index(tiny_corpus["paths"], a_dir, **kwargs)
+    mb = build_index(tiny_corpus["paths"], b_dir, stats_inline_bytes=0, **kwargs)
+
+    assert os.path.isfile(os.path.join(a_dir, "stats.parquet"))
+    assert os.path.isdir(os.path.join(b_dir, "stats.parquet"))
+    assert ma["n_terms"] == mb["n_terms"] and ma["n_docs"] == mb["n_docs"]
+
+    ta = _pq.read_table(os.path.join(a_dir, "stats.parquet"))
+    tb = _pq.read_table(os.path.join(b_dir, "stats.parquet")).select(ta.column_names)
+    assert ta.cast(tb.schema).equals(tb.combine_chunks().cast(tb.schema)) or \
+        ta.to_pandas().equals(tb.to_pandas())
+
+    ea, eb = QueryEngine(a_dir), QueryEngine(b_dir)
+    lazy = QueryEngine(b_dir, dict_budget_bytes=0)
+    assert not lazy._dict.eager and len(lazy._dict) == ma["n_terms"]
+    for q in tiny_corpus["queries"]["query"].to_pylist()[:10]:
+        assert ea.bm25_topk(q, k=10) == eb.bm25_topk(q, k=10) == lazy.bm25_topk(q, k=10)
+    for t in ("merge", "sort", "zzabsent0"):
+        assert ea.df(t) == eb.df(t) == lazy.df(t)
+    assert ea.prefix_terms("me") == eb.prefix_terms("me") == lazy.prefix_terms("me")
+    assert ea.wildcard_terms("me*e") == lazy.wildcard_terms("me*e")
+
+    # a later default-threshold re-finalize (segment add / compaction
+    # path) flips the layout back to ONE file atomically and serves
+    # identical results — the dir→file swap in _swap_into_place
+    import json
+
+    from anomaly_detection_ray.index.build import _finalize_index
+
+    manifest = json.load(open(os.path.join(b_dir, "manifest.json")))
+    sms = [json.load(open(os.path.join(b_dir, s["dir"], "_slice_manifest.json")))
+           for s in manifest["slices"]]
+    m2 = _finalize_index(
+        b_dir, sms, mode="code", bucket_shift=manifest["bucket_shift"],
+        block_size=manifest["block_size"],
+        dirs=[s["dir"] for s in manifest["slices"]],
+        text_field=manifest.get("text_field"),
+    )
+    assert os.path.isfile(os.path.join(b_dir, "stats.parquet"))
+    assert m2["n_terms"] == mb["n_terms"]
+    assert QueryEngine(b_dir).bm25_topk("merge sort", k=5) == ea.bm25_topk("merge sort", k=5)
+
+
 def test_tail_index_ticks(ray_session, tiny_corpus, tmp_path_factory):
     """Continuous indexing: tick 1 builds from the first file, tick 2
     segment-adds the late arrivals, tick 3 is a no-op — and the result
