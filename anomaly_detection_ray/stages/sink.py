@@ -11,26 +11,22 @@ replace a day atomically; never one giant file)."""
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 
 import numpy as np
 import pyarrow as pa
-import ray
 
 
-@ray.remote
-class _RowTally:
-    """Zero-CPU tally of rows streamed into a sink (fire-and-forget adds
-    from the write stage; read once after the blocking write returns)."""
+def _count_parquet_rows(files) -> int:
+    """Row count from parquet FOOTERS only (no data read)."""
+    import pyarrow.parquet as pq
 
-    def __init__(self):
-        self.n = 0
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
-    def add(self, k: int) -> None:
-        self.n += int(k)
 
-    def total(self) -> int:
-        return self.n
+def _parquet_files(out_dir: str) -> set[str]:
+    return set(_glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True))
 
 
 def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fraction: float = 0.5,
@@ -81,36 +77,31 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
 
         ds = ds.map_batches(shed, batch_format="pyarrow", zero_copy_batch=True)
 
-    # count the rows THIS run writes while they stream past (a zero-CPU
-    # tally actor — re-counting files after the fact would include prior
-    # runs' rows under mode='append' / a shared out_dir)
-    counter = _RowTally.options(num_cpus=0).remote()
-
     def add_date(b: pa.Table) -> pa.Table:
-        # blocking add: a fire-and-forget submit could still be in
-        # flight when the write returns and total() reads short
-        ray.get(counter.add.remote(b.num_rows))
         day = (b["window_end_ms"].to_numpy() // 86_400_000).astype(np.int64)
         return b.append_column("result_date", pa.array(day))
 
     ds = ds.map_batches(add_date, batch_format="pyarrow", zero_copy_batch=True)
+    # the row count comes from the WRITE itself (parquet footers of
+    # exactly the files this run produced) — a side-effect counter inside
+    # a retryable map task double-counts replayed batches, and charged an
+    # actor round-trip per batch on the write path
     if mode == "append":
+        before = _parquet_files(out_dir)
         ds.write_parquet(out_dir, partition_cols=["result_date"])
-    else:
-        _write_replacing_partitions(ds, out_dir)
-    n_rows = ray.get(counter.total.remote())
-    ray.kill(counter)
-    return n_rows
+        return _count_parquet_rows(_parquet_files(out_dir) - before)
+    return _write_replacing_partitions(ds, out_dir)
 
 
-def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_date") -> None:
+def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_date") -> int:
     """Partitioned write with PARTITION REPLACEMENT: the run streams
     ONCE into a staging directory, then each staged ``<partition_col>=``
     dir atomically swaps into place (old partition removed first) —
     rerunning a partition replaces it instead of appending duplicate
     files, with no materialization and no double execution of the
     pipeline (the rollover/replace semantics the reference gets from
-    index management)."""
+    index management). Returns the number of rows staged (parquet
+    footers of exactly this run's files)."""
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
@@ -119,13 +110,15 @@ def _write_replacing_partitions(ds, out_dir: str, partition_col: str = "result_d
     try:
         ds.write_parquet(staging, partition_cols=[partition_col])
         if not os.path.isdir(staging):
-            return  # zero-row dataset: Ray never created the staging dir
+            return 0  # zero-row dataset: Ray never created the staging dir
+        n_rows = _count_parquet_rows(_parquet_files(staging))
         for name in sorted(os.listdir(staging)):
             if not name.startswith(f"{partition_col}="):
                 continue
             dst = os.path.join(out_dir, name)
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(os.path.join(staging, name), dst)
+        return n_rows
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
