@@ -2,7 +2,7 @@
 
 ``queries()`` exposes every implemented operator/pipeline from
 SURVEY.md §2 (registry in ``anomaly_detection_ray/pipelines/queries.py``;
-50 of 71 entries oracle-backed); ``oracle_sql()`` holds the
+51 of 72 entries oracle-backed); ``oracle_sql()`` holds the
 DuckDB-equivalent SQL for each SQL-expressible one (same column names,
 same rounding). Genuinely non-SQL ops (RCF detect/forecast scoring,
 MinHash/SimHash/winnowing sketches, HLL/t-digest approximations,
@@ -712,6 +712,24 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """,
         "token_count_bpe": _token_count_bpe_sql(),
+        "chunk_for_training": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), counted AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 56.0) AS BIGINT) + 1 END AS n_chunks
+  FROM sized
+), expl AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM counted
+)
+SELECT doc_id, chunk_idx,
+       least(n - chunk_idx * 56, 64) AS n_tokens,
+       array_to_string(t[chunk_idx * 56 + 1 : least(chunk_idx * 56 + 64, n)], ' ') AS chunk_text
+FROM expl ORDER BY doc_id, chunk_idx
+""",
         "doc_nll": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),

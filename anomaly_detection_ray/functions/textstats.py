@@ -144,3 +144,45 @@ def lang_id(texts: list[str]) -> list[str]:
                 best_lang, best_hits = lang, hits
         out.append(best_lang)
     return out
+
+
+def chunk_windows(texts: list[str], chunk_tokens: int = 128,
+                  overlap: int = 16) -> dict[str, object]:
+    """Fixed-size token-window chunking with overlap — the standard LM
+    pretraining chunker (split every document into ``chunk_tokens``-token
+    windows advancing by ``chunk_tokens - overlap``; the final window is
+    shorter, never empty, and a document is never split mid-token).
+    Token-less documents emit no chunks.
+
+    Returns parallel lists/arrays per CHUNK: ``row`` (index into
+    ``texts``), ``chunk_idx`` (0-based within the doc), ``n_tokens``,
+    ``chunk_text`` (space-joined simple-analyzer tokens — the exact SQL
+    twin is ``array_to_string(tokens[start : end], ' ')`` over
+    ``SQL_SIMPLE_TOKENS``).
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _simple.tokens_batch([t or "" for t in texts])
+    rows: list[int] = []
+    idxs: list[int] = []
+    lens: list[int] = []
+    out_text: list[str] = []
+    for di, t in enumerate(toks):
+        n = len(t)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= chunk_tokens else -((n - chunk_tokens) // -stride) + 1
+        for i in range(n_chunks):
+            lo = i * stride
+            hi = min(lo + chunk_tokens, n)
+            rows.append(di)
+            idxs.append(i)
+            lens.append(hi - lo)
+            out_text.append(" ".join(t[lo:hi]))
+    return {
+        "row": np.asarray(rows, dtype=np.int64),
+        "chunk_idx": np.asarray(idxs, dtype=np.int64),
+        "n_tokens": np.asarray(lens, dtype=np.int64),
+        "chunk_text": out_text,
+    }

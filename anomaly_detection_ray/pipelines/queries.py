@@ -773,6 +773,34 @@ def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
             .astype({"doc_id": "int64", "n_ws_tokens": "int64", "n_bpe_tokens": "int64"}))
 
 
+def q_chunk_for_training(sf_dir: str) -> pd.DataFrame:
+    """LM-pretraining chunker: every document split into fixed 64-token
+    windows advancing by 56 (8-token overlap), final window shorter but
+    never empty, token-less docs emit nothing. The chunk TEXT itself is
+    value-exact vs the SQL twin (1-based list slice over the simple-
+    analyzer token array) — the op every pretraining pipeline runs to
+    turn documents into training sequences. Stateless per-batch flat-map:
+    at 100 TB this is an embarrassingly parallel pass whose output feeds
+    straight into a write_parquet (no shuffle, no driver state)."""
+    from ..functions.textstats import chunk_windows
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        w = chunk_windows(batch["text"].to_pylist(), chunk_tokens=64, overlap=8)
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[w["row"]]),
+            "chunk_idx": pa.array(w["chunk_idx"]),
+            "n_tokens": pa.array(w["n_tokens"]),
+            "chunk_text": pa.array(w["chunk_text"], pa.string()),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+            .astype({"doc_id": "int64", "chunk_idx": "int64", "n_tokens": "int64"}))
+
+
 def q_doc_nll(sf_dir: str) -> pd.DataFrame:
     """Unigram-LM quality scoring (CCNet-style perplexity filter shape):
     corpus term table (combiner + vocab-sized groupby) → broadcast →
@@ -1461,7 +1489,7 @@ REGISTRY = {
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
-    "doc_token_stats": q_doc_token_stats,
+    "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "doc_nll": q_doc_nll,
     "tfidf_keywords": q_tfidf_keywords,
@@ -1489,6 +1517,7 @@ REGISTRY = {
     "detector_preview": q_detector_preview,
     # --- oracle-backed, sibling-verified machinery (rotated out r5) ---
     "feature_agg_filtered": q_feature_agg_filtered,
+    "doc_token_stats": q_doc_token_stats,
     "prefix_search": q_prefix_search,
     "regexp_search": q_regexp_search,
     "fuzzy_search": q_fuzzy_search,

@@ -918,6 +918,28 @@ def test_lmscore_hand_computed(ray_session):
     assert 2 not in set(kw["doc_id"])
 
 
+def test_chunk_windows_hand_computed():
+    """LM-pretraining chunker: window/stride math on hand-checkable docs
+    (short doc = one full-length chunk; one-past-boundary doc = a tiny
+    tail chunk of overlap+1 tokens; exact-stride doc = full final chunk;
+    empty doc emits nothing; the overlap really repeats tokens)."""
+    from anomaly_detection_ray.functions.textstats import chunk_windows
+
+    toks10 = " ".join(f"w{i}" for i in range(10))
+    toks65 = " ".join(f"w{i}" for i in range(65))
+    toks120 = " ".join(f"w{i}" for i in range(120))
+    w = chunk_windows([toks10, toks65, "??!", toks120], chunk_tokens=64, overlap=8)
+    got = list(zip(w["row"].tolist(), w["chunk_idx"].tolist(), w["n_tokens"].tolist()))
+    assert got == [(0, 0, 10), (1, 0, 64), (1, 1, 9), (3, 0, 64), (3, 1, 64)]
+    # overlap: chunk 1 of doc 1 starts at token 56 and repeats 8 tokens
+    assert w["chunk_text"][2].split() == [f"w{i}" for i in range(56, 65)]
+    assert w["chunk_text"][1].split()[-8:] == w["chunk_text"][2].split()[:8]
+    # doc 3 has n = 64 + 56 → the second window ends exactly at the doc
+    assert w["chunk_text"][4].split() == [f"w{i}" for i in range(56, 120)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_windows(["a b"], chunk_tokens=8, overlap=8)
+
+
 def test_lmscore_sorted_array_lookup_memory():
     """The scoring actors keep the broadcast vocabulary as SORTED numpy
     arrays + searchsorted lookups — never a per-actor Python dict (which
