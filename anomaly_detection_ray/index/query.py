@@ -1069,16 +1069,36 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
     SET shrinks, so the clause itself stays in the filter-context
     residual: the scored page and ``hits.total`` are intersected with its
     conjunctive/msm semantics instead of silently widening to the OR
-    match."""
+    match.
+
+    Returns ``(required_text, optional_texts, residual,
+    union_defines_hits)``:
+    ``optional_texts`` are default-operator ``should`` matches — they
+    contribute ADDITIVE BM25 (Lucene's BooleanQuery sums every matching
+    clause's score) but never define the hit set when a ``must``/filter
+    is present (OpenSearch's msm-defaults-to-0 rule; the repo's queryast
+    applies the same rule in filter context). A bool of ONLY should
+    matches has no required text: the hit set is their union."""
     if not query:
-        return None, None
+        return None, [], None, False
     ((kind, body),) = query.items()
     if kind == "match":
         text, default = _match_text_and_default(body)
-        return text, (None if default else dict(query))
+        return text, [], (None if default else dict(query)), False
     if kind == "bool":
         musts = list(body.get("must", []))
         scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
+        shoulds = list(body.get("should", []))
+        opt_clauses = [
+            s for s in shoulds
+            if isinstance(s, dict) and "match" in s and _match_text_and_default(s["match"])[1]
+        ]
+        optional = [_match_text_and_default(s["match"])[0] for s in opt_clauses]
+        msm_explicit = body.get("minimum_should_match") is not None
+        if msm_explicit:
+            # an explicit bool-level msm makes shoulds hit-set-defining —
+            # leave them entirely to filter context, no additive scoring
+            optional = []
         if len(scoring) == 1:
             text, default = _match_text_and_default(scoring[0]["match"])
             residual = {k: v for k, v in body.items()}
@@ -1087,10 +1107,48 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
                 residual["must"] = [m for m in musts if m is not scoring[0]]
                 if not residual["must"]:
                     residual.pop("must")
+                if shoulds and not msm_explicit:
+                    # with a must present, shoulds are scoring-only
+                    # (OpenSearch msm-defaults-to-0); once the must is
+                    # lifted the residual bool would reinterpret them as
+                    # a required union — drop them (scores ride
+                    # ``optional``)
+                    residual.pop("should", None)
             # else: the match stays in the residual's must — filter
-            # context applies its operator/msm while its text scores
-            return text, ({"bool": residual} if residual else None)
-    return None, query
+            # context applies its operator/msm while its text scores,
+            # and the residual's must keeps its shoulds scoring-only
+            return text, optional, ({"bool": residual} if residual else None), False
+        if (not scoring and not msm_explicit and opt_clauses
+                and len(opt_clauses) == len(shoulds)):
+            # should-match bool with no scoring must. OpenSearch's msm
+            # default: 1 when the bool has no must/filter (the union IS
+            # the hit set), 0 otherwise (shoulds are scoring-only and
+            # the residual alone defines the hits).
+            union_hits = not (body.get("must") or body.get("filter"))
+            residual = {k: v for k, v in body.items() if k != "should"}
+            return None, optional, ({"bool": residual} if residual else None), union_hits
+    return None, [], query, False
+
+
+def _bm25_scores_multi(engine: QueryEngine, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Additive BM25 over independent scoring clauses — Lucene's
+    BooleanQuery sums every matching clause's score, so a term repeated
+    across clauses counts once PER CLAUSE (a single concatenated query
+    would dedupe it). Returns (sorted doc_ids, summed scores)."""
+    docs_parts, score_parts = [], []
+    for t in texts:
+        d, s = engine.bm25_scores(t)
+        if d.size:
+            docs_parts.append(d)
+            score_parts.append(s)
+    if not docs_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(docs_parts)
+    sc = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    out = np.zeros(uniq.size)
+    np.add.at(out, inv, sc)
+    return uniq, out
 
 
 def search(engine: QueryEngine, body: dict, source_files: list[str] | None = None,
@@ -1124,25 +1182,59 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         # malformed request must error, not return a silently-wrong page
         raise ValueError("`from` parameter must be set to 0 when `search_after` is used")
     query = body.get("query")
-    text, residual = _split_scoring_clause(query)
+    text, optional, residual, union_hits = _split_scoring_clause(query)
 
-    if text is not None:
+    if text is not None or optional:
         if body.get("search_after") is not None:
-            if residual is not None:
+            if residual is not None or optional:
                 raise ValueError("search_after supports pure match queries")
             sa = body["search_after"]
             page = engine.bm25_search_after(text, k=size, search_after=(int(sa[1]), float(sa[0])))
-        elif residual is None:
-            page = engine.bm25_topk(text, k=frm + size, prune=False)[frm:]
+            matched = engine.union_docs(engine.query_terms(text))
+            total = int(matched.size)
+        elif not optional:
+            if residual is None:
+                page = engine.bm25_topk(text, k=frm + size, prune=False)[frm:]
+            else:
+                page = engine.bm25_topk_filtered(text, residual, k=frm + size)[frm:]
+            # total = |docs matching any query term| ∧ filter
+            # (OpenSearch's hit count for an OR match)
+            matched = engine.union_docs(engine.query_terms(text))
+            if residual is not None:
+                allowed = engine.execute_filter(residual)
+                matched = matched[np.isin(matched, allowed, assume_unique=True)]
+            total = int(matched.size)
         else:
-            page = engine.bm25_topk_filtered(text, residual, k=frm + size)[frm:]
-        # total = |docs matching any query term| ∧ filter (OpenSearch's
-        # hit count for an OR match)
-        matched = engine.union_docs(engine.query_terms(text))
-        if residual is not None:
-            allowed = engine.execute_filter(residual)
-            matched = matched[np.isin(matched, allowed, assume_unique=True)]
-        total = int(matched.size)
+            # additive should scoring (BooleanQuery sum). The HIT SET:
+            # the must match if present; else the should union when the
+            # bool has no must/filter (msm default 1); else the residual
+            # alone (shoulds scoring-only, msm default 0).
+            docs_u, scores_u = _bm25_scores_multi(
+                engine, ([text] if text is not None else []) + optional
+            )
+            if text is not None:
+                hitset = engine.union_docs(engine.query_terms(text))
+            elif union_hits:
+                terms = sorted({t for q in optional for t in engine.query_terms(q)})
+                hitset = engine.union_docs(terms)
+            else:
+                hitset = None
+            if residual is not None:
+                allowed = engine.execute_filter(residual)
+                hitset = allowed if hitset is None else \
+                    hitset[np.isin(hitset, allowed, assume_unique=True)]
+            if hitset is None:  # defensive: split() never produces this
+                hitset = docs_u
+            # score each hit (docs matching only scoring-optional clauses
+            # outside the hit set never page; hits matching no scoring
+            # term rank last at 0.0, doc-id order)
+            if docs_u.size:
+                idx = np.minimum(np.searchsorted(docs_u, hitset), docs_u.size - 1)
+                sc = np.where(docs_u[idx] == hitset, scores_u[idx], 0.0)
+            else:
+                sc = np.zeros(hitset.size)
+            page = _topk_with_ties(hitset, sc, frm + size)[frm:]
+            total = int(hitset.size)
         hits = [{"_id": int(d), "_score": float(s)} for d, s in page]  # exact: search_after cursors need the unrounded sort value
     else:
         docs = engine.execute_filter(query)

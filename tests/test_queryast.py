@@ -267,6 +267,59 @@ def test_search_envelope_operator_and_msm(eng):
     assert [h["_id"] for h in rm["hits"]["hits"]] == [h["_id"] for h in r["hits"]["hits"]]
 
 
+def test_search_envelope_should_scoring(eng):
+    """bool should matches contribute ADDITIVE BM25 (Lucene BooleanQuery
+    sums every matching clause, a term repeated across clauses counts per
+    clause); the hit set follows OpenSearch's msm defaults — the union
+    for a should-only bool, the must/filter set when one is present
+    (shoulds scoring-only)."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q1, q2 = "merge sort", "parse merge"  # 'merge' overlaps → counts twice
+
+    def osc(q):
+        return dict(oracle.bm25_topk(q, k=10_000))
+
+    s1, s2 = osc(q1), osc(q2)
+
+    # pure should bool: union hit set, per-clause score sum
+    r = search(e, {"query": {"bool": {"should": [
+        {"match": {"content": q1}}, {"match": {"content": q2}}]}}, "size": 5})
+    exp = {d: s1.get(d, 0.0) + s2.get(d, 0.0) for d in set(s1) | set(s2)}
+    top = sorted(exp.items(), key=lambda t: (-t[1], t[0]))[:5]
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (_, gs), (_, es) in zip(got, top):
+        assert gs == pytest.approx(es, abs=1e-9)
+    assert r["hits"]["total"]["value"] == len(exp)
+
+    # must match + should match: hits = must docs only, scores add
+    rm = search(e, {"query": {"bool": {
+        "must": [{"match": {"content": q1}}],
+        "should": [{"match": {"content": q2}}]}}, "size": 5})
+    expm = {d: s1[d] + s2.get(d, 0.0) for d in s1}
+    topm = sorted(expm.items(), key=lambda t: (-t[1], t[0]))[:5]
+    gotm = [(h["_id"], h["_score"]) for h in rm["hits"]["hits"]]
+    assert [d for d, _ in gotm] == [d for d, _ in topm]
+    for (_, gs), (_, es) in zip(gotm, topm):
+        assert gs == pytest.approx(es, abs=1e-9)
+    assert rm["hits"]["total"]["value"] == len(s1)  # should never widens
+
+    # filter + should (no must): msm defaults to 0 → hits = the filter
+    # set; should scores where matched, 0.0 (doc-id order) elsewhere
+    rf = search(e, {"query": {"bool": {
+        "filter": [{"term": {"lang": "java"}}],
+        "should": [{"match": {"content": q1}}]}}, "size": 1000})
+    allowed = set(df[df["lang"] == "java"]["doc_id"])
+    assert rf["hits"]["total"]["value"] == len(allowed)
+    gotf = [(h["_id"], h["_score"]) for h in rf["hits"]["hits"]]
+    expf = sorted(((d, s1.get(d, 0.0)) for d in allowed), key=lambda t: (-t[1], t[0]))
+    assert [d for d, _ in gotf] == [d for d, _ in expf]
+    for (_, gs), (_, es) in zip(gotf, expf):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search
