@@ -214,14 +214,30 @@ class DetectorAPI:
                     feature_nan_rate[f] = round(rate, 4)
                     if rate > 0.9:
                         issues.append(f"feature {f!r} is >90% missing over the last 64 intervals")
-        # density: fraction of fully-populated shingle windows per entity —
-        # computed per entity inside map_groups (one tiny row per entity
-        # reaches the driver; round-1 pulled every distinct (entity,
-        # window) pair driver-side)
+        density = self.shingle_density(coarse_groups=coarse_groups)
+        weak = [e for e, d in density.items() if d < 0.25]
+        if weak:
+            issues.append(f"sparse shingles (<25% full windows) for {len(weak)} entities")
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "suggested_interval_s": suggested,
+            "window_delay_s": int(self.config.interval_s * (WINDOW_DELAY_RATIO - 1.0)),
+            "shingle_density": density,
+            "feature_nan_rate": feature_nan_rate,
+        }
+
+    def shingle_density(self, coarse_groups: int | None = None) -> dict[str, float]:
+        """Fraction of fully-populated shingle windows per entity (B4) —
+        computed per entity inside map_groups (one tiny row per entity
+        reaches the driver; round-1 pulled every distinct (entity,
+        window) pair driver-side). With category fields the pass rides
+        the coarse-keyed exchange (``_per_entity_map_groups``)."""
         interval_ms = self.config.interval_s * 1000
         s = self.config.shingle_size
         ds = self._ds().map_batches(
-            lambda b: add_window_columns(b, self.ts_col, interval_ms), batch_format="pyarrow", zero_copy_batch=True
+            lambda b: add_window_columns(b, self.ts_col, interval_ms),
+            batch_format="pyarrow", zero_copy_batch=True,
         )
         cats = list(self.config.category_fields)
         cols = cats + ["window_start_ms"]
@@ -237,41 +253,27 @@ class DetectorAPI:
             return pd.DataFrame({"entity": [key], "density": [full / max(1, a.size)]})
 
         if cats:
-            # coarse-keyed per-entity pass (hash(entity) % 8×CPUs, entities
-            # iterated inside the group) — see _per_entity_map_groups
             dens = _per_entity_map_groups(
                 ds.select_columns(cols), cats, entity_density, coarse_groups
             )
             # empty input → map_groups yields a columnless empty frame
-            density = (dict(zip(dens["entity"], dens["density"]))
-                       if "entity" in dens.columns else {})
-        else:
-            # distinct windows computed DISTRIBUTED; the driver receives one
-            # row per distinct window (bounded by time-range/interval), not
-            # one per event
-            from ray.data.aggregate import Count as _Count
+            return (dict(zip(dens["entity"], dens["density"]))
+                    if "entity" in dens.columns else {})
+        # no categories: distinct windows computed DISTRIBUTED; the driver
+        # receives one row per distinct window (bounded by
+        # time-range/interval), not one per event
+        from ray.data.aggregate import Count as _Count
 
-            a = np.sort(
-                ds.select_columns(["window_start_ms"])
-                .groupby("window_start_ms")
-                .aggregate(_Count(alias_name="__n"))
-                .select_columns(["window_start_ms"])
-                .to_pandas()["window_start_ms"]
-                .to_numpy()
-            )
-            lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
-            density = {"()": float(((np.arange(a.size) - lo + 1) == s).sum() / max(1, a.size))}
-        weak = [e for e, d in density.items() if d < 0.25]
-        if weak:
-            issues.append(f"sparse shingles (<25% full windows) for {len(weak)} entities")
-        return {
-            "ok": not issues,
-            "issues": issues,
-            "suggested_interval_s": suggested,
-            "window_delay_s": int(self.config.interval_s * (WINDOW_DELAY_RATIO - 1.0)),
-            "shingle_density": density,
-            "feature_nan_rate": feature_nan_rate,
-        }
+        a = np.sort(
+            ds.select_columns(["window_start_ms"])
+            .groupby("window_start_ms")
+            .aggregate(_Count(alias_name="__n"))
+            .select_columns(["window_start_ms"])
+            .to_pandas()["window_start_ms"]
+            .to_numpy()
+        )
+        lo = np.searchsorted(a, a - (s - 1) * interval_ms, side="left")
+        return {"()": float(((np.arange(a.size) - lo + 1) == s).sum() / max(1, a.size))}
 
     # ---- _preview (deterministic, D7 stride sampling + B6 interpolation) ----
 

@@ -1457,13 +1457,14 @@ REGISTRY = {
     # flagship rows-only pipelines (detect/forecast/preview MUST stay
     # driver-visible), then four oracle-backed entries whose machinery a
     # sibling twin already verifies, then the remaining rows-only
-    # entries by importance. The four sibling-verified entries ROTATE
-    # each round (r5 swapped tpch_q1/decayed_top/search_after/phrase_slop
-    # IN and prefix/regexp/fuzzy/feature_agg_filtered OUT — the outgoing
-    # four are covered by wildcard_search/phrase_prefix_search (termscan +
-    # prefix machinery) and feature_agg_interval+filtered_search), so
-    # every oracle-backed entry gets driver-green at least every other
-    # round.
+    # entries by importance. The sibling-verified entries ROTATE each
+    # round (r5 swapped tpch_q1/decayed_top/search_after/phrase_slop and
+    # the new chunk_for_training IN; prefix/regexp/fuzzy/
+    # feature_agg_filtered/doc_token_stats OUT — the outgoing five are
+    # covered by wildcard_search/phrase_prefix_search (termscan + prefix
+    # machinery), feature_agg_interval+filtered_search, and
+    # token_count_bpe/quality_filter), so every oracle-backed entry gets
+    # driver-green at least every other round.
     "min_max_time": q_min_max_time,
     "feature_agg_interval": q_feature_agg_interval,
     "tpch_q1": q_tpch_q1,

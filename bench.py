@@ -456,9 +456,15 @@ def hc_bench() -> dict:
     pq.write_table(events(HC_ENTITIES), vpath, row_group_size=2048)
     api = DetectorAPI(cfg(), vpath)
     api.suggest_interval()  # warm-up: read path + windowing code
+    # the density stage is where the per-entity-group cliff lived; the
+    # full validate() adds interval/NaN checks that dominate end-to-end
     t0 = time.perf_counter()
-    assert api.validate(coarse_groups=0)["ok"]  # legacy per-entity plan
-    t_val_legacy = round(time.perf_counter() - t0, 3)
+    d_legacy = api.shingle_density(coarse_groups=0)  # one Ray group/entity
+    t_dens_legacy = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    d_coarse = api.shingle_density()
+    t_dens = round(time.perf_counter() - t0, 3)
+    assert d_legacy == d_coarse and len(d_coarse) == HC_ENTITIES
     t0 = time.perf_counter()
     assert api.validate()["ok"]
     t_val = round(time.perf_counter() - t0, 3)
@@ -475,8 +481,9 @@ def hc_bench() -> dict:
         "queries": {f"detect_{HC_ENTITIES // 4}_entities": t_lo,
                     f"detect_{HC_ENTITIES}_entities": t_hi,
                     f"forecast_{HC_ENTITIES}_entities": t_fc,
+                    f"shingle_density_{HC_ENTITIES}_entities": t_dens,
+                    f"shingle_density_{HC_ENTITIES}_entities_legacy_per_entity": t_dens_legacy,
                     f"validate_{HC_ENTITIES}_entities": t_val,
-                    f"validate_{HC_ENTITIES}_entities_legacy_per_entity": t_val_legacy,
                     f"suggest_period_{HC_ENTITIES}_entities": t_sp},
         "sf": f"synthetic {HC_ENTITIES} entities x {HC_WINDOWS} windows",
         "num_cpus": NUM_CPUS,
