@@ -59,12 +59,21 @@ class DetectorAPI:
         self.events_path = events_path
         self.ts_col = ts_col
 
-    def _ds(self, pruned: bool = False):
+    def _ds(self, pruned: bool = False, columns: list[str] | None = None):
+        """Events Dataset. ``columns`` prunes the SCAN to exactly those
+        plus whatever the filter_query references (Ray does not push
+        ``select_columns`` into the parquet read — the explicit column
+        list is what keeps a validate/suggest pass from decoding every
+        feature column of a 100-TB table); ``pruned`` uses the
+        detect()/forecast() column set."""
         import ray.data as rd
 
-        if pruned:
-            # scan only the columns the pipeline consumes (Ray does not
-            # push select_columns into the parquet read)
+        if columns is not None:
+            from ..functions.rowfilter import predicate_fields
+
+            cols = sorted(set(columns) | predicate_fields(self.config.filter_query))
+            ds = rd.read_parquet(self.events_path, columns=cols)
+        elif pruned:
             from .detector import needed_columns
 
             ds = rd.read_parquet(self.events_path,
@@ -93,7 +102,7 @@ class DetectorAPI:
         distributed; only the bounded recent sample reaches the driver."""
         from ray.data.aggregate import Count
 
-        ds = self._ds().select_columns([self.ts_col]).map_batches(
+        ds = self._ds(columns=[self.ts_col]).select_columns([self.ts_col]).map_batches(
             lambda b: add_window_columns(b, self.ts_col, 1), batch_format="pyarrow", zero_copy_batch=True
         )
         frame = (
@@ -194,7 +203,7 @@ class DetectorAPI:
             from ..stages.window import normalize_features, window_aggregate
 
             interval_ms_v = self.config.interval_s * 1000
-            ts_ds = self._ds().select_columns([self.ts_col]).map_batches(
+            ts_ds = self._ds(columns=[self.ts_col]).select_columns([self.ts_col]).map_batches(
                 lambda b: add_window_columns(b, self.ts_col, interval_ms_v),
                 batch_format="pyarrow", zero_copy_batch=True,
             )
@@ -235,11 +244,11 @@ class DetectorAPI:
         the coarse-keyed exchange (``_per_entity_map_groups``)."""
         interval_ms = self.config.interval_s * 1000
         s = self.config.shingle_size
-        ds = self._ds().map_batches(
+        cats = list(self.config.category_fields)
+        ds = self._ds(columns=cats + [self.ts_col]).map_batches(
             lambda b: add_window_columns(b, self.ts_col, interval_ms),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        cats = list(self.config.category_fields)
         cols = cats + ["window_start_ms"]
 
         def entity_density(g: pd.DataFrame) -> pd.DataFrame:
