@@ -117,42 +117,59 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
         _swap_into_place(tmp_stats, stats_path)
         return int(len(stats_tbl))
 
+    import shutil
+
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    stats = (
-        rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
-        .groupby("term")
-        .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
-        .sort("term")  # explicit global range-partitioned order (don't
-                       # rely on the groupby's internal sort layout)
-    )
-    tmp_dir = f"{stats_path}.tmp-{os.getpid()}"
-    import shutil
+    def run(explicit_sort: bool) -> tuple[int, str] | None:
+        """One distributed attempt → (n_terms, tmp_dir), or None when the
+        parts came out of global order (possible only on the first,
+        sort-free attempt)."""
+        stats = (
+            rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
+            .groupby("term")
+            .aggregate(Sum("df_chunk", alias_name="df"), Sum("tf_sum", alias_name="cttf"))
+        )
+        if explicit_sort:
+            stats = stats.sort("term")
+        tmp_dir = f"{stats_path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        write = ray.remote(_write_stats_part)
+        refs = []
+        # stream blocks straight to per-part writes: the driver holds
+        # refs and part counters only, never the vocabulary
+        for bundle in stats.iter_internal_ref_bundles():
+            for ref in bundle.block_refs:
+                refs.append(write.remote(ref, os.path.join(tmp_dir, f"part-{len(refs):05d}.parquet")))
+        results = ray.get(refs)
+        # drop empty parts; verify global order across the kept
+        # boundaries. An out-of-order result would corrupt every lazy
+        # dictionary prune downstream, so it must never be served.
+        n_terms, last_hi = 0, None
+        for i, (n, lo, hi) in enumerate(results):
+            if n == 0:
+                continue
+            if last_hi is not None and lo < last_hi:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return None
+            last_hi = hi
+            n_terms += n
+        return n_terms, tmp_dir
 
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir)
-    write = ray.remote(_write_stats_part)
-    refs = []
-    # stream sorted blocks straight to per-part writes: driver holds refs
-    # and part counters only
-    for bundle in stats.iter_internal_ref_bundles():
-        for ref in bundle.block_refs:
-            refs.append(write.remote(ref, os.path.join(tmp_dir, f"part-{len(refs):05d}.parquet")))
-    results = ray.get(refs)
-    # drop empty parts; verify global order across the kept boundaries
-    # (the sort contract — a violation here would corrupt every lazy
-    # dictionary prune downstream, fail loudly instead)
-    n_terms, last_hi = 0, None
-    for i, (n, lo, hi) in enumerate(results):
-        part = os.path.join(tmp_dir, f"part-{i:05d}.parquet")
-        if n == 0:
-            continue
-        if last_hi is not None and lo < last_hi:
-            raise RuntimeError("stats parts out of global term order — sort contract violated")
-        last_hi = hi
-        n_terms += n
+    # Ray's groupby is itself a sort-based shuffle, so the aggregate
+    # output is normally already in global key order — writing it
+    # directly saves a second full exchange (measured ~2× on the
+    # finalize). The boundary check above decides: if a Ray version ever
+    # emits unordered aggregate blocks, fall back to an explicit sort.
+    got = run(explicit_sort=False)
+    if got is None:
+        got = run(explicit_sort=True)
+        if got is None:  # sorted output out of order = engine bug
+            raise RuntimeError("stats parts out of global term order after explicit sort")
+    n_terms, tmp_dir = got
     if n_terms == 0:
         # degenerate: all-empty posting stats → fall back to one empty file
         shutil.rmtree(tmp_dir, ignore_errors=True)
