@@ -59,6 +59,30 @@ def test_validate_suggest_coarse_parity(ray_session, events_file):
     assert api.suggest_period() == api.suggest_period(coarse_groups=0)
 
 
+def test_validate_coarse_parity_multi_category(ray_session, events_file, tmp_path):
+    """Coarse keys concatenate MULTIPLE category fields (\\x1f-joined in
+    add_coarse_key); the per-entity pass must stay plan-identical to the
+    legacy per-entity groups with a composite entity key too."""
+    import pyarrow.parquet as pq_
+
+    from anomaly_detection_ray.pipelines.api import DetectorAPI
+
+    t = pq_.read_table(events_file)
+    region = pa.array(["r" + str(i % 3) for i in range(t.num_rows)])
+    p = str(tmp_path / "events2.parquet")
+    pq_.write_table(t.append_column("region", region), p)
+    cfg = DetectorConfig(
+        config_id="api-det2", interval_s=600, shingle_size=8,
+        features=(FeatureSpec("value_avg", "value", "avg"),),
+        category_fields=("entity", "region"), num_trees=10, sample_size=64,
+    )
+    api = DetectorAPI(cfg, p)
+    a = api.shingle_density()
+    b = api.shingle_density(coarse_groups=0)
+    assert a == b and len(a) == 12  # 4 entities × 3 regions
+    assert api.suggest_period() == api.suggest_period(coarse_groups=0)
+
+
 def test_preview_deterministic(ray_session, events_file):
     from anomaly_detection_ray.pipelines.api import DetectorAPI
 
