@@ -70,15 +70,26 @@ def _stats_sha256(path: str) -> str:
     return sha256_file(path)
 
 
-def _write_stats_part(block, path: str) -> tuple[int, str | None, str | None]:
+def _write_stats_part(block, path: str) -> tuple[int, str | None, str | None, bool]:
     """Write one globally-sorted stats block as a part file; returns
-    (n_terms, first_term, last_term) for the driver's boundary check."""
+    (n_terms, first_term, last_term, internally_sorted) for the driver's
+    order check — the boundary comparison alone can't see disorder
+    INSIDE a block, and both dictionary serving modes bisect, so an
+    unsorted part must never be committed."""
+    import pyarrow.compute as pc
+
     tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
     if tbl.num_rows == 0:
-        return 0, None, None
+        return 0, None, None, True
     tbl = tbl.select(["term", "df", "cttf"])
-    pq.write_table(tbl, path, row_group_size=STATS_ROW_GROUP)
-    return tbl.num_rows, tbl["term"][0].as_py(), tbl["term"][tbl.num_rows - 1].as_py()
+    col = tbl["term"].combine_chunks()
+    ordered = bool(
+        tbl.num_rows < 2
+        or pc.all(pc.less_equal(col.slice(0, len(col) - 1), col.slice(1))).as_py()
+    )
+    if ordered:
+        pq.write_table(tbl, path, row_group_size=STATS_ROW_GROUP)
+    return tbl.num_rows, col[0].as_py(), col[len(col) - 1].as_py(), ordered
 
 
 def _write_global_stats(posting_files: list[str], stats_path: str,
@@ -149,10 +160,10 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
         # boundaries. An out-of-order result would corrupt every lazy
         # dictionary prune downstream, so it must never be served.
         n_terms, last_hi = 0, None
-        for i, (n, lo, hi) in enumerate(results):
+        for i, (n, lo, hi, ordered) in enumerate(results):
             if n == 0:
                 continue
-            if last_hi is not None and lo < last_hi:
+            if not ordered or (last_hi is not None and lo < last_hi):
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 return None
             last_hi = hi

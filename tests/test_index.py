@@ -291,6 +291,27 @@ def test_distributed_stats_finalize_parity(ray_session, tiny_corpus, tmp_path_fa
     assert QueryEngine(b_dir).bm25_topk("merge sort", k=5) == ea.bm25_topk("merge sort", k=5)
 
 
+def test_write_stats_part_order_guard(tmp_path):
+    """The per-part writer refuses to commit an internally-unsorted block
+    (both dictionary serving modes bisect; the driver's boundary check
+    alone can't see disorder inside a block) — the signal that triggers
+    the explicit-sort fallback in _write_global_stats."""
+    import os
+
+    import pyarrow as _pa
+
+    from anomaly_detection_ray.index.build import _write_stats_part
+
+    good = _pa.table({"term": ["a", "b", "c"], "df": [1, 2, 3], "cttf": [1, 2, 3]})
+    bad = _pa.table({"term": ["b", "a", "c"], "df": [1, 2, 3], "cttf": [1, 2, 3]})
+    p1, p2 = str(tmp_path / "g.parquet"), str(tmp_path / "b.parquet")
+    n, lo, hi, ok = _write_stats_part(good, p1)
+    assert (n, lo, hi, ok) == (3, "a", "c", True) and os.path.exists(p1)
+    n, lo, hi, ok = _write_stats_part(bad, p2)
+    assert not ok and not os.path.exists(p2)  # never committed
+    assert _write_stats_part(good.slice(0, 0), str(tmp_path / "e.parquet"))[3] is True
+
+
 def test_tail_index_ticks(ray_session, tiny_corpus, tmp_path_factory):
     """Continuous indexing: tick 1 builds from the first file, tick 2
     segment-adds the late arrivals, tick 3 is a no-op — and the result
