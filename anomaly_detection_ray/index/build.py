@@ -185,6 +185,13 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
         # degenerate: all-empty posting stats → fall back to one empty file
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return _write_global_stats([], stats_path, inline_bytes)
+    # consistency manifest INSIDE the directory: the dir swap is two
+    # renames, so a reader racing a re-finalize could list one layout and
+    # open the other — the part-count/row-count check turns that torn
+    # read into a loud error instead of a silently mis-ordered dictionary
+    n_parts = len([n for n in os.listdir(tmp_dir) if n.endswith(".parquet")])
+    with open(os.path.join(tmp_dir, "_dict_meta.json"), "w") as f:
+        json.dump({"n_parts": n_parts, "n_terms": int(n_terms)}, f)
     _swap_into_place(tmp_dir, stats_path)
     return n_terms
 
@@ -198,9 +205,10 @@ def _swap_into_place(tmp: str, dst: str) -> None:
 
     old = f"{dst}.old-{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(dst) and not os.path.isdir(tmp):
-        # layout change dir→file: clear the directory first
-        shutil.rmtree(dst, ignore_errors=True)
+    # os.rename moves FILES and DIRECTORIES alike, so both layout flips
+    # (file→dir, dir→file) go through the same move-aside: a crash
+    # between the two renames leaves the old dictionary recoverable at
+    # ``old`` instead of a window with no stats at all
     if os.path.exists(dst):
         os.rename(dst, old)
     os.rename(tmp, dst)

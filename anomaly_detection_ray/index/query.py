@@ -1044,15 +1044,21 @@ class QueryEngine:
 
 def _match_text_and_default(body: dict) -> tuple[str, bool]:
     """Text of a ``match`` clause + whether it uses the DEFAULT operator
-    semantics (operator=or, minimum_should_match≤1). Long-form options
-    change the HIT SET, not the per-doc BM25 score."""
+    semantics (operator=or, minimum_should_match absent/≤1). Long-form
+    options change the HIT SET, not the per-doc BM25 score. Percentage
+    msm values ("75%") are valid OpenSearch requests — they classify as
+    non-default here and are evaluated by filter context (queryast's
+    parse_msm), never crashed on."""
     ((_f, spec),) = body.items()
     text = spec["query"] if isinstance(spec, dict) else str(spec)
-    is_default = not isinstance(spec, dict) or (
-        spec.get("operator", "or") == "or"
-        and int(spec.get("minimum_should_match", 1)) <= 1
-    )
-    return text, is_default
+    if not isinstance(spec, dict):
+        return text, True
+    msm = spec.get("minimum_should_match", 1)
+    try:
+        msm_default = int(msm) <= 1  # ints and plain "N" strings
+    except (TypeError, ValueError):
+        msm_default = False  # "75%" and friends → filter context decides
+    return text, (spec.get("operator", "or") == "or" and msm_default)
 
 
 def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
@@ -1089,11 +1095,15 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
         musts = list(body.get("must", []))
         scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
         shoulds = list(body.get("should", []))
-        opt_clauses = [
-            s for s in shoulds
-            if isinstance(s, dict) and "match" in s and _match_text_and_default(s["match"])[1]
-        ]
-        optional = [_match_text_and_default(s["match"])[0] for s in opt_clauses]
+        opt_clauses = [s for s in shoulds if isinstance(s, dict) and "match" in s]
+        # (text, constraint): a default-operator match scores over its OR
+        # union (no constraint); operator=and / msm matches score the
+        # same BM25 sum but only on the docs their own filter-context
+        # semantics admit
+        optional: list[tuple[str, dict | None]] = []
+        for s in opt_clauses:
+            txt, default = _match_text_and_default(s["match"])
+            optional.append((txt, None if default else s))
         msm_explicit = body.get("minimum_should_match") is not None
         if msm_explicit:
             # an explicit bool-level msm makes shoulds hit-set-defining —
@@ -1130,25 +1140,39 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
     return None, [], query, False
 
 
-def _bm25_scores_multi(engine: QueryEngine, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def _bm25_scores_multi(
+    engine: QueryEngine, clauses: list[tuple[str, dict | None]]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Additive BM25 over independent scoring clauses — Lucene's
     BooleanQuery sums every matching clause's score, so a term repeated
     across clauses counts once PER CLAUSE (a single concatenated query
-    would dedupe it). Returns (sorted doc_ids, summed scores)."""
+    would dedupe it). Each clause is ``(text, constraint)``: a
+    non-default match (operator=and / msm) only scores — and only
+    matches — on the docs satisfying its own filter-context semantics.
+    Returns (sorted doc_ids, summed scores, union of per-clause matching
+    doc sets) — the union IS the hit set of a should-only bool, so
+    callers never re-decode postings to count hits."""
     docs_parts, score_parts = [], []
-    for t in texts:
-        d, s = engine.bm25_scores(t)
+    for text, clause in clauses:
+        d, s = engine.bm25_scores(text)
+        if clause is not None:
+            allowed = engine.execute_filter(clause)
+            keep = np.isin(d, allowed, assume_unique=True)
+            d, s = d[keep], s[keep]
         if d.size:
             docs_parts.append(d)
             score_parts.append(s)
     if not docs_parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        empty = np.empty(0, dtype=np.int64)
+        return empty, np.empty(0, dtype=np.float64), empty
     docs = np.concatenate(docs_parts)
     sc = np.concatenate(score_parts)
     uniq, inv = np.unique(docs, return_inverse=True)
     out = np.zeros(uniq.size)
     np.add.at(out, inv, sc)
-    return uniq, out
+    # each part is exactly its clause's matching set, so uniq is the
+    # union of per-clause hits
+    return uniq, out, uniq
 
 
 def search(engine: QueryEngine, body: dict, source_files: list[str] | None = None,
@@ -1209,14 +1233,13 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             # the must match if present; else the should union when the
             # bool has no must/filter (msm default 1); else the residual
             # alone (shoulds scoring-only, msm default 0).
-            docs_u, scores_u = _bm25_scores_multi(
-                engine, ([text] if text is not None else []) + optional
+            docs_u, scores_u, hit_union = _bm25_scores_multi(
+                engine, ([(text, None)] if text is not None else []) + optional
             )
             if text is not None:
                 hitset = engine.union_docs(engine.query_terms(text))
             elif union_hits:
-                terms = sorted({t for q in optional for t in engine.query_terms(q)})
-                hitset = engine.union_docs(terms)
+                hitset = hit_union  # per-clause union, already decoded
             else:
                 hitset = None
             if residual is not None:

@@ -43,6 +43,27 @@ import numpy as np
 import pyarrow.compute as pc
 
 
+def parse_msm(value, n: int) -> int:
+    """OpenSearch/Lucene ``minimum_should_match`` values: an int, "N",
+    "N%", "-N" or "-N%" (percentages round DOWN; a negative value means
+    n minus the computed count — Lucene's
+    ``Queries.calculateMinShouldMatch``). Clamped at 0 below but NOT
+    above: a requirement greater than the clause count matches nothing,
+    exactly like Lucene's BooleanQuery."""
+    if isinstance(value, int):
+        req = value if value >= 0 else n + value
+    else:
+        s = str(value).strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            part = abs(pct) * n // 100
+            req = part if pct >= 0 else n - part
+        else:
+            v = int(s)
+            req = v if v >= 0 else n + v
+    return max(0, req)
+
+
 class QueryCompiler:
     def __init__(self, engine):
         self.engine = engine
@@ -157,7 +178,7 @@ class QueryCompiler:
             if operator == "and":
                 return np.asarray(self.engine.conjunctive(text), dtype=np.int64)
             terms = self.engine.query_terms(text)
-            msm = int(spec.get("minimum_should_match", 1))
+            msm = parse_msm(spec.get("minimum_should_match", 1), len(terms))
             if msm <= 1:
                 return self.engine.union_docs(terms)
             per_term = [self.engine.term_docs(t) for t in terms]
@@ -221,7 +242,8 @@ class QueryCompiler:
             msm = body.get("minimum_should_match")
             if msm is None:
                 msm = 1 if result is None else 0
-            msm = int(msm)
+            else:
+                msm = parse_msm(msm, len(shoulds))
             if msm > 0:
                 per_clause = [self.execute(c) for c in shoulds]
                 vals, counts = np.unique(np.concatenate(per_clause), return_counts=True)

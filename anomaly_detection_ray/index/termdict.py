@@ -90,6 +90,23 @@ class TermDictionary:
         else:
             files = [path]
         self._pfs = [pq.ParquetFile(f) for f in files]
+        if os.path.isdir(path):
+            # consistency check against the finalize's in-dir manifest: a
+            # reader racing a re-finalize's directory swap could mix two
+            # layouts — fail loudly (caller retries) rather than serve a
+            # dictionary whose parts are not in global term order
+            import json
+
+            meta_path = os.path.join(path, "_dict_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                rows = sum(pf.metadata.num_rows for pf in self._pfs)
+                if len(files) != meta["n_parts"] or rows != meta["n_terms"]:
+                    raise RuntimeError(
+                        "stats dictionary directory is inconsistent with its "
+                        "manifest (concurrent finalize swap?) — reopen and retry"
+                    )
         # flattened (file, row-group) list in global term order
         self._grp: list[tuple[int, int]] = [
             (fi, gi)

@@ -85,7 +85,11 @@ def write_results(results_ds, out_dir: str, keep: str = "all", soft_keep_fractio
     # the row count comes from the WRITE itself (parquet footers of
     # exactly the files this run produced) — a side-effect counter inside
     # a retryable map task double-counts replayed batches, and charged an
-    # actor round-trip per batch on the write path
+    # actor round-trip per batch on the write path. Append mode counts by
+    # before/after file-set diff, which assumes ONE writer per out_dir at
+    # a time — the same assumption 'replace' already makes (a concurrent
+    # replace of the same partition would clobber files), and how the
+    # job-tick runner uses it (one tick per results dir).
     if mode == "append":
         before = _parquet_files(out_dir)
         ds.write_parquet(out_dir, partition_cols=["result_date"])

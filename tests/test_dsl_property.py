@@ -46,7 +46,8 @@ def leaf_strategy():
             },
             st.lists(st.sampled_from(TERMS), min_size=1, max_size=3, unique=True),
             st.sampled_from(["or", "and"]),
-            st.integers(1, 3),
+            st.one_of(st.integers(1, 3),
+                      st.sampled_from(["2", "50%", "67%", "100%", "-1", "-50%"])),
         ),
     )
 
@@ -64,7 +65,8 @@ def bool_strategy(children):
         st.lists(children, max_size=2),
         st.lists(children, max_size=3),
         st.lists(children, max_size=2),
-        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(0, 3),
+                  st.sampled_from(["50%", "100%", "-1", "-25%"])),
     )
 
 
@@ -101,7 +103,9 @@ def brute_eval(query, docs) -> set:
         terms = set(spec["query"].split())
         if spec.get("operator", "or") == "and":
             return {d["doc_id"] for d in docs if terms <= d["tokens"]}
-        msm = int(spec.get("minimum_should_match", 1))
+        from anomaly_detection_ray.index.queryast import parse_msm
+
+        msm = parse_msm(spec.get("minimum_should_match", 1), len(terms))
         return {d["doc_id"] for d in docs if len(terms & d["tokens"]) >= msm}
     if kind == "bool":
         result = None
@@ -110,9 +114,13 @@ def brute_eval(query, docs) -> set:
             result = s if result is None else (result & s)
         shoulds = body.get("should", ())
         if shoulds:
+            from anomaly_detection_ray.index.queryast import parse_msm
+
             msm = body.get("minimum_should_match")
             if msm is None:
                 msm = 1 if result is None else 0
+            else:
+                msm = parse_msm(msm, len(shoulds))
             if msm > 0:
                 per = [brute_eval(c, docs) for c in shoulds]
                 matched = {

@@ -320,6 +320,68 @@ def test_search_envelope_should_scoring(eng):
         assert gs == pytest.approx(es, abs=1e-9)
 
 
+def test_msm_percentage_and_negative_forms(eng):
+    """OpenSearch accepts minimum_should_match as "N", "N%", -N and
+    "-N%" (Lucene rounds percentages DOWN; negative = n minus the
+    value). These must evaluate, not crash."""
+    from anomaly_detection_ray.index.query import search
+    from anomaly_detection_ray.index.queryast import parse_msm
+
+    assert parse_msm(2, 3) == 2 and parse_msm("2", 3) == 2
+    assert parse_msm("75%", 3) == 2      # floor(2.25)
+    assert parse_msm("100%", 3) == 3
+    assert parse_msm(-1, 3) == 2
+    assert parse_msm("-25%", 4) == 3     # 4 - floor(1.0)
+    assert parse_msm("300%", 3) == 9     # > n → matches nothing (Lucene)
+    assert parse_msm(-9, 3) == 0         # clamped at 0 only
+
+    e, df, oracle = eng
+    q = "merge sort parse"
+    sets = [set(oracle.postings.get(t, ())) for t in ("merge", "sort", "parse")]
+    got = e.execute_filter({"match": {"content": {"query": q, "minimum_should_match": "67%"}}})
+    exp = sorted(d for d in set().union(*sets) if sum(d in s for s in sets) >= 2)
+    assert list(got) == exp and exp
+    # and through the _search envelope (the pre-fix crash path)
+    r = search(e, {"query": {"match": {"content": {
+        "query": q, "minimum_should_match": "67%"}}}, "size": 5})
+    assert r["hits"]["total"]["value"] == len(exp)
+    full = dict(e.bm25_topk(q, k=10_000, prune=False))
+    top = sorted(((d, full[d]) for d in exp), key=lambda t: (-t[1], t[0]))[:5]
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == \
+        [(d, pytest.approx(s)) for d, s in top]
+
+
+def test_search_should_scoring_with_and_clause(eng):
+    """A non-default should (operator=and) still contributes its BM25
+    sum — but only on the docs its conjunctive semantics admit; docs
+    matching only some of its terms get no contribution from it."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q1, q2 = "merge sort", "parse tree"
+
+    def osc(q):
+        return dict(oracle.bm25_topk(q, k=10_000))
+
+    s1, s2 = osc(q1), osc(q2)
+    conj2 = set(oracle.conjunctive(q2))
+    r = search(e, {"query": {"bool": {
+        "must": [{"match": {"content": q1}}],
+        "should": [{"match": {"content": {"query": q2, "operator": "and"}}}]}},
+        "size": 1000})
+    assert r["hits"]["total"]["value"] == len(s1)  # hit set = must only
+    exp = {d: s1[d] + (s2[d] if d in conj2 else 0.0) for d in s1}
+    exps = sorted(exp.items(), key=lambda t: (-t[1], t[0]))
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in exps]
+    for (_, gs), (_, es) in zip(got, exps):
+        assert gs == pytest.approx(es, abs=1e-9)
+    # at least one doc matches q1 and parts of q2 without all of q2 —
+    # the case that distinguishes masked from unmasked addition
+    partial = [d for d in s1 if d in s2 and d not in conj2]
+    assert partial, "fixture must exercise the partial-match case"
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search

@@ -37,7 +37,12 @@ def main(n_terms: int = 50_000_000, n_files: int = 50) -> dict:
     work = "/tmp/adr_stats_finalize"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "postings"))
-    per_file = n_terms // n_files
+    # round so every file holds the same whole number of terms AND a
+    # multiple of 10 (the ::10 duplication + df spot-check assume it);
+    # cap ids below 10^9 so the U9 string dtype never truncates
+    per_file = max(10, n_terms // n_files // 10 * 10)
+    n_terms = per_file * n_files
+    assert n_terms < 10**9, "term ids must fit 9 decimal digits"
 
     @ray.remote
     def gen(i: int) -> str:
