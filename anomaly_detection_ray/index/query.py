@@ -1077,14 +1077,22 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
     conjunctive/msm semantics instead of silently widening to the OR
     match.
 
-    Returns ``(required_text, optional_texts, residual,
+    Returns ``(required_text, optional_clauses, residual,
     union_defines_hits)``:
-    ``optional_texts`` are default-operator ``should`` matches — they
-    contribute ADDITIVE BM25 (Lucene's BooleanQuery sums every matching
-    clause's score) but never define the hit set when a ``must``/filter
-    is present (OpenSearch's msm-defaults-to-0 rule; the repo's queryast
-    applies the same rule in filter context). A bool of ONLY should
-    matches has no required text: the hit set is their union."""
+    ``optional_clauses`` are scorable ``should`` clauses — they
+    contribute ADDITIVE scores (Lucene's BooleanQuery sums every
+    matching clause's score) but never define the hit set when a
+    ``must``/filter is present (OpenSearch's msm-defaults-to-0 rule; the
+    repo's queryast applies the same rule in filter context). A bool of
+    ONLY scorable shoulds has no required text: the hit set is their
+    union. Each entry is tagged: ``("match", text, constraint)`` scores
+    additive BM25 over the text (``constraint`` = the clause itself when
+    operator/msm shrink its matching set), ``("leaf", clause)`` is a
+    non-match leaf scored by :func:`_leaf_should_scores` (term → BM25 /
+    norms-off idf; multi-term and set queries → Lucene's constant-score
+    rewrite, 1.0). A should list containing any UNscorable clause
+    (phrase, nested bool) falls back to filter context for the whole
+    list — hit sets stay right, those scores read 1.0."""
     if not query:
         return None, [], None, False
     ((kind, body),) = query.items()
@@ -1095,15 +1103,21 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
         musts = list(body.get("must", []))
         scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
         shoulds = list(body.get("should", []))
-        opt_clauses = [s for s in shoulds if isinstance(s, dict) and "match" in s]
-        # (text, constraint): a default-operator match scores over its OR
-        # union (no constraint); operator=and / msm matches score the
-        # same BM25 sum but only on the docs their own filter-context
-        # semantics admit
-        optional: list[tuple[str, dict | None]] = []
-        for s in opt_clauses:
-            txt, default = _match_text_and_default(s["match"])
-            optional.append((txt, None if default else s))
+        # tag every scorable should clause; None marks an unscorable one
+        optional: list[tuple] = []
+        all_scorable = True
+        for s in shoulds:
+            if not isinstance(s, dict) or len(s) != 1:
+                all_scorable = False
+                continue
+            (s_kind,) = s.keys()
+            if s_kind == "match":
+                txt, default = _match_text_and_default(s["match"])
+                optional.append(("match", txt, None if default else s))
+            elif s_kind in _LEAF_SHOULD_KINDS:
+                optional.append(("leaf", s))
+            else:
+                all_scorable = False
         msm_explicit = body.get("minimum_should_match") is not None
         if msm_explicit:
             # an explicit bool-level msm makes shoulds hit-set-defining —
@@ -1128,37 +1142,91 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
             # context applies its operator/msm while its text scores,
             # and the residual's must keeps its shoulds scoring-only
             return text, optional, ({"bool": residual} if residual else None), False
-        if (not scoring and not msm_explicit and opt_clauses
-                and len(opt_clauses) == len(shoulds)):
-            # should-match bool with no scoring must. OpenSearch's msm
-            # default: 1 when the bool has no must/filter (the union IS
-            # the hit set), 0 otherwise (shoulds are scoring-only and
-            # the residual alone defines the hits).
+        if not scoring and not msm_explicit and optional and all_scorable:
+            # should-only bool of scorable clauses, no scoring must.
+            # OpenSearch's msm default: 1 when the bool has no
+            # must/filter (the union IS the hit set), 0 otherwise
+            # (shoulds are scoring-only and the residual alone defines
+            # the hits).
             union_hits = not (body.get("must") or body.get("filter"))
             residual = {k: v for k, v in body.items() if k != "should"}
             return None, optional, ({"bool": residual} if residual else None), union_hits
     return None, [], query, False
 
 
+# should-context leaf kinds with a Lucene-defined score: term (BM25 on
+# the text field / norms-off idf on keyword), everything else a
+# constant-score rewrite (MultiTermQuery CONSTANT_SCORE_REWRITE,
+# TermInSetQuery, range, exists → 1.0). match_phrase is deliberately
+# absent: PhraseQuery scores by phrase frequency, which this engine
+# doesn't track — those stay in filter context rather than score wrong.
+_LEAF_SHOULD_KINDS = {"term", "terms", "prefix", "wildcard", "regexp",
+                      "fuzzy", "range", "exists"}
+
+
+def _leaf_should_scores(engine: QueryEngine, clause: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(matching docs, per-doc scores) of a non-match should clause,
+    following Lucene's query-context scoring:
+
+    - ``term`` on the indexed TEXT field = a TermQuery: full BM25
+      (idf × tf_norm) with the engine's stale-stats df, exactly like a
+      one-term match.
+    - ``term`` on a keyword (docmap) column: keyword fields omit norms,
+      so Lucene's BM25 collapses to idf — freq=1 and dl=avgdl=1 make
+      tf_norm exactly 1 in the (k1+1) convention (BM25Similarity with
+      norms omitted decodes dl=1). df is the LIVE matching count (the
+      docmap is tombstone-filtered), N stays manifest n_docs for
+      consistency with text idf's stale-stats semantics.
+    - every other kind (terms/prefix/wildcard/regexp/fuzzy/range/exists):
+      Lucene rewrites these to constant score 1.0 per matching doc
+      (MultiTermQuery CONSTANT_SCORE_REWRITE — OpenSearch's default
+      ``rewrite``)."""
+    ((kind, body),) = clause.items()
+    if kind == "term":
+        ((field, value),) = body.items()
+        if getattr(engine, "_compiler", None) is None:
+            from .queryast import QueryCompiler
+
+            engine._compiler = QueryCompiler(engine)
+        if not engine._compiler._is_meta_field(field):
+            docs, tfs, dls = engine.term_arrays(str(value))
+            if docs.size == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            w = float(bm25_idf(engine.df(str(value)), engine.n_docs))
+            return docs, w * tf_norm(tfs, dls, engine.avgdl)
+        docs = engine.execute_filter(clause)
+        w = float(bm25_idf(int(docs.size), engine.n_docs)) if docs.size else 0.0
+        return docs, np.full(docs.size, w, dtype=np.float64)
+    docs = engine.execute_filter(clause)
+    return docs, np.ones(docs.size, dtype=np.float64)
+
+
 def _bm25_scores_multi(
-    engine: QueryEngine, clauses: list[tuple[str, dict | None]]
+    engine: QueryEngine, clauses: list[tuple]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Additive BM25 over independent scoring clauses — Lucene's
+    """Additive scoring over independent should/must clauses — Lucene's
     BooleanQuery sums every matching clause's score, so a term repeated
     across clauses counts once PER CLAUSE (a single concatenated query
-    would dedupe it). Each clause is ``(text, constraint)``: a
-    non-default match (operator=and / msm) only scores — and only
-    matches — on the docs satisfying its own filter-context semantics.
-    Returns (sorted doc_ids, summed scores, union of per-clause matching
-    doc sets) — the union IS the hit set of a should-only bool, so
-    callers never re-decode postings to count hits."""
+    would dedupe it). Each clause is tagged (see
+    :func:`_split_scoring_clause`): ``("match", text, constraint)``
+    scores BM25 over the text — a non-default match (operator=and / msm)
+    only scores, and only matches, on the docs satisfying its own
+    filter-context semantics; ``("leaf", clause)`` scores through
+    :func:`_leaf_should_scores`. Returns (sorted doc_ids, summed scores,
+    union of per-clause matching doc sets) — the union IS the hit set of
+    a should-only bool, so callers never re-decode postings to count
+    hits."""
     docs_parts, score_parts = [], []
-    for text, clause in clauses:
-        d, s = engine.bm25_scores(text)
-        if clause is not None:
-            allowed = engine.execute_filter(clause)
-            keep = np.isin(d, allowed, assume_unique=True)
-            d, s = d[keep], s[keep]
+    for entry in clauses:
+        if entry[0] == "leaf":
+            d, s = _leaf_should_scores(engine, entry[1])
+        else:
+            _, text, clause = entry
+            d, s = engine.bm25_scores(text)
+            if clause is not None:
+                allowed = engine.execute_filter(clause)
+                keep = np.isin(d, allowed, assume_unique=True)
+                d, s = d[keep], s[keep]
         if d.size:
             docs_parts.append(d)
             score_parts.append(s)
@@ -1234,7 +1302,7 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             # bool has no must/filter (msm default 1); else the residual
             # alone (shoulds scoring-only, msm default 0).
             docs_u, scores_u, hit_union = _bm25_scores_multi(
-                engine, ([(text, None)] if text is not None else []) + optional
+                engine, ([("match", text, None)] if text is not None else []) + optional
             )
             if text is not None:
                 hitset = engine.union_docs(engine.query_terms(text))

@@ -94,16 +94,26 @@ class DetectorAPI:
 
     RECENT_TS_CAP = 65_536
 
-    def suggest_interval(self) -> int:
-        """Median gap between distinct timestamps, in seconds — over the
-        most RECENT ``RECENT_TS_CAP`` distinct timestamps (the reference's
-        interval calculation also samples latest data,
-        ``IntervalCalculation.java:31-56``). Distinct + sort + limit run
-        distributed; only the bounded recent sample reaches the driver."""
+    def _recent_distinct_ts_ms(self) -> np.ndarray:
+        """Most recent ``RECENT_TS_CAP`` DISTINCT event timestamps (epoch
+        ms, ascending) — the shared probe behind ``suggest_interval`` and
+        ``validate()``'s recency anchor (one scan serves both; r5 fused
+        the separate max-ts pass). Each batch dedupes locally before the
+        groupby, so the shuffle moves per-block distinct timestamps, not
+        every event row; only the bounded recent sample reaches the
+        driver (``IntervalCalculation.java:31-56`` samples latest data
+        the same way)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from ray.data.aggregate import Count
 
+        def to_ms_unique(b: pa.Table) -> pa.Table:
+            t = add_window_columns(b, self.ts_col, 1)
+            u = pc.unique(t["window_start_ms"].combine_chunks())
+            return pa.table({"window_start_ms": u})
+
         ds = self._ds(columns=[self.ts_col]).select_columns([self.ts_col]).map_batches(
-            lambda b: add_window_columns(b, self.ts_col, 1), batch_format="pyarrow", zero_copy_batch=True
+            to_ms_unique, batch_format="pyarrow", zero_copy_batch=True
         )
         frame = (
             ds.groupby("window_start_ms")
@@ -112,11 +122,26 @@ class DetectorAPI:
             .limit(self.RECENT_TS_CAP)
             .to_pandas()
         )
-        if "window_start_ms" not in frame.columns or len(frame) < 2:
+        if "window_start_ms" not in frame.columns:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(frame["window_start_ms"].to_numpy(dtype=np.int64))
+
+    @staticmethod
+    def _interval_from_recent(recent: np.ndarray, default: int) -> int:
+        """Median gap of the recent distinct timestamps, in seconds."""
+        if recent.size < 2:
             # empty table (or a single timestamp): nothing to suggest
-            return self.config.interval_s
-        recent = frame["window_start_ms"].to_numpy()
-        return max(1, int(round(float(np.median(np.diff(np.sort(recent)))) / 1000.0)))
+            return default
+        return max(1, int(round(float(np.median(np.diff(recent))) / 1000.0)))
+
+    def suggest_interval(self) -> int:
+        """Median gap between distinct timestamps, in seconds — over the
+        most RECENT ``RECENT_TS_CAP`` distinct timestamps (the reference's
+        interval calculation also samples latest data,
+        ``IntervalCalculation.java:31-56``). Distinct + sort + limit run
+        distributed; only the bounded recent sample reaches the driver."""
+        return self._interval_from_recent(self._recent_distinct_ts_ms(),
+                                          self.config.interval_s)
 
     def suggest_period(self, max_period: int = 96, coarse_groups: int | None = None) -> int:
         """Seasonal-period suggestion for the forecast side (the
@@ -183,7 +208,11 @@ class DetectorAPI:
         from ..stages.priority import decayed_top_entities  # noqa: F401 (import check)
 
         issues: list[str] = []
-        suggested = self.suggest_interval()
+        # ONE distinct-ts probe serves both the interval suggestion and
+        # the recency anchor for the feature sample below (r4 ran a
+        # separate max-ts scan; the max IS the last recent timestamp)
+        recent = self._recent_distinct_ts_ms()
+        suggested = self._interval_from_recent(recent, self.config.interval_s)
         if suggested > self.config.interval_s * 2:
             issues.append(
                 f"interval {self.config.interval_s}s much finer than median data gap {suggested}s"
@@ -193,8 +222,13 @@ class DetectorAPI:
         # ad/rest/handler/AbstractAnomalyDetectorActionHandler feature
         # checks + IntervalCalculation.java:31-56): source columns must
         # exist, and a recent-window sample of each aggregated feature
-        # must be mostly non-NaN.
-        schema_names = set(self._ds().schema().names)
+        # must be mostly non-NaN. Schema comes from parquet METADATA (the
+        # filter_query only drops rows, never columns — probing the
+        # filtered stream would execute its first block just to list
+        # names).
+        import ray.data as rd
+
+        schema_names = set(rd.read_parquet(self.events_path).schema().names)
         missing_cols = [f.column for f in self.config.features if f.column not in schema_names]
         if missing_cols:
             issues.append(f"feature source columns missing from input: {sorted(set(missing_cols))}")
@@ -203,16 +237,13 @@ class DetectorAPI:
             from ..stages.window import normalize_features, window_aggregate
 
             interval_ms_v = self.config.interval_s * 1000
-            ts_ds = self._ds(columns=[self.ts_col]).select_columns([self.ts_col]).map_batches(
-                lambda b: add_window_columns(b, self.ts_col, interval_ms_v),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            hi = ts_ds.max("window_end_ms")
-            if hi is None:
+            if recent.size == 0:
                 issues.append("no data in the input — cannot validate features")
             else:
+                # window_end of the latest event, derived from the probe
+                hi = (int(recent[-1]) // interval_ms_v + 1) * interval_ms_v
                 lo = int(hi) - 64 * interval_ms_v  # recent sample only — never the full table
-                sample = window_aggregate(self._ds(), self.config, ts_col=self.ts_col,
+                sample = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col,
                                           time_range_ms=(lo, int(hi)))
                 feats = self.config.feature_names()
                 sample = sample.map_batches(

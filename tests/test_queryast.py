@@ -382,6 +382,78 @@ def test_search_should_scoring_with_and_clause(eng):
     assert partial, "fixture must exercise the partial-match case"
 
 
+def test_search_should_leaf_clause_scoring(eng):
+    """Non-match should clauses score per Lucene's query context: a term
+    on the TEXT field is a TermQuery (full BM25), a term on a keyword
+    docmap column scores its norms-off idf, and multi-term queries
+    (prefix/wildcard/…) take the constant-score rewrite (1.0) — all
+    ADDITIVE with any match clauses, never widening a must's hit set."""
+    from anomaly_detection_ray.functions.bm25 import idf as bm25_idf
+    from anomaly_detection_ray.functions.bm25 import tf_norm
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q1 = "merge sort"
+    s1 = dict(oracle.bm25_topk(q1, k=10_000))
+    n = len(df)
+    java = set(df[df["lang"] == "java"]["doc_id"])
+    w_java = float(bm25_idf(len(java), n))
+
+    # must match + should term-on-keyword: hits = must docs only,
+    # matching docs add the keyword idf
+    r = search(e, {"query": {"bool": {
+        "must": [{"match": {"content": q1}}],
+        "should": [{"term": {"lang": "java"}}]}}, "size": 1000})
+    assert r["hits"]["total"]["value"] == len(s1)
+    exp = {d: s1[d] + (w_java if d in java else 0.0) for d in s1}
+    exps = sorted(exp.items(), key=lambda t: (-t[1], t[0]))
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in exps]
+    for (_, gs), (_, es) in zip(got, exps):
+        assert gs == pytest.approx(es, abs=1e-9)
+    assert any(d in java for d in s1) and any(d not in java for d in s1)
+
+    # should-only bool mixing match + keyword term + prefix: union hit
+    # set; scores = BM25 + idf·[lang] + 1.0·[prefix]
+    pre = set(oracle.prefix("pars"))
+    r2 = search(e, {"query": {"bool": {"should": [
+        {"match": {"content": q1}},
+        {"term": {"lang": "java"}},
+        {"prefix": {"content": "pars"}}]}}, "size": 2000})
+    union = set(s1) | java | pre
+    assert r2["hits"]["total"]["value"] == len(union)
+    exp2 = {d: s1.get(d, 0.0) + (w_java if d in java else 0.0)
+            + (1.0 if d in pre else 0.0) for d in union}
+    exps2 = sorted(exp2.items(), key=lambda t: (-t[1], t[0]))
+    got2 = [(h["_id"], h["_score"]) for h in r2["hits"]["hits"]]
+    assert [d for d, _ in got2] == [d for d, _ in exps2]
+    for (_, gs), (_, es) in zip(got2, exps2):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+    # term on the TEXT field in should = a one-term TermQuery: full BM25
+    plist = oracle.postings["merge"]
+    w_t = float(bm25_idf(len(plist), oracle.n_docs))
+    r3 = search(e, {"query": {"bool": {"should": [
+        {"term": {"content": "merge"}}]}}, "size": 2000})
+    exp3 = {d: w_t * float(tf_norm(tf, oracle.doc_len[d], oracle.avgdl))
+            for d, tf in plist.items()}
+    exps3 = sorted(exp3.items(), key=lambda t: (-t[1], t[0]))
+    got3 = [(h["_id"], h["_score"]) for h in r3["hits"]["hits"]]
+    assert [d for d, _ in got3] == [d for d, _ in exps3]
+    for (_, gs), (_, es) in zip(got3, exps3):
+        assert gs == pytest.approx(es, abs=1e-9)
+    assert r3["hits"]["total"]["value"] == len(plist)
+
+    # an UNscorable should (nested bool) keeps the conservative
+    # filter-context fallback: right hit set, constant 1.0 scores
+    go = sorted(df[df["lang"] == "go"]["doc_id"])
+    r4 = search(e, {"query": {"bool": {"should": [
+        {"bool": {"must": [{"term": {"lang": "go"}}]}}]}}, "size": 2000})
+    assert r4["hits"]["total"]["value"] == len(go)
+    assert [h["_id"] for h in r4["hits"]["hits"]] == go
+    assert all(h["_score"] == 1.0 for h in r4["hits"]["hits"])
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search
