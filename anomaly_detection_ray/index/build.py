@@ -92,6 +92,84 @@ def _write_stats_part(block, path: str) -> tuple[int, str | None, str | None, bo
     return tbl.num_rows, col[0].as_py(), col[len(col) - 1].as_py(), ordered
 
 
+def _stats_term_boundaries(posting_files: list[str], n_parts: int) -> list[str] | None:
+    """Range-partition boundaries for the stats exchange, sampled from
+    the posting files' per-row-group ``term`` column statistics — footer
+    metadata only, no data pages read. Statistics truncation (long terms)
+    only blurs boundary PLACEMENT, never correctness: every term still
+    lands in exactly one range by binary search. Returns ``None`` when
+    any file lacks term statistics (→ caller falls back to the Ray-Data
+    sort path)."""
+    mins: list[str] = []
+    for f in posting_files:
+        md = pq.read_metadata(f)
+        try:
+            ti = md.schema.names.index("term")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            if st is None or not st.has_min_max or st.min is None:
+                return None
+            mins.append(st.min if isinstance(st.min, str) else st.min.decode("utf-8", "replace"))
+    if not mins:
+        return None
+    mins.sort()
+    # dedupe keeps ranges non-empty by construction; fewer parts is fine
+    return sorted({mins[len(mins) * p // n_parts] for p in range(1, n_parts)})
+
+
+def _bisect_left_arrow(col, value: str) -> int:
+    """First index with ``col[i] >= value`` in a term-sorted Arrow
+    column — O(log n) scalar accesses, no materialization."""
+    lo, hi = 0, len(col)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if col[mid].as_py() < value:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+_STATS_AGG_COLS = ["term", "df", "cttf"]
+
+
+def _split_stats_by_range(path: str, boundaries: list[str]) -> list[pa.Table]:
+    """Map side of the stats exchange: one posting file → locally
+    combined (term, df, cttf) partials, term-sorted, sliced into
+    ``len(boundaries)+1`` range partitions (terms equal to a boundary go
+    right). All heavy work is Arrow C kernels; the split offsets come
+    from binary search on the sorted column."""
+    t = pq.read_table(path, columns=["term", "df_chunk", "tf_sum"])
+    t = t.group_by("term").aggregate([("df_chunk", "sum"), ("tf_sum", "sum")])
+    t = t.select(["term", "df_chunk_sum", "tf_sum_sum"]).rename_columns(_STATS_AGG_COLS)
+    t = t.sort_by([("term", "ascending")])
+    col = t["term"].combine_chunks()
+    offs = [0] + [_bisect_left_arrow(col, b) for b in boundaries] + [t.num_rows]
+    return [t.slice(offs[p], offs[p + 1] - offs[p]) for p in range(len(offs) - 1)]
+
+
+def _split_stats_single_range(path: str, boundaries: list[str]) -> pa.Table:
+    """Degenerate one-range split (tiny distributed finalizes)."""
+    return _split_stats_by_range(path, boundaries)[0]
+
+
+def _merge_stats_range(path: str, *parts: pa.Table) -> tuple[int, str | None, str | None, bool]:
+    """Reduce side: merge one term range's partials across all posting
+    files, re-sort, write the part file. Output ranges are disjoint and
+    ordered by construction, so the parts concatenate into a globally
+    term-sorted dictionary."""
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return 0, None, None, True
+    t = pa.concat_tables(live)
+    t = t.group_by("term").aggregate([("df", "sum"), ("cttf", "sum")])
+    t = t.select(["term", "df_sum", "cttf_sum"]).rename_columns(_STATS_AGG_COLS)
+    t = t.sort_by([("term", "ascending")])
+    return _write_stats_part(t, path)
+
+
 def _write_global_stats(posting_files: list[str], stats_path: str,
                         inline_bytes: int = STATS_INLINE_BYTES) -> int:
     """Global (term, df, cttf) dictionary from the posting parts' chunk
@@ -100,12 +178,16 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
 
     Small indexes (≤ ``inline_bytes`` of posting parts): driver-side
     pandas aggregation into ONE file — instant and byte-stable. Bigger:
-    a Ray groupby merges the per-partition stats, a distributed
-    range-partition sort orders them by term, and each sorted block
-    writes its own part file under a ``stats.parquet/`` DIRECTORY — the
-    vocabulary never materializes on the driver (only per-part
-    boundaries do), so a 10⁹-term build finalizes with flat driver RSS.
-    Both layouts serve identically through ``termdict.TermDictionary``."""
+    a raw-Ray RANGE exchange (boundaries sampled from parquet row-group
+    statistics, map-side local combine, one reduce per term range) — the
+    same drop-to-raw-Ray shape as the posting merge, because Ray Data's
+    sort-based groupby paid a full extra exchange here (measured ~2-6×).
+    Each reduce writes its own part file under a ``stats.parquet/``
+    DIRECTORY — the vocabulary never materializes on the driver (only
+    per-part boundaries do), so a 10⁹-term build finalizes with flat
+    driver RSS. Files without term statistics fall back to the Ray-Data
+    groupby+sort path. Both layouts serve identically through
+    ``termdict.TermDictionary``."""
     import pandas as pd
 
     total_bytes = sum(os.path.getsize(f) for f in posting_files)
@@ -134,10 +216,64 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    def check(results, tmp_dir) -> int | None:
+        """Drop empty parts; verify global order across the kept
+        boundaries. An out-of-order result would corrupt every lazy
+        dictionary prune downstream, so it must never be served."""
+        n_terms, last_hi = 0, None
+        for n, lo, hi, ordered in results:
+            if n == 0:
+                continue
+            if not ordered or (last_hi is not None and lo < last_hi):
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return None
+            last_hi = hi
+            n_terms += n
+        return n_terms
+
+    def run_range() -> tuple[int, str] | None:
+        """Raw-Ray range exchange: boundaries from footer statistics,
+        map-side local combine + sort + slice, one reduce (merge + part
+        write) per term range. Driver holds boundaries and refs only."""
+        # ~96 MB of posting bytes per reduce (stats columns are a small
+        # slice of that, so real reducers run well under the bound);
+        # floor at 2 parts whenever there are ≥2 inputs so a FORCED
+        # distributed finalize still exercises the multi-part layout the
+        # lazy dictionary serves
+        n_target = max(2 if len(posting_files) > 1 else 1,
+                       min(256, int(total_bytes // (96 << 20)) + 1))
+        bounds = _stats_term_boundaries(posting_files, n_target)
+        if bounds is None:
+            return None
+        n_parts = len(bounds) + 1
+        tmp_dir = f"{stats_path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        if n_parts > 1:
+            split = ray.remote(num_returns=n_parts)(_split_stats_by_range)
+        else:
+            # single range: unwrap the one-element list (num_returns=1
+            # would hand the merge the LIST, not the table)
+            split = ray.remote(_split_stats_single_range)
+        merge = ray.remote(_merge_stats_range)
+        part_refs: list[list] = [[] for _ in range(n_parts)]
+        for f in posting_files:
+            outs = split.remote(f, bounds)
+            if n_parts == 1:
+                outs = [outs]
+            for p, r in enumerate(outs):
+                part_refs[p].append(r)
+        refs = [merge.remote(os.path.join(tmp_dir, f"part-{p:05d}.parquet"), *part_refs[p])
+                for p in range(n_parts)]
+        n = check(ray.get(refs), tmp_dir)
+        return None if n is None else (n, tmp_dir)
+
     def run(explicit_sort: bool) -> tuple[int, str] | None:
-        """One distributed attempt → (n_terms, tmp_dir), or None when the
-        parts came out of global order (possible only on the first,
-        sort-free attempt)."""
+        """Ray-Data fallback attempt (files without term statistics) →
+        (n_terms, tmp_dir), or None when the parts came out of global
+        order (possible only on the first, sort-free attempt — Ray's
+        groupby is itself a sort-based shuffle, so its aggregate output
+        is normally already in key order)."""
         stats = (
             rd.read_parquet(posting_files, columns=["term", "df_chunk", "tf_sum"])
             .groupby("term")
@@ -155,27 +291,12 @@ def _write_global_stats(posting_files: list[str], stats_path: str,
         for bundle in stats.iter_internal_ref_bundles():
             for ref in bundle.block_refs:
                 refs.append(write.remote(ref, os.path.join(tmp_dir, f"part-{len(refs):05d}.parquet")))
-        results = ray.get(refs)
-        # drop empty parts; verify global order across the kept
-        # boundaries. An out-of-order result would corrupt every lazy
-        # dictionary prune downstream, so it must never be served.
-        n_terms, last_hi = 0, None
-        for i, (n, lo, hi, ordered) in enumerate(results):
-            if n == 0:
-                continue
-            if not ordered or (last_hi is not None and lo < last_hi):
-                shutil.rmtree(tmp_dir, ignore_errors=True)
-                return None
-            last_hi = hi
-            n_terms += n
-        return n_terms, tmp_dir
+        n = check(ray.get(refs), tmp_dir)
+        return None if n is None else (n, tmp_dir)
 
-    # Ray's groupby is itself a sort-based shuffle, so the aggregate
-    # output is normally already in global key order — writing it
-    # directly saves a second full exchange (measured ~2× on the
-    # finalize). The boundary check above decides: if a Ray version ever
-    # emits unordered aggregate blocks, fall back to an explicit sort.
-    got = run(explicit_sort=False)
+    got = run_range()
+    if got is None:
+        got = run(explicit_sort=False)
     if got is None:
         got = run(explicit_sort=True)
         if got is None:  # sorted output out of order = engine bug
