@@ -695,6 +695,12 @@ WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 400
   AND list_contains({TOKS}, 'data')
 ORDER BY doc_id
 """,
+        "ids_search": f"""
+SELECT doc_id FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in range(0, 1200, 13))})
+  AND lang = 'en'
+ORDER BY doc_id
+""",
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf

@@ -1155,13 +1155,14 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
 
 
 # should-context leaf kinds with a Lucene-defined score: term (BM25 on
-# the text field / norms-off idf on keyword), everything else a
-# constant-score rewrite (MultiTermQuery CONSTANT_SCORE_REWRITE,
-# TermInSetQuery, range, exists → 1.0). match_phrase is deliberately
-# absent: PhraseQuery scores by phrase frequency, which this engine
-# doesn't track — those stay in filter context rather than score wrong.
+# the text field / norms-off idf on keyword), constant_score (its
+# boost), everything else a constant-score rewrite (MultiTermQuery
+# CONSTANT_SCORE_REWRITE, TermInSetQuery, ids, range, exists → 1.0).
+# match_phrase is deliberately absent: PhraseQuery scores by phrase
+# frequency, which this engine doesn't track — those stay in filter
+# context rather than score wrong.
 _LEAF_SHOULD_KINDS = {"term", "terms", "prefix", "wildcard", "regexp",
-                      "fuzzy", "range", "exists"}
+                      "fuzzy", "range", "exists", "ids", "constant_score"}
 
 
 def _leaf_should_scores(engine: QueryEngine, clause: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -1198,7 +1199,8 @@ def _leaf_should_scores(engine: QueryEngine, clause: dict) -> tuple[np.ndarray, 
         w = float(bm25_idf(int(docs.size), engine.n_docs)) if docs.size else 0.0
         return docs, np.full(docs.size, w, dtype=np.float64)
     docs = engine.execute_filter(clause)
-    return docs, np.ones(docs.size, dtype=np.float64)
+    w = float(body.get("boost", 1.0)) if kind == "constant_score" else 1.0
+    return docs, np.full(docs.size, w, dtype=np.float64)
 
 
 def _bm25_scores_multi(
@@ -1330,7 +1332,12 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
     else:
         docs = engine.execute_filter(query)
         total = int(docs.size)
-        hits = [{"_id": int(d), "_score": 1.0} for d in docs[frm:frm + size]]
+        # pure filter context scores 1.0 in doc order; a top-level
+        # constant_score wrapper scores its boost instead
+        const = 1.0
+        if query and next(iter(query)) == "constant_score":
+            const = float(query["constant_score"].get("boost", 1.0))
+        hits = [{"_id": int(d), "_score": const} for d in docs[frm:frm + size]]
 
     # _source from the docmap (metadata + lineage hash; text lives in the
     # source parquet by design)

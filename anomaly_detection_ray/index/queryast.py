@@ -25,6 +25,9 @@ exactly that surface as a JSON-dict AST compiled against a built index:
                                               # "max_expansions": m}
     {"exists": {"field": "<field>"}}          # docmap column non-null; text field
                                               # → all docs; unmapped → none
+    {"ids": {"values": [id, ...]}}            # doc_id set lookup (live docs only)
+    {"constant_score": {"filter": {...}}}     # filter-context wrapper; in query
+                                              # context scores boost (default 1.0)
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...],
                "minimum_should_match": n}}
 
@@ -203,6 +206,16 @@ class QueryCompiler:
                     pc.starts_with(pc.field(field), pattern=str(value))
                 )
             return self.engine.prefix_docs(str(value))
+        if kind == "ids":
+            values = [int(v) for v in body["values"]]
+            if not values:
+                return np.empty(0, dtype=np.int64)
+            # through the docmap, so deleted docs drop out (OpenSearch's
+            # ids query sees only live documents)
+            return self._docmap_filter(pc.field("doc_id").isin(values))
+        if kind == "constant_score":
+            # filter context strips the scoring wrapper entirely
+            return self.execute(body["filter"])
         if kind == "bool":
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")

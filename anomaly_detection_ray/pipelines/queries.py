@@ -122,6 +122,24 @@ def q_filtered_search(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
 
 
+IDS_SAMPLE = tuple(range(0, 1200, 13))  # hits + misses, deterministic
+
+
+def q_ids_search(sf_dir: str) -> pd.DataFrame:
+    """ids + constant_score DSL (OpenSearch get-by-ids through _search):
+    a live doc_id set lookup intersected with a keyword term, wrapped in
+    a constant_score — the wrapper strips in filter context, the ids
+    evaluate through the (tombstone-filtered) docmap."""
+    eng = index_for(sf_dir)
+    docs = eng.execute_filter({
+        "constant_score": {"filter": {"bool": {"filter": [
+            {"ids": {"values": list(IDS_SAMPLE)}},
+            {"term": {"lang": "en"}},
+        ]}}}
+    })
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 PREFIX_QUERY = "sl"  # matches 'slow' + any other sl* vocab
 
 
@@ -1519,6 +1537,7 @@ REGISTRY = {
     # --- oracle-backed, sibling-verified machinery (rotated out r5) ---
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
+    "ids_search": q_ids_search,
     "prefix_search": q_prefix_search,
     "regexp_search": q_regexp_search,
     "fuzzy_search": q_fuzzy_search,

@@ -38,6 +38,21 @@ def corpus_path() -> str:
     return out
 
 
+def _settle(sec: float = 0.5) -> None:
+    """Collect the PREVIOUS stage's Datasets before timing the next one.
+    A consumed Dataset's executor (actor pools, object refs) dies on
+    garbage collection, not on scope exit — Ray Data plans hold reference
+    cycles, so without an explicit collect the teardown lands INSIDE the
+    next stage's timing and steals its CPU slots (measured: third
+    back-to-back HC detect 28.3 s cold-GC vs 12.0 s settled; the r5
+    'in-suite vs standalone' build gap had the same shape)."""
+    import gc
+    import time as _t
+
+    gc.collect()
+    _t.sleep(sec)
+
+
 def bench_suite() -> dict:
     import glob
 
@@ -61,6 +76,7 @@ def bench_suite() -> dict:
     extra: dict = {}
 
     def timed(name, fn):
+        _settle()  # prior stage's executor teardown must not bill here
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -415,6 +431,7 @@ def hc_bench() -> dict:
     def run(n_entities: int) -> float:
         tbl = events(n_entities)
         ds = rd.from_arrow(tbl).repartition(max(8, NUM_CPUS))
+        _settle(1.0)
         t0 = time.perf_counter()
         # fixed scoring pool: the scorer sits behind the groupby barrier
         # and the pre-agg is cheap here, so reserving the CPUs up front
@@ -436,6 +453,7 @@ def hc_bench() -> dict:
 
     pool_n = max(2, NUM_CPUS - 2)
     ds = rd.from_arrow(events(HC_ENTITIES)).repartition(max(8, NUM_CPUS))
+    _settle(1.0)
     t0 = time.perf_counter()
     nf = forecast(ds, cfg(), horizon=12, concurrency=(pool_n, pool_n)).count()
     t_fc = round(time.perf_counter() - t0, 3)
@@ -458,16 +476,20 @@ def hc_bench() -> dict:
     api.suggest_interval()  # warm-up: read path + windowing code
     # the density stage is where the per-entity-group cliff lived; the
     # full validate() adds interval/NaN checks that dominate end-to-end
+    _settle(1.0)
     t0 = time.perf_counter()
     d_legacy = api.shingle_density(coarse_groups=0)  # one Ray group/entity
     t_dens_legacy = round(time.perf_counter() - t0, 3)
+    _settle(1.0)
     t0 = time.perf_counter()
     d_coarse = api.shingle_density()
     t_dens = round(time.perf_counter() - t0, 3)
     assert d_legacy == d_coarse and len(d_coarse) == HC_ENTITIES
+    _settle(1.0)
     t0 = time.perf_counter()
     assert api.validate()["ok"]
     t_val = round(time.perf_counter() - t0, 3)
+    _settle(1.0)
     t0 = time.perf_counter()
     api.suggest_period()
     t_sp = round(time.perf_counter() - t0, 3)

@@ -39,6 +39,13 @@ def leaf_strategy():
         st.just({"exists": {"field": "lang"}}),
         st.just({"exists": {"field": "zz_unmapped"}}),  # unmapped → none
         st.just({"match_all": {}}),
+        st.lists(st.integers(0, 300), min_size=1, max_size=4).map(
+            lambda ids: {"ids": {"values": ids}}
+        ),
+        st.builds(
+            lambda t: {"constant_score": {"filter": {"term": {"content": t}}}},
+            st.sampled_from(TERMS),
+        ),
         st.builds(
             lambda ts, op, msm: {
                 "match": {"content": {"query": " ".join(ts), "operator": op,
@@ -98,6 +105,10 @@ def brute_eval(query, docs) -> set:
         return {d["doc_id"] for d in docs if any(fnmatchcase(t, w) for t in d["tokens"])}
     if kind == "exists":
         return {d["doc_id"] for d in docs if d.get(body["field"]) is not None}
+    if kind == "ids":
+        return {d["doc_id"] for d in docs if d["doc_id"] in set(body["values"])}
+    if kind == "constant_score":
+        return brute_eval(body["filter"], docs)
     if kind == "match":
         ((_, spec),) = body.items()
         terms = set(spec["query"].split())
