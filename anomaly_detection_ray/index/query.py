@@ -1245,6 +1245,43 @@ def _bm25_scores_multi(
     return uniq, out, uniq
 
 
+def _dis_max_scores(engine: QueryEngine, spec: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Lucene DisjunctionMaxQuery scoring: per doc, the BEST sub-query
+    score plus ``tie_breaker`` × the sum of the others. Sub-queries score
+    like should clauses (match = BM25, constraint-masked for
+    operator/msm; leaf kinds per :func:`_leaf_should_scores`); an
+    unscorable sub-query (phrase, nested bool) raises rather than score
+    wrong. Returns (sorted matching docs — the union, per-doc scores)."""
+    tie = float(spec.get("tie_breaker", 0.0))
+    docs_parts, score_parts = [], []
+    for c in spec.get("queries", []):
+        ((k, _b),) = c.items()
+        if k == "match":
+            txt, default = _match_text_and_default(c["match"])
+            d, s = engine.bm25_scores(txt)
+            if not default:
+                allowed = engine.execute_filter(c)
+                keep = np.isin(d, allowed, assume_unique=True)
+                d, s = d[keep], s[keep]
+        elif k in _LEAF_SHOULD_KINDS:
+            d, s = _leaf_should_scores(engine, c)
+        else:
+            raise ValueError(f"dis_max cannot score sub-query kind {k!r}")
+        if d.size:
+            docs_parts.append(d)
+            score_parts.append(s)
+    if not docs_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(docs_parts)
+    sc = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    best = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(total, inv, sc)
+    np.maximum.at(best, inv, sc)
+    return uniq.astype(np.int64), best + tie * (total - best)
+
+
 def search(engine: QueryEngine, body: dict, source_files: list[str] | None = None,
            text_col: str = "content") -> dict:
     """OpenSearch ``_search``-shaped request → response envelope — the
@@ -1278,7 +1315,17 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
     query = body.get("query")
     text, optional, residual, union_hits = _split_scoring_clause(query)
 
-    if text is not None or optional:
+    if query and next(iter(query)) == "dis_max":
+        # Lucene DisjunctionMaxQuery: hit set = union of sub-queries,
+        # score = best + tie_breaker × rest (text/optional are already
+        # None/[] — the splitter treats dis_max as pure residual)
+        if body.get("search_after") is not None:
+            raise ValueError("search_after supports pure match queries")
+        docs_d, sc_d = _dis_max_scores(engine, query["dis_max"])
+        page = _topk_with_ties(docs_d, sc_d, frm + size)[frm:]
+        total = int(docs_d.size)
+        hits = [{"_id": int(d), "_score": float(s)} for d, s in page]
+    elif text is not None or optional:
         if body.get("search_after") is not None:
             if residual is not None or optional:
                 raise ValueError("search_after supports pure match queries")

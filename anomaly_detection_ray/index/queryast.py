@@ -28,6 +28,9 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"ids": {"values": [id, ...]}}            # doc_id set lookup (live docs only)
     {"constant_score": {"filter": {...}}}     # filter-context wrapper; in query
                                               # context scores boost (default 1.0)
+    {"dis_max": {"queries": [...],            # any-match union in filter context;
+                 "tie_breaker": t}}           # max + t·(sum of the rest) in query
+                                              # context (Lucene DisjunctionMaxQuery)
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...],
                "minimum_should_match": n}}
 
@@ -216,6 +219,14 @@ class QueryCompiler:
         if kind == "constant_score":
             # filter context strips the scoring wrapper entirely
             return self.execute(body["filter"])
+        if kind == "dis_max":
+            # filter context: a doc matches if ANY sub-query matches
+            # (tie_breaker only affects scores) — Lucene DisjunctionMaxQuery
+            parts = [self.execute(c) for c in body.get("queries", [])]
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(parts))
         if kind == "bool":
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")

@@ -77,7 +77,17 @@ def bool_strategy(children):
     )
 
 
-query_strategy = st.recursive(leaf_strategy(), bool_strategy, max_leaves=12)
+def dis_max_strategy(children):
+    return st.lists(children, min_size=1, max_size=3).map(
+        lambda qs: {"dis_max": {"queries": qs, "tie_breaker": 0.3}}
+    )
+
+
+query_strategy = st.recursive(
+    leaf_strategy(),
+    lambda c: st.one_of(bool_strategy(c), dis_max_strategy(c)),
+    max_leaves=12,
+)
 
 
 def brute_eval(query, docs) -> set:
@@ -109,6 +119,11 @@ def brute_eval(query, docs) -> set:
         return {d["doc_id"] for d in docs if d["doc_id"] in set(body["values"])}
     if kind == "constant_score":
         return brute_eval(body["filter"], docs)
+    if kind == "dis_max":
+        out = set()
+        for c in body.get("queries", ()):
+            out |= brute_eval(c, docs)
+        return out
     if kind == "match":
         ((_, spec),) = body.items()
         terms = set(spec["query"].split())

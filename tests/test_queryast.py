@@ -454,6 +454,59 @@ def test_search_should_leaf_clause_scoring(eng):
     assert all(h["_score"] == 1.0 for h in r4["hits"]["hits"])
 
 
+def test_search_dis_max(eng):
+    """dis_max scores Lucene's DisjunctionMaxQuery: per doc the BEST
+    sub-query score + tie_breaker × the rest; the hit set is the union.
+    tie_breaker=1 degenerates to the bool-should SUM, 0 to pure max."""
+    from anomaly_detection_ray.functions.bm25 import idf as bm25_idf
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q1, q2 = "merge sort", "parse merge"
+
+    def osc(q):
+        return dict(oracle.bm25_topk(q, k=10_000))
+
+    s1, s2 = osc(q1), osc(q2)
+    java = set(df[df["lang"] == "java"]["doc_id"])
+    w_java = float(bm25_idf(len(java), len(df)))
+
+    for tie in (0.0, 0.35, 1.0):
+        r = search(e, {"query": {"dis_max": {"tie_breaker": tie, "queries": [
+            {"match": {"content": q1}}, {"match": {"content": q2}},
+            {"term": {"lang": "java"}}]}}, "size": 2000})
+        union = set(s1) | set(s2) | java
+        assert r["hits"]["total"]["value"] == len(union)
+        exp = {}
+        for d in union:
+            parts = [p for p in (s1.get(d), s2.get(d),
+                                 w_java if d in java else None) if p is not None]
+            exp[d] = max(parts) + tie * (sum(parts) - max(parts))
+        exps = sorted(exp.items(), key=lambda t: (-t[1], t[0]))
+        got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+        assert [d for d, _ in got] == [d for d, _ in exps]
+        for (_, gs), (_, es) in zip(got, exps):
+            assert gs == pytest.approx(es, abs=1e-9)
+
+    # tie_breaker=1 ≡ the additive bool-should ranking over the union
+    r1 = search(e, {"query": {"dis_max": {"tie_breaker": 1.0, "queries": [
+        {"match": {"content": q1}}, {"match": {"content": q2}}]}}, "size": 50})
+    rb = search(e, {"query": {"bool": {"should": [
+        {"match": {"content": q1}}, {"match": {"content": q2}}]}}, "size": 50})
+    assert [(h["_id"], h["_score"]) for h in r1["hits"]["hits"]] == \
+        [(h["_id"], h["_score"]) for h in rb["hits"]["hits"]]
+
+    # filter context: any-match union, constant score
+    rf = e.execute_filter({"dis_max": {"queries": [
+        {"term": {"lang": "go"}}, {"term": {"lang": "rust"}}]}})
+    assert list(rf) == sorted(df[df["lang"].isin(["go", "rust"])]["doc_id"])
+
+    # unscorable sub-query raises in query context
+    with pytest.raises(ValueError, match="dis_max"):
+        search(e, {"query": {"dis_max": {"queries": [
+            {"bool": {"must": [{"term": {"lang": "go"}}]}}]}}, "size": 5})
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search
