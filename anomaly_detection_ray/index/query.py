@@ -974,7 +974,8 @@ class QueryEngine:
         import pyarrow.compute as pc
 
         docs = self.execute_filter(filter_query)
-        t = self.live_docmap(columns=["doc_id", field])
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
         if docs.size < t.num_rows:
             t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
         # missing values drop out of the buckets (OpenSearch terms aggs
@@ -987,6 +988,51 @@ class QueryEngine:
             key=lambda r: (-r[1], r[0]),
         )
         return [(v, int(c)) for v, c in rows[:k]]
+
+    def metric_agg(self, filter_query: dict | None, field: str, op: str):
+        """Metric aggregation over the docs matching ``filter_query`` —
+        the min/max/avg/sum/value_count/cardinality/stats single-value
+        aggs OpenSearch pairs with searches (the reference issues these
+        shapes over its result indices, e.g. the max-ts agg in
+        ``SearchFeatureDao``). ``value_count`` counts non-null values,
+        ``cardinality`` is EXACT distinct here (OpenSearch's is an
+        approximate HLL — documented difference, same contract
+        otherwise), ``stats`` returns the composite dict. Pushes the
+        column projection into the docmap scan like :meth:`facets`."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        col = t[field]
+        valid = t.filter(pc.is_valid(col))[field]
+        if op == "value_count":
+            return int(len(valid))
+        if op == "cardinality":
+            return int(len(pc.unique(valid)))
+        if op == "stats":
+            n = int(len(valid))
+            if n == 0:
+                return {"count": 0, "min": None, "max": None, "avg": None, "sum": 0.0}
+            return {
+                "count": n,
+                "min": pc.min(valid).as_py(),
+                "max": pc.max(valid).as_py(),
+                "avg": float(pc.mean(valid).as_py()),
+                "sum": float(pc.sum(valid).as_py()),
+            }
+        if op in ("min", "max"):
+            if len(valid) == 0:
+                return None
+            return (pc.min if op == "min" else pc.max)(valid).as_py()
+        if op in ("avg", "sum"):
+            if len(valid) == 0:
+                return None if op == "avg" else 0.0
+            fn = pc.mean if op == "avg" else pc.sum
+            return float(fn(valid).as_py())
+        raise ValueError(f"unsupported metric aggregation {op!r}")
 
     def bm25_search_after(
         self, query: str, k: int = 10, search_after: tuple[int, float] | None = None
@@ -1413,13 +1459,21 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         out["aggregations"] = {}
+        metric_ops = {"min", "max", "avg", "sum", "value_count", "cardinality", "stats"}
         for name, spec in aggs.items():
-            if "terms" not in spec:
-                raise ValueError(f"unsupported aggregation {list(spec)} (terms only)")
-            field = spec["terms"]["field"]
-            k = int(spec["terms"].get("size", 10))
-            buckets = engine.facets(query, field, k=k)
-            out["aggregations"][name] = {
-                "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
-            }
+            if "terms" in spec:
+                field = spec["terms"]["field"]
+                k = int(spec["terms"].get("size", 10))
+                buckets = engine.facets(query, field, k=k)
+                out["aggregations"][name] = {
+                    "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
+                }
+                continue
+            op = next((o for o in metric_ops if o in spec), None)
+            if op is None:
+                raise ValueError(
+                    f"unsupported aggregation {list(spec)} (terms or {sorted(metric_ops)})"
+                )
+            v = engine.metric_agg(query, spec[op]["field"], op)
+            out["aggregations"][name] = v if op == "stats" else {"value": v}
     return out

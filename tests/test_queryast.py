@@ -507,6 +507,40 @@ def test_search_dis_max(eng):
             {"bool": {"must": [{"term": {"lang": "go"}}]}}]}}, "size": 5})
 
 
+def test_search_metric_aggs(eng):
+    """min/max/avg/sum/value_count/cardinality/stats aggregations over
+    the full matching set (not the page), OpenSearch envelope shapes:
+    single-value aggs return {"value": v}, stats the composite dict."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 1, "aggs": {
+        "lo": {"min": {"field": "doc_id"}},
+        "hi": {"max": {"field": "doc_id"}},
+        "mean_id": {"avg": {"field": "doc_id"}},
+        "sum_id": {"sum": {"field": "doc_id"}},
+        "n_lang": {"value_count": {"field": "lang"}},
+        "langs": {"cardinality": {"field": "lang"}},
+        "id_stats": {"stats": {"field": "doc_id"}},
+    }})
+    a = r["aggregations"]
+    assert a["lo"]["value"] == int(sub["doc_id"].min())
+    assert a["hi"]["value"] == int(sub["doc_id"].max())
+    assert a["mean_id"]["value"] == pytest.approx(float(sub["doc_id"].mean()))
+    assert a["sum_id"]["value"] == float(sub["doc_id"].sum())
+    assert a["n_lang"]["value"] == int(sub["lang"].notna().sum())
+    assert a["langs"]["value"] == int(sub["lang"].nunique())
+    st = a["id_stats"]
+    assert st["count"] == len(sub) and st["min"] == int(sub["doc_id"].min())
+    assert st["sum"] == float(sub["doc_id"].sum())
+    # unknown agg kind still errors loudly
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        search(e, {"query": {"match_all": {}}, "aggs": {
+            "x": {"percentiles": {"field": "doc_id"}}}})
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search
