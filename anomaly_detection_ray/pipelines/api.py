@@ -155,16 +155,19 @@ class DetectorAPI:
         iterates entities INSIDE each group (the detect()/forecast()
         exchange shape): one Ray/pandas group per DISTINCT entity is the
         measured per-group-overhead cliff at the reference's 1M-entity
-        HC regime (``SearchFeatureDao.java:316-322``).
-        ``coarse_groups=0`` pins the legacy per-entity plan (parity
-        tests)."""
-        from ..stages.window import window_aggregate
+        HC regime (``SearchFeatureDao.java:316-322``). With mergeable
+        feature aggs the whole pass is detect()'s FUSED single-shuffle
+        plan — map-side window partials, ONE coarse exchange, partial
+        merge + autocorrelation inside the group — instead of a full
+        windowed aggregate followed by a second entity shuffle.
+        ``coarse_groups=0`` pins the legacy two-shuffle per-entity plan
+        (parity tests)."""
+        from ..stages.window import mergeable, window_aggregate
 
         feats = self.config.feature_names()
         if not feats:
             return 0
         f0 = feats[0]
-        agg = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col)
         cats = list(self.config.category_fields)
 
         def entity_period(g: pd.DataFrame) -> pd.DataFrame:
@@ -186,9 +189,35 @@ class DetectorAPI:
             period = lag if acf[lag] >= 0.3 else 0
             return pd.DataFrame({"period": [period], "weight": [n]})
 
-        if cats:
+        from .detector import resolve_coarse_groups
+
+        if cats and mergeable(self.config) and resolve_coarse_groups(coarse_groups) > 0:
+            # fused single-shuffle plan: only window-level partial rows
+            # move through the exchange (events-per-window× less volume)
+            from ..stages.window import finalize_partials_multi, partial_window_aggregate
+            from .detector import add_coarse_key
+
+            n_coarse = resolve_coarse_groups(coarse_groups)
+            part = partial_window_aggregate(self._ds(pruned=True), self.config,
+                                            ts_col=self.ts_col)
+            keyed = add_coarse_key(part, n_coarse, cols=tuple(cats))
+            cfg = self.config
+
+            def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+                g = g.drop(columns=["_coarse"])
+                fin = finalize_partials_multi(g, cfg, cats)
+                parts = [entity_period(sub) for _, sub in fin.groupby(cats, sort=True)]
+                if not parts:  # replayed empty group — keep the schema
+                    return entity_period(fin.iloc[0:0])
+                return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+            votes = keyed.groupby("_coarse").map_groups(
+                per_coarse, batch_format="pandas").to_pandas()
+        elif cats:
+            agg = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col)
             votes = _per_entity_map_groups(agg, cats, entity_period, coarse_groups)
         else:
+            agg = window_aggregate(self._ds(pruned=True), self.config, ts_col=self.ts_col)
             votes = entity_period(agg.to_pandas())
         if "weight" not in votes.columns:  # empty input → no votes at all
             return 0
