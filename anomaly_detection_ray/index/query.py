@@ -1034,6 +1034,89 @@ class QueryEngine:
             return float(fn(valid).as_py())
         raise ValueError(f"unsupported metric aggregation {op!r}")
 
+    def histogram_agg(self, filter_query: dict | None, field: str,
+                      interval: float, min_doc_count: int = 0) -> list[dict]:
+        """Histogram aggregation: fixed-width buckets keyed
+        ``floor(v / interval) × interval`` over the matching docs' column
+        (OpenSearch semantics incl. negative values; empty buckets
+        between populated ones are emitted unless ``min_doc_count`` > 0,
+        matching min_doc_count=0's default gap-filling)."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        col = t[field]
+        vals = t.filter(pc.is_valid(col))[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        if vals.size == 0:
+            return []
+        keys = np.floor(vals / float(interval)) * float(interval)
+        uniq, counts = np.unique(keys, return_counts=True)
+        if min_doc_count <= 0:
+            # gap-fill empty buckets across the populated span
+            full = np.arange(uniq[0], uniq[-1] + float(interval) / 2, float(interval))
+            cmap = dict(zip(uniq.tolist(), counts.tolist()))
+            return [{"key": float(k), "doc_count": int(cmap.get(float(k), 0))} for k in full]
+        return [{"key": float(k), "doc_count": int(c)}
+                for k, c in zip(uniq, counts) if c >= min_doc_count]
+
+    def range_agg(self, filter_query: dict | None, field: str,
+                  ranges: list[dict]) -> list[dict]:
+        """Range aggregation: explicit [from, to) buckets (half-open like
+        OpenSearch; either bound optional), doc counts over the matching
+        docs' column. Buckets may overlap — each is counted
+        independently, exactly like OpenSearch."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        col = t[field]
+        vals = t.filter(pc.is_valid(col))[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            mask = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                mask &= vals >= float(lo)
+            if hi is not None:
+                mask &= vals < float(hi)
+            key = r.get("key") or f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            b = {"key": key, "doc_count": int(mask.sum())}
+            if lo is not None:
+                b["from"] = float(lo)
+            if hi is not None:
+                b["to"] = float(hi)
+            out.append(b)
+        return out
+
+    def percentiles_agg(self, filter_query: dict | None, field: str,
+                        percents=(1, 5, 25, 50, 75, 95, 99)) -> dict:
+        """Percentiles aggregation over the matching docs' column —
+        OpenSearch's default percents and response shape
+        ({"values": {"50.0": v, …}}). EXACT (numpy linear interpolation)
+        where OpenSearch serves a t-digest approximation — same contract,
+        documented difference (the events-side feature aggs offer the
+        mergeable t-digest variant, ``functions/sketches.py``)."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        col = t[field]
+        vals = t.filter(pc.is_valid(col))[field].to_numpy(zero_copy_only=False)
+        vals = vals.astype(np.float64)
+        if vals.size == 0:
+            return {"values": {f"{float(p)}": None for p in percents}}
+        qs = np.percentile(vals, list(percents))
+        return {"values": {f"{float(p)}": float(v) for p, v in zip(percents, qs)}}
+
     def bm25_search_after(
         self, query: str, k: int = 10, search_after: tuple[int, float] | None = None
     ) -> list[tuple[int, float]]:
@@ -1469,10 +1552,29 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                     "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
                 }
                 continue
+            if "percentiles" in spec:
+                p_spec = spec["percentiles"]
+                out["aggregations"][name] = engine.percentiles_agg(
+                    query, p_spec["field"],
+                    percents=tuple(p_spec.get("percents", (1, 5, 25, 50, 75, 95, 99))),
+                )
+                continue
+            if "histogram" in spec:
+                h = spec["histogram"]
+                out["aggregations"][name] = {"buckets": engine.histogram_agg(
+                    query, h["field"], float(h["interval"]),
+                    min_doc_count=int(h.get("min_doc_count", 0)))}
+                continue
+            if "range" in spec:
+                r = spec["range"]
+                out["aggregations"][name] = {"buckets": engine.range_agg(
+                    query, r["field"], list(r["ranges"]))}
+                continue
             op = next((o for o in metric_ops if o in spec), None)
             if op is None:
                 raise ValueError(
-                    f"unsupported aggregation {list(spec)} (terms or {sorted(metric_ops)})"
+                    f"unsupported aggregation {list(spec)} "
+                    f"(terms, percentiles or {sorted(metric_ops)})"
                 )
             v = engine.metric_agg(query, spec[op]["field"], op)
             out["aggregations"][name] = v if op == "stats" else {"value": v}

@@ -535,10 +535,37 @@ def test_search_metric_aggs(eng):
     st = a["id_stats"]
     assert st["count"] == len(sub) and st["min"] == int(sub["doc_id"].min())
     assert st["sum"] == float(sub["doc_id"].sum())
+    # percentiles: OpenSearch shape, exact numpy quantiles
+    rp = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "pid": {"percentiles": {"field": "doc_id", "percents": [50, 95]}}}})
+    vals = rp["aggregations"]["pid"]["values"]
+    ids = sub["doc_id"].to_numpy(dtype=float)
+    assert vals["50.0"] == pytest.approx(np.percentile(ids, 50))
+    assert vals["95.0"] == pytest.approx(np.percentile(ids, 95))
+    # histogram: fixed-width buckets with gap-fill (min_doc_count=0)
+    rh = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "h": {"histogram": {"field": "doc_id", "interval": 50}}}})
+    hb = rh["aggregations"]["h"]["buckets"]
+    exp_counts = sub.groupby((sub["doc_id"] // 50) * 50)["doc_id"].count()
+    lo_k, hi_k = int(exp_counts.index.min()), int(exp_counts.index.max())
+    assert [b["key"] for b in hb] == [float(k) for k in range(lo_k, hi_k + 1, 50)]
+    for b in hb:
+        assert b["doc_count"] == int(exp_counts.get(int(b["key"]), 0))
+
+    # range: half-open [from, to) buckets, independent counts
+    rr = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "r": {"range": {"field": "doc_id", "ranges": [
+            {"to": 100}, {"from": 100, "to": 200}, {"from": 200}]}}}})
+    rb = rr["aggregations"]["r"]["buckets"]
+    ids = sub["doc_id"]
+    assert rb[0]["doc_count"] == int((ids < 100).sum()) and rb[0]["key"] == "*-100"
+    assert rb[1]["doc_count"] == int(((ids >= 100) & (ids < 200)).sum())
+    assert rb[2]["doc_count"] == int((ids >= 200).sum())
+
     # unknown agg kind still errors loudly
     with pytest.raises(ValueError, match="unsupported aggregation"):
         search(e, {"query": {"match_all": {}}, "aggs": {
-            "x": {"percentiles": {"field": "doc_id"}}}})
+            "x": {"date_histogram": {"field": "doc_id"}}}})
 
 
 def test_search_from_with_search_after_rejected(eng):
