@@ -701,6 +701,16 @@ WHERE doc_id IN ({", ".join(str(i) for i in range(0, 1200, 13))})
   AND lang = 'en'
 ORDER BY doc_id
 """,
+        "search_stats_agg": f"""
+SELECT count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents
+WHERE list_contains({TOKS}, 'data') AND lang = 'en'
+""",
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf

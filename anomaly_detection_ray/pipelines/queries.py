@@ -55,7 +55,10 @@ def index_for(sf_dir: str, rebuild: bool = False) -> QueryEngine:
     driver's ``documents`` table with the simple analyzer (the SQL-twin
     mode), then serve it. North-rule §M2/M3."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(CACHE_ROOT, f"index_docs_{tag}")
+    # v2: docmap carries n_chars (the envelope metric-agg twin needs a
+    # numeric column); the new dir name invalidates v1 caches whose
+    # docmap would null-fill it
+    out = os.path.join(CACHE_ROOT, f"index_docs2_{tag}")
     manifest = os.path.join(out, "manifest.json")
     if not rebuild and os.path.exists(manifest):
         with open(manifest) as f:
@@ -74,7 +77,7 @@ def index_for(sf_dir: str, rebuild: bool = False) -> QueryEngine:
             mode="simple",
             num_partitions=8,
             bucket_shift=13,
-            keep_cols=("lang", "source"),
+            keep_cols=("lang", "source", "n_chars"),
             store_positions=True,
         )
     return QueryEngine(out)
@@ -138,6 +141,32 @@ def q_ids_search(sf_dir: str) -> pd.DataFrame:
         ]}}}
     })
     return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
+def q_search_stats_agg(sf_dir: str) -> pd.DataFrame:
+    """_search metric aggregations over a filtered hit set: stats on the
+    numeric ``n_chars`` docmap column + cardinality of ``source`` — the
+    agg-on-hits composition the reference's profile/stats APIs issue
+    (terms agg + metric sub-aggs, ``ParseUtils.java:338-395`` shape)."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [
+            {"term": {"text": "data"}}, {"term": {"lang": "en"}}]}},
+        "size": 0,
+        "aggs": {"chars": {"stats": {"field": "n_chars"}},
+                 "sources": {"cardinality": {"field": "source"}}},
+    })
+    st = r["aggregations"]["chars"]
+    return pd.DataFrame({
+        "n_docs": [int(st["count"])],
+        "min_chars": [int(st["min"])],
+        "max_chars": [int(st["max"])],
+        "avg_chars": [round(float(st["avg"]), 6)],
+        "sum_chars": [int(st["sum"])],
+        "n_sources": [int(r["aggregations"]["sources"]["value"])],
+    })
 
 
 PREFIX_QUERY = "sl"  # matches 'slow' + any other sl* vocab
@@ -1538,6 +1567,7 @@ REGISTRY = {
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "ids_search": q_ids_search,
+    "search_stats_agg": q_search_stats_agg,
     "prefix_search": q_prefix_search,
     "regexp_search": q_regexp_search,
     "fuzzy_search": q_fuzzy_search,
