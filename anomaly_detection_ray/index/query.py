@@ -1062,6 +1062,17 @@ class QueryEngine:
         return [{"key": float(k), "doc_count": int(c)}
                 for k, c in zip(uniq, counts) if c >= min_doc_count]
 
+    def date_histogram_agg(self, filter_query: dict | None, field: str,
+                           fixed_interval: str, min_doc_count: int = 0) -> list[dict]:
+        """date_histogram with a ``fixed_interval`` (``"30s"``/``"5m"``/
+        ``"1h"``/``"1d"`` — OpenSearch's fixed units; calendar intervals
+        like ``"1M"`` are not supported and raise): epoch-ms bucket keys
+        floored to the interval, the same tumbling-window rule as the
+        events side (``dataStart -= dataStart % interval``)."""
+        ms = _parse_fixed_interval_ms(fixed_interval)
+        return self.histogram_agg(filter_query, field, float(ms),
+                                  min_doc_count=min_doc_count)
+
     def range_agg(self, filter_query: dict | None, field: str,
                   ranges: list[dict]) -> list[dict]:
         """Range aggregation: explicit [from, to) buckets (half-open like
@@ -1374,6 +1385,21 @@ def _bm25_scores_multi(
     return uniq, out, uniq
 
 
+def _parse_fixed_interval_ms(s: str) -> int:
+    """OpenSearch fixed_interval units → milliseconds (ms/s/m/h/d; the
+    calendar units y/M/w/q need calendar arithmetic and raise)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s.strip())
+    if not m:
+        raise ValueError(
+            f"unsupported fixed_interval {s!r} (use <n>ms|s|m|h|d; "
+            "calendar intervals are not supported)"
+        )
+    mult = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
 def _dis_max_scores(engine: QueryEngine, spec: dict) -> tuple[np.ndarray, np.ndarray]:
     """Lucene DisjunctionMaxQuery scoring: per doc, the BEST sub-query
     score plus ``tie_breaker`` × the sum of the others. Sub-queries score
@@ -1569,6 +1595,12 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                 r = spec["range"]
                 out["aggregations"][name] = {"buckets": engine.range_agg(
                     query, r["field"], list(r["ranges"]))}
+                continue
+            if "date_histogram" in spec:
+                dh = spec["date_histogram"]
+                out["aggregations"][name] = {"buckets": engine.date_histogram_agg(
+                    query, dh["field"], dh["fixed_interval"],
+                    min_doc_count=int(dh.get("min_doc_count", 0)))}
                 continue
             op = next((o for o in metric_ops if o in spec), None)
             if op is None:

@@ -562,10 +562,25 @@ def test_search_metric_aggs(eng):
     assert rb[1]["doc_count"] == int(((ids >= 100) & (ids < 200)).sum())
     assert rb[2]["doc_count"] == int((ids >= 200).sum())
 
+    # date_histogram with fixed_interval ≡ histogram at the parsed ms
+    # width (doc_id stands in for an epoch-ms column here)
+    rd_ = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "d": {"date_histogram": {"field": "doc_id", "fixed_interval": "50ms",
+                                 "min_doc_count": 1}}}})
+    rh1 = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "h": {"histogram": {"field": "doc_id", "interval": 50,
+                            "min_doc_count": 1}}}})
+    assert rd_["aggregations"]["d"]["buckets"] == rh1["aggregations"]["h"]["buckets"]
+    from anomaly_detection_ray.index.query import _parse_fixed_interval_ms
+    assert _parse_fixed_interval_ms("5m") == 300_000
+    assert _parse_fixed_interval_ms("1d") == 86_400_000
+    with pytest.raises(ValueError, match="calendar"):
+        _parse_fixed_interval_ms("1M")
+
     # unknown agg kind still errors loudly
     with pytest.raises(ValueError, match="unsupported aggregation"):
         search(e, {"query": {"match_all": {}}, "aggs": {
-            "x": {"date_histogram": {"field": "doc_id"}}}})
+            "x": {"composite": {"sources": []}}}})
 
 
 def test_search_from_with_search_after_rejected(eng):
