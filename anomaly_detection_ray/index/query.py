@@ -1185,8 +1185,9 @@ class QueryEngine:
 def _match_text_and_default(body: dict) -> tuple[str, bool]:
     """Text of a ``match`` clause + whether it uses the DEFAULT operator
     semantics (operator=or, minimum_should_match absent/≤1). Long-form
-    options change the HIT SET, not the per-doc BM25 score. Percentage
-    msm values ("75%") are valid OpenSearch requests — they classify as
+    options change the HIT SET, not the per-doc BM25 score — ``boost``
+    (handled by :func:`_match_boost`) changes neither. Percentage msm
+    values ("75%") are valid OpenSearch requests — they classify as
     non-default here and are evaluated by filter context (queryast's
     parse_msm), never crashed on."""
     ((_f, spec),) = body.items()
@@ -1199,6 +1200,13 @@ def _match_text_and_default(body: dict) -> tuple[str, bool]:
     except (TypeError, ValueError):
         msm_default = False  # "75%" and friends → filter context decides
     return text, (spec.get("operator", "or") == "or" and msm_default)
+
+
+def _match_boost(body: dict) -> float:
+    """Long-form ``boost`` of a match clause (Lucene multiplies the
+    clause's score by it; hit sets are unaffected)."""
+    ((_f, spec),) = body.items()
+    return float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
 
 
 def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
@@ -1218,27 +1226,29 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
     match.
 
     Returns ``(required_text, optional_clauses, residual,
-    union_defines_hits)``:
+    union_defines_hits, text_boost)`` — ``text_boost`` is the required
+    match's long-form ``boost`` (scores scale by it; hit sets don't):
     ``optional_clauses`` are scorable ``should`` clauses — they
     contribute ADDITIVE scores (Lucene's BooleanQuery sums every
     matching clause's score) but never define the hit set when a
     ``must``/filter is present (OpenSearch's msm-defaults-to-0 rule; the
     repo's queryast applies the same rule in filter context). A bool of
     ONLY scorable shoulds has no required text: the hit set is their
-    union. Each entry is tagged: ``("match", text, constraint)`` scores
-    additive BM25 over the text (``constraint`` = the clause itself when
-    operator/msm shrink its matching set), ``("leaf", clause)`` is a
+    union. Each entry is tagged: ``("match", text, constraint, boost)``
+    scores additive BM25 × boost over the text (``constraint`` = the
+    clause itself when operator/msm shrink its matching set),
+    ``("leaf", clause)`` is a
     non-match leaf scored by :func:`_leaf_should_scores` (term → BM25 /
     norms-off idf; multi-term and set queries → Lucene's constant-score
     rewrite, 1.0). A should list containing any UNscorable clause
     (phrase, nested bool) falls back to filter context for the whole
     list — hit sets stay right, those scores read 1.0."""
     if not query:
-        return None, [], None, False
+        return None, [], None, False, 1.0
     ((kind, body),) = query.items()
     if kind == "match":
         text, default = _match_text_and_default(body)
-        return text, [], (None if default else dict(query)), False
+        return text, [], (None if default else dict(query)), False, _match_boost(body)
     if kind == "bool":
         musts = list(body.get("must", []))
         scoring = [m for m in musts if isinstance(m, dict) and "match" in m]
@@ -1253,7 +1263,8 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
             (s_kind,) = s.keys()
             if s_kind == "match":
                 txt, default = _match_text_and_default(s["match"])
-                optional.append(("match", txt, None if default else s))
+                optional.append(("match", txt, None if default else s,
+                                 _match_boost(s["match"])))
             elif s_kind in _LEAF_SHOULD_KINDS:
                 optional.append(("leaf", s))
             else:
@@ -1265,6 +1276,7 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
             optional = []
         if len(scoring) == 1:
             text, default = _match_text_and_default(scoring[0]["match"])
+            boost = _match_boost(scoring[0]["match"])
             residual = {k: v for k, v in body.items()}
             if default:
                 # default-operator match: lift it out of the residual
@@ -1281,7 +1293,7 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
             # else: the match stays in the residual's must — filter
             # context applies its operator/msm while its text scores,
             # and the residual's must keeps its shoulds scoring-only
-            return text, optional, ({"bool": residual} if residual else None), False
+            return text, optional, ({"bool": residual} if residual else None), False, boost
         if not scoring and not msm_explicit and optional and all_scorable:
             # should-only bool of scorable clauses, no scoring must.
             # OpenSearch's msm default: 1 when the bool has no
@@ -1290,8 +1302,8 @@ def _split_scoring_clause(query: dict | None) -> tuple[str | None, dict | None]:
             # the hits).
             union_hits = not (body.get("must") or body.get("filter"))
             residual = {k: v for k, v in body.items() if k != "should"}
-            return None, optional, ({"bool": residual} if residual else None), union_hits
-    return None, [], query, False
+            return None, optional, ({"bool": residual} if residual else None), union_hits, 1.0
+    return None, [], query, False, 1.0
 
 
 # should-context leaf kinds with a Lucene-defined score: term (BM25 on
@@ -1363,8 +1375,10 @@ def _bm25_scores_multi(
         if entry[0] == "leaf":
             d, s = _leaf_should_scores(engine, entry[1])
         else:
-            _, text, clause = entry
+            _, text, clause, boost = entry
             d, s = engine.bm25_scores(text)
+            if boost != 1.0:
+                s = s * boost
             if clause is not None:
                 allowed = engine.execute_filter(clause)
                 keep = np.isin(d, allowed, assume_unique=True)
@@ -1414,6 +1428,9 @@ def _dis_max_scores(engine: QueryEngine, spec: dict) -> tuple[np.ndarray, np.nda
         if k == "match":
             txt, default = _match_text_and_default(c["match"])
             d, s = engine.bm25_scores(txt)
+            b = _match_boost(c["match"])
+            if b != 1.0:
+                s = s * b
             if not default:
                 allowed = engine.execute_filter(c)
                 keep = np.isin(d, allowed, assume_unique=True)
@@ -1468,7 +1485,11 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         # malformed request must error, not return a silently-wrong page
         raise ValueError("`from` parameter must be set to 0 when `search_after` is used")
     query = body.get("query")
-    text, optional, residual, union_hits = _split_scoring_clause(query)
+    text, optional, residual, union_hits, text_boost = _split_scoring_clause(query)
+    if text_boost <= 0:
+        # Lucene requires a positive boost; a non-positive one would
+        # invalidate the scale-invariant ranking shortcuts below
+        raise ValueError(f"boost must be positive, got {text_boost}")
 
     if query and next(iter(query)) == "dis_max":
         # Lucene DisjunctionMaxQuery: hit set = union of sub-queries,
@@ -1485,7 +1506,12 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             if residual is not None or optional:
                 raise ValueError("search_after supports pure match queries")
             sa = body["search_after"]
-            page = engine.bm25_search_after(text, k=size, search_after=(int(sa[1]), float(sa[0])))
+            # boost scales scores uniformly, so the unboosted cursor is
+            # the request cursor ÷ boost and page scores scale back up
+            page = engine.bm25_search_after(
+                text, k=size, search_after=(int(sa[1]), float(sa[0]) / text_boost))
+            if text_boost != 1.0:
+                page = [(d, s * text_boost) for d, s in page]
             matched = engine.union_docs(engine.query_terms(text))
             total = int(matched.size)
         elif not optional:
@@ -1493,6 +1519,9 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                 page = engine.bm25_topk(text, k=frm + size, prune=False)[frm:]
             else:
                 page = engine.bm25_topk_filtered(text, residual, k=frm + size)[frm:]
+            if text_boost != 1.0:
+                # positive scale: ranking unchanged, reported _score scales
+                page = [(d, s * text_boost) for d, s in page]
             # total = |docs matching any query term| ∧ filter
             # (OpenSearch's hit count for an OR match)
             matched = engine.union_docs(engine.query_terms(text))
@@ -1506,7 +1535,9 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             # bool has no must/filter (msm default 1); else the residual
             # alone (shoulds scoring-only, msm default 0).
             docs_u, scores_u, hit_union = _bm25_scores_multi(
-                engine, ([("match", text, None)] if text is not None else []) + optional
+                engine,
+                ([("match", text, None, text_boost)] if text is not None else [])
+                + optional,
             )
             if text is not None:
                 hitset = engine.union_docs(engine.query_terms(text))

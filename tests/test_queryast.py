@@ -583,6 +583,53 @@ def test_search_metric_aggs(eng):
             "x": {"composite": {"sources": []}}}})
 
 
+def test_search_match_boost(eng):
+    """Long-form match boost multiplies the clause's BM25 score (Lucene):
+    a top-level boost scales reported scores without changing the
+    ranking; should-clause boosts rerank the additive sum; a boosted
+    search_after cursor pages consistently with its own first page."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q1, q2 = "merge sort", "parse merge"
+    s1 = dict(oracle.bm25_topk(q1, k=10_000))
+    s2 = dict(oracle.bm25_topk(q2, k=10_000))
+
+    # top-level boost: same ranking, scores × 2.5
+    r0 = search(e, {"query": {"match": {"content": q1}}, "size": 8})
+    rb = search(e, {"query": {"match": {"content": {"query": q1, "boost": 2.5}}},
+                    "size": 8})
+    assert [h["_id"] for h in rb["hits"]["hits"]] == [h["_id"] for h in r0["hits"]["hits"]]
+    for hb, h0 in zip(rb["hits"]["hits"], r0["hits"]["hits"]):
+        assert hb["_score"] == pytest.approx(2.5 * h0["_score"], rel=1e-12)
+    assert rb["hits"]["total"] == r0["hits"]["total"]
+
+    # should-clause boost changes the additive sum (and so the ranking)
+    r = search(e, {"query": {"bool": {"should": [
+        {"match": {"content": q1}},
+        {"match": {"content": {"query": q2, "boost": 3.0}}}]}}, "size": 2000})
+    exp = {d: s1.get(d, 0.0) + 3.0 * s2.get(d, 0.0) for d in set(s1) | set(s2)}
+    exps = sorted(exp.items(), key=lambda t: (-t[1], t[0]))
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in exps]
+    for (_, gs), (_, es) in zip(got, exps):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+    # boosted search_after: page 2 via the page-1 cursor == boosted full
+    # ranking rows 4..8
+    q = {"match": {"content": {"query": q1, "boost": 2.0}}}
+    first = search(e, {"query": q, "size": 4})
+    last = first["hits"]["hits"][-1]
+    nxt = search(e, {"query": q, "size": 4, "search_after": [last["_score"], last["_id"]]})
+    full = e.bm25_topk(q1, k=8, prune=False)
+    assert [(h["_id"], h["_score"]) for h in nxt["hits"]["hits"]] == \
+        [(d, pytest.approx(2.0 * s, rel=1e-12)) for d, s in full[4:8]]
+
+    # non-positive boost is rejected
+    with pytest.raises(ValueError, match="boost"):
+        search(e, {"query": {"match": {"content": {"query": q1, "boost": 0}}}, "size": 1})
+
+
 def test_search_from_with_search_after_rejected(eng):
     """OpenSearch rejects from>0 combined with search_after."""
     from anomaly_detection_ray.index.query import search
