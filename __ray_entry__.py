@@ -711,6 +711,16 @@ SELECT count(*) AS n_docs,
 FROM documents
 WHERE list_contains({TOKS}, 'data') AND lang = 'en'
 """,
+        "search_subaggs": f"""
+SELECT lang,
+       count(*) AS doc_count,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents
+WHERE list_contains({TOKS}, 'data')
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf

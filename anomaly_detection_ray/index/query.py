@@ -62,6 +62,31 @@ def _arrow_bisect(arr, term: str, side: str = "left") -> int:
     return lo
 
 
+_SUB_METRIC_ARROW = {
+    "min": "min", "max": "max", "avg": "mean", "sum": "sum",
+    "value_count": "count", "cardinality": "count_distinct",
+}
+
+
+def _sub_agg_plan(sub_aggs: dict) -> list[tuple[str, str, str]]:
+    """Validate a nested-aggs dict into [(name, op, field)] — metric
+    sub-aggregations only (OpenSearch allows bucket-in-bucket nesting;
+    this engine supports the metric layer the reference actually
+    composes, e.g. the per-feature aggs inside the entity composite)."""
+    plan = []
+    for name, spec in sub_aggs.items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(f"sub-aggregation {name!r} must be a single metric agg")
+        op = next(iter(spec))
+        if op != "stats" and op not in _SUB_METRIC_ARROW:
+            raise ValueError(
+                f"unsupported sub-aggregation {op!r} "
+                f"(stats or {sorted(_SUB_METRIC_ARROW)})"
+            )
+        plan.append((name, op, spec[op]["field"]))
+    return plan
+
+
 def _topk_with_ties(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     """Top-k by (score desc, doc_id asc) without fully sorting all docs."""
     n = scores.size
@@ -1128,6 +1153,151 @@ class QueryEngine:
         qs = np.percentile(vals, list(percents))
         return {"values": {f"{float(p)}": float(v) for p, v in zip(percents, qs)}}
 
+    # -------------------------------------------------- sub-aggregations
+
+    def _subagg_table(self, filter_query: dict | None, fields: set[str]):
+        """Matching-docs docmap slice projected to ``fields`` — the shared
+        scan of every bucketed sub-aggregation path (one column-pruned
+        read, one membership filter)."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id", *sorted(f for f in fields if f != "doc_id")]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        return t
+
+    def _grouped_subagg_rows(self, t, plan: list[tuple[str, str, str]]):
+        """One Arrow ``group_by("__key")`` pass computing doc_count plus
+        every distinct (field, kernel) the sub-agg plan needs; returns
+        the raw group rows (key + named aggregate columns)."""
+        aggs = {("doc_id", "count")}
+        for _, op, f in plan:
+            for o in (("count", "min", "max", "mean", "sum")
+                      if op == "stats" else (_SUB_METRIC_ARROW[op],)):
+                aggs.add((f, o))
+        g = t.group_by("__key").aggregate(sorted(aggs))
+        return g.to_pylist()
+
+    @staticmethod
+    def _subagg_values(row: dict, plan: list[tuple[str, str, str]]) -> dict:
+        """Nest one group row's aggregate columns into the OpenSearch
+        response shapes: single-value aggs → {"value": v} (avg/min/max of
+        nothing = null, sum = 0.0, counts = 0), stats → the composite."""
+        out = {}
+        for name, op, f in plan:
+            if op == "stats":
+                n = int(row.get(f"{f}_count") or 0)
+                if n == 0:
+                    out[name] = {"count": 0, "min": None, "max": None,
+                                 "avg": None, "sum": 0.0}
+                else:
+                    out[name] = {
+                        "count": n,
+                        "min": row[f"{f}_min"],
+                        "max": row[f"{f}_max"],
+                        "avg": float(row[f"{f}_mean"]),
+                        "sum": float(row[f"{f}_sum"]),
+                    }
+            elif op == "avg":
+                v = row.get(f"{f}_mean")
+                out[name] = {"value": None if v is None else float(v)}
+            elif op == "sum":
+                v = row.get(f"{f}_sum")
+                out[name] = {"value": 0.0 if v is None else float(v)}
+            elif op in ("value_count", "cardinality"):
+                out[name] = {"value": int(row.get(f"{f}_{_SUB_METRIC_ARROW[op]}") or 0)}
+            else:  # min / max keep the column's own type
+                out[name] = {"value": row.get(f"{f}_{op}")}
+        return out
+
+    def terms_agg_subs(self, filter_query: dict | None, field: str,
+                       size: int, sub_aggs: dict) -> list[dict]:
+        """Terms aggregation with nested METRIC SUB-AGGREGATIONS — the
+        reference's central agg composition (a terms/composite bucket per
+        entity wrapping per-feature metric aggs, the shape
+        ``AbstractRetriever.parseBucket`` consumes and ParseUtils
+        generates): top-``size`` buckets by (doc_count desc, key asc),
+        each carrying its nested metric values keyed by sub-agg name.
+        One column-pruned scan + one Arrow group_by for ALL metrics."""
+        import pyarrow.compute as pc
+
+        plan = _sub_agg_plan(sub_aggs)
+        t = self._subagg_table(filter_query, {field, *(f for _, _, f in plan)})
+        t = t.filter(pc.is_valid(t[field]))
+        t = t.append_column("__key", t[field])
+        rows = self._grouped_subagg_rows(t, plan)
+        rows.sort(key=lambda r: (-r["doc_id_count"], r["__key"]))
+        return [{"key": r["__key"], "doc_count": int(r["doc_id_count"]),
+                 **self._subagg_values(r, plan)} for r in rows[:size]]
+
+    def histogram_agg_subs(self, filter_query: dict | None, field: str,
+                           interval: float, sub_aggs: dict,
+                           min_doc_count: int = 0) -> list[dict]:
+        """Histogram buckets (same keying/gap-fill rules as
+        :meth:`histogram_agg`) with nested metric sub-aggregations; empty
+        gap-filled buckets carry the empty-set metric values."""
+        import pyarrow.compute as pc
+
+        plan = _sub_agg_plan(sub_aggs)
+        t = self._subagg_table(filter_query, {field, *(f for _, _, f in plan)})
+        t = t.filter(pc.is_valid(t[field]))
+        if t.num_rows == 0:
+            return []
+        vals = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = np.floor(vals / float(interval)) * float(interval)
+        t = t.append_column("__key", pa.array(keys))
+        rows = self._grouped_subagg_rows(t, plan)
+        by_key = {float(r["__key"]): r for r in rows}
+        ks = sorted(by_key)
+        if min_doc_count <= 0:
+            full = np.arange(ks[0], ks[-1] + float(interval) / 2, float(interval))
+            empty = self._subagg_values({}, plan)
+            return [
+                {"key": float(k), "doc_count": int(by_key[float(k)]["doc_id_count"]),
+                 **self._subagg_values(by_key[float(k)], plan)}
+                if float(k) in by_key else
+                {"key": float(k), "doc_count": 0, **empty}
+                for k in full
+            ]
+        return [{"key": k, "doc_count": int(by_key[k]["doc_id_count"]),
+                 **self._subagg_values(by_key[k], plan)}
+                for k in ks if by_key[k]["doc_id_count"] >= min_doc_count]
+
+    def range_agg_subs(self, filter_query: dict | None, field: str,
+                       ranges: list[dict], sub_aggs: dict) -> list[dict]:
+        """Range buckets ([from, to) half-open, overlap allowed) with
+        nested metric sub-aggregations — each bucket aggregates its own
+        row mask independently, exactly like OpenSearch."""
+        import pyarrow.compute as pc
+
+        plan = _sub_agg_plan(sub_aggs)
+        t = self._subagg_table(filter_query, {field, *(f for _, _, f in plan)})
+        t = t.filter(pc.is_valid(t[field]))
+        vals = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            mask = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                mask &= vals >= float(lo)
+            if hi is not None:
+                mask &= vals < float(hi)
+            sub = t.filter(pa.array(mask)).append_column(
+                "__key", pa.array(np.zeros(int(mask.sum()), dtype=np.int64)))
+            rows = self._grouped_subagg_rows(sub, plan)
+            row = rows[0] if rows else {}
+            key = r.get("key") or f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            b = {"key": key, "doc_count": int(mask.sum()),
+                 **self._subagg_values(row, plan)}
+            if lo is not None:
+                b["from"] = float(lo)
+            if hi is not None:
+                b["to"] = float(hi)
+            out.append(b)
+        return out
+
     def bm25_search_after(
         self, query: str, k: int = 10, search_after: tuple[int, float] | None = None
     ) -> list[tuple[int, float]]:
@@ -1601,9 +1771,14 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         out["aggregations"] = {}
         metric_ops = {"min", "max", "avg", "sum", "value_count", "cardinality", "stats"}
         for name, spec in aggs.items():
+            sub = spec.get("aggs") or spec.get("aggregations")
             if "terms" in spec:
                 field = spec["terms"]["field"]
                 k = int(spec["terms"].get("size", 10))
+                if sub:
+                    out["aggregations"][name] = {
+                        "buckets": engine.terms_agg_subs(query, field, k, sub)}
+                    continue
                 buckets = engine.facets(query, field, k=k)
                 out["aggregations"][name] = {
                     "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
@@ -1618,20 +1793,32 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                 continue
             if "histogram" in spec:
                 h = spec["histogram"]
-                out["aggregations"][name] = {"buckets": engine.histogram_agg(
-                    query, h["field"], float(h["interval"]),
-                    min_doc_count=int(h.get("min_doc_count", 0)))}
+                mdc = int(h.get("min_doc_count", 0))
+                out["aggregations"][name] = {"buckets": (
+                    engine.histogram_agg_subs(
+                        query, h["field"], float(h["interval"]), sub,
+                        min_doc_count=mdc)
+                    if sub else engine.histogram_agg(
+                        query, h["field"], float(h["interval"]),
+                        min_doc_count=mdc))}
                 continue
             if "range" in spec:
                 r = spec["range"]
-                out["aggregations"][name] = {"buckets": engine.range_agg(
-                    query, r["field"], list(r["ranges"]))}
+                out["aggregations"][name] = {"buckets": (
+                    engine.range_agg_subs(query, r["field"], list(r["ranges"]), sub)
+                    if sub else
+                    engine.range_agg(query, r["field"], list(r["ranges"])))}
                 continue
             if "date_histogram" in spec:
                 dh = spec["date_histogram"]
-                out["aggregations"][name] = {"buckets": engine.date_histogram_agg(
-                    query, dh["field"], dh["fixed_interval"],
-                    min_doc_count=int(dh.get("min_doc_count", 0)))}
+                ms = float(_parse_fixed_interval_ms(dh["fixed_interval"]))
+                mdc = int(dh.get("min_doc_count", 0))
+                out["aggregations"][name] = {"buckets": (
+                    engine.histogram_agg_subs(query, dh["field"], ms, sub,
+                                              min_doc_count=mdc)
+                    if sub else engine.date_histogram_agg(
+                        query, dh["field"], dh["fixed_interval"],
+                        min_doc_count=mdc))}
                 continue
             op = next((o for o in metric_ops if o in spec), None)
             if op is None:

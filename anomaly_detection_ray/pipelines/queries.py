@@ -169,6 +169,38 @@ def q_search_stats_agg(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
+    """Terms buckets with nested metric SUB-aggregations — the
+    reference's central agg composition (entity terms/composite buckets
+    wrapping per-feature metric aggs, the ``AbstractRetriever.parseBucket``
+    shape): per-lang doc_count + avg/sum of ``n_chars`` + distinct
+    ``source`` count over the docs matching 'data', one Arrow group_by
+    behind the ``_search`` envelope."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+        "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "sum_chars": {"sum": {"field": "n_chars"}},
+                "n_sources": {"cardinality": {"field": "source"}},
+            },
+        }},
+    })
+    b = r["aggregations"]["by_lang"]["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"] for x in b],
+        "doc_count": np.asarray([x["doc_count"] for x in b], dtype=np.int64),
+        "avg_chars": np.round([x["avg_chars"]["value"] for x in b], 6),
+        "sum_chars": np.asarray([x["sum_chars"]["value"] for x in b], dtype=np.int64),
+        "n_sources": np.asarray([x["n_sources"]["value"] for x in b], dtype=np.int64),
+    })
+
+
 PREFIX_QUERY = "sl"  # matches 'slow' + any other sl* vocab
 
 
@@ -1532,13 +1564,13 @@ REGISTRY = {
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
     "update_search": q_update_search,
-    "search_facets": q_search_facets,
     "multi_match_search": q_multi_match_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "term_stats": q_term_stats,
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
+    "search_subaggs": q_search_subaggs,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "doc_nll": q_doc_nll,
@@ -1566,6 +1598,9 @@ REGISTRY = {
     "forecast_events": q_forecast_events,
     "detector_preview": q_detector_preview,
     # --- oracle-backed, sibling-verified machinery (rotated out r5) ---
+    # search_facets: the terms-agg-over-hits shape is in-window via
+    # search_subaggs (same envelope path + nested metrics)
+    "search_facets": q_search_facets,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

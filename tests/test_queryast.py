@@ -638,3 +638,94 @@ def test_search_from_with_search_after_rejected(eng):
     with pytest.raises(ValueError, match="search_after"):
         search(e, {"query": {"match": {"content": "merge"}},
                    "size": 3, "from": 2, "search_after": [1.0, 0]})
+
+
+def test_search_sub_aggregations(eng):
+    """Bucket aggs with nested METRIC sub-aggregations — the reference's
+    central composition (entity buckets wrapping per-feature metric
+    aggs, AbstractRetriever.parseBucket shape): terms / histogram /
+    date_histogram / range buckets each carry their own avg / sum / min /
+    max / value_count / cardinality / stats values, computed over the
+    bucket's rows only, vs a pandas groupby."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "by_lang": {"terms": {"field": "lang", "size": 100}, "aggs": {
+            "mean_id": {"avg": {"field": "doc_id"}},
+            "sum_id": {"sum": {"field": "doc_id"}},
+            "lo": {"min": {"field": "doc_id"}},
+            "hi": {"max": {"field": "doc_id"}},
+            "n": {"value_count": {"field": "doc_id"}},
+            "langs": {"cardinality": {"field": "lang"}},
+            "st": {"stats": {"field": "doc_id"}},
+        }}}})
+    buckets = r["aggregations"]["by_lang"]["buckets"]
+    exp = sorted(sub.groupby("lang"), key=lambda kv: (-len(kv[1]), kv[0]))
+    assert [b["key"] for b in buckets] == [k for k, _ in exp]
+    for b, (_, g) in zip(buckets, exp):
+        assert b["doc_count"] == len(g)
+        assert b["mean_id"]["value"] == pytest.approx(float(g["doc_id"].mean()))
+        assert b["sum_id"]["value"] == float(g["doc_id"].sum())
+        assert b["lo"]["value"] == int(g["doc_id"].min())
+        assert b["hi"]["value"] == int(g["doc_id"].max())
+        assert b["n"]["value"] == len(g)
+        assert b["langs"]["value"] == 1
+        st = b["st"]
+        assert st["count"] == len(g) and st["avg"] == pytest.approx(float(g["doc_id"].mean()))
+        assert st["sum"] == float(g["doc_id"].sum())
+
+    # histogram + sub-aggs: empty gap-filled buckets carry the
+    # empty-set metric shapes (avg null, sum 0.0, counts 0)
+    rh = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "h": {"histogram": {"field": "doc_id", "interval": 50}, "aggs": {
+            "mean_id": {"avg": {"field": "doc_id"}},
+            "sum_id": {"sum": {"field": "doc_id"}},
+        }}}})
+    hb = rh["aggregations"]["h"]["buckets"]
+    gk = sub.groupby((sub["doc_id"] // 50) * 50)["doc_id"]
+    for b in hb:
+        k = int(b["key"])
+        if b["doc_count"] == 0:
+            assert k not in gk.groups
+            assert b["mean_id"]["value"] is None and b["sum_id"]["value"] == 0.0
+        else:
+            g = gk.get_group(k)
+            assert b["doc_count"] == len(g)
+            assert b["mean_id"]["value"] == pytest.approx(float(g.mean()))
+            assert b["sum_id"]["value"] == float(g.sum())
+    assert {int(b["key"]) for b in hb} >= {int(k) for k in gk.groups}
+
+    # date_histogram + sub-aggs ≡ histogram + sub-aggs at the parsed ms
+    rdh = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "h": {"date_histogram": {"field": "doc_id", "fixed_interval": "50ms"},
+              "aggs": {"mean_id": {"avg": {"field": "doc_id"}},
+                       "sum_id": {"sum": {"field": "doc_id"}}}}}})
+    assert rdh["aggregations"]["h"]["buckets"] == hb
+
+    # range + sub-aggs: overlapping half-open buckets, independent metrics
+    rr = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "r": {"range": {"field": "doc_id", "ranges": [
+            {"to": 100}, {"from": 50, "to": 200}, {"from": 200}]},
+            "aggs": {"sum_id": {"sum": {"field": "doc_id"}},
+                     "st": {"stats": {"field": "doc_id"}}}}}})
+    ids = sub["doc_id"]
+    for b, mask in zip(rr["aggregations"]["r"]["buckets"],
+                       [ids < 100, (ids >= 50) & (ids < 200), ids >= 200]):
+        g = ids[mask]
+        assert b["doc_count"] == len(g)
+        assert b["sum_id"]["value"] == (float(g.sum()) if len(g) else 0.0)
+        if len(g):
+            assert b["st"]["count"] == len(g) and b["st"]["min"] == int(g.min())
+        else:
+            assert b["st"] == {"count": 0, "min": None, "max": None,
+                               "avg": None, "sum": 0.0}
+
+    # unsupported sub-agg kinds error loudly
+    with pytest.raises(ValueError, match="sub-aggregation"):
+        search(e, {"query": {"match_all": {}}, "aggs": {
+            "x": {"terms": {"field": "lang"},
+                  "aggs": {"inner": {"terms": {"field": "lang"}}}}}})
