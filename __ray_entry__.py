@@ -721,6 +721,14 @@ FROM documents
 WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "query_string_search": f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE lang = 'en'
+  AND (list_contains(toks, 'data') OR list_contains(toks, 'merge'))
+  AND len(list_filter(toks, x -> starts_with(x, 'sl'))) = 0
+ORDER BY doc_id
+""",
         "term_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cttf

@@ -1655,6 +1655,13 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         # malformed request must error, not return a silently-wrong page
         raise ValueError("`from` parameter must be set to 0 when `search_after` is used")
     query = body.get("query")
+    if query and next(iter(query)) in ("query_string", "simple_query_string"):
+        # Lucene string syntax lowers to the structured DSL first, so
+        # scoring/aggs/pagination ride the existing bool machinery
+        from .querystring import lower_query_string
+
+        query = lower_query_string(engine, query)
+        body = {**body, "query": query}
     text, optional, residual, union_hits, text_boost = _split_scoring_clause(query)
     if text_boost <= 0:
         # Lucene requires a positive boost; a non-positive one would

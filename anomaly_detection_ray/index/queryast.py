@@ -33,6 +33,11 @@ exactly that surface as a JSON-dict AST compiled against a built index:
                                               # context (Lucene DisjunctionMaxQuery)
     {"bool":  {"must": [...], "filter": [...], "should": [...], "must_not": [...],
                "minimum_should_match": n}}
+    {"query_string": {"query": "a AND (b OR lang:en) NOT c*",
+                      "default_operator": "or"}}   # Lucene syntax, strict parse
+    {"simple_query_string": {"query": "a +b | -c"}}  # lenient, never errors
+                                              # (both lower to this AST —
+                                              # index/querystring.py)
 
 Evaluation returns a sorted int64 array of doc_ids. Metadata predicates
 (term/range on docmap columns) evaluate via Arrow compute over the
@@ -227,6 +232,12 @@ class QueryCompiler:
             if not parts:
                 return np.empty(0, dtype=np.int64)
             return np.unique(np.concatenate(parts))
+        if kind in ("query_string", "simple_query_string"):
+            # Lucene string syntax lowers to this same AST (strict /
+            # lenient parse respectively) and re-enters the compiler
+            from .querystring import lower_query_string
+
+            return self.execute(lower_query_string(self.engine, query))
         if kind == "bool":
             return self._execute_bool(body)
         raise ValueError(f"unsupported query kind {kind!r}")

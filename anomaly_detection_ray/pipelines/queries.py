@@ -201,6 +201,19 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+QUERY_STRING = "lang:en AND (data OR merge) NOT sl*"
+
+
+def q_query_string_search(sf_dir: str) -> pd.DataFrame:
+    """Lucene query_string syntax front door: field scoping to a docmap
+    column, AND/OR precedence, conjunctive NOT exclusion and a trailing-*
+    prefix — parsed by ``index/querystring.py`` and lowered to the
+    structured DSL, value-exact vs the boolean SQL twin."""
+    eng = index_for(sf_dir)
+    docs = eng.execute_filter({"query_string": {"query": QUERY_STRING}})
+    return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+
+
 PREFIX_QUERY = "sl"  # matches 'slow' + any other sl* vocab
 
 
@@ -1546,7 +1559,6 @@ REGISTRY = {
     # entity_cardinality [groupby-distinct covered by top_entities;
     # every prior round green] OUT), so every oracle-backed entry gets
     # driver-green at least every other round.
-    "min_max_time": q_min_max_time,
     "feature_agg_interval": q_feature_agg_interval,
     "tpch_q1": q_tpch_q1,
     "date_range_agg": q_date_range_agg,
@@ -1567,6 +1579,7 @@ REGISTRY = {
     "multi_match_search": q_multi_match_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
+    "query_string_search": q_query_string_search,
     "term_stats": q_term_stats,
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
@@ -1601,6 +1614,10 @@ REGISTRY = {
     # search_facets: the terms-agg-over-hits shape is in-window via
     # search_subaggs (same envelope path + nested metrics)
     "search_facets": q_search_facets,
+    # min_max_time: trivial Ray Min/Max aggregate, driver-green every
+    # round since r1; window-agg machinery in-window via
+    # feature_agg_interval + date_range_agg
+    "min_max_time": q_min_max_time,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -132,7 +132,10 @@ def brute_eval(query, docs) -> set:
         from anomaly_detection_ray.index.queryast import parse_msm
 
         msm = parse_msm(spec.get("minimum_should_match", 1), len(terms))
-        return {d["doc_id"] for d in docs if len(terms & d["tokens"]) >= msm}
+        # a computed msm of 0 (e.g. "50%" of 1 term) still needs ≥1
+        # matching term: Lucene's pure-should disjunction never matches
+        # a doc that matches no clause
+        return {d["doc_id"] for d in docs if len(terms & d["tokens"]) >= max(1, msm)}
     if kind == "bool":
         result = None
         for clause in list(body.get("must", ())) + list(body.get("filter", ())):
@@ -187,3 +190,70 @@ def test_dsl_matches_brute_force(dsl_env, query):
     eng, docs = dsl_env
     got = set(eng.execute_filter(query).tolist())
     assert got == brute_eval(query, docs), query
+
+
+# ---- query_string / simple_query_string: random rendered trees ----
+# Each generated node carries BOTH its string rendering (fully
+# parenthesized, so documented precedence is exercised separately in
+# tests/test_queryast.py) and the equivalent structured-DSL dict; the
+# parser must make {"query_string": s} match brute_eval(dsl).
+
+def qs_leaf_strategy():
+    return st.one_of(
+        st.sampled_from(TERMS).map(lambda t: (t, {"term": {"content": t}})),
+        st.sampled_from(LANGS).map(lambda v: (f"lang:{v}", {"term": {"lang": v}})),
+        st.sampled_from(PREFIXES).map(lambda p: (f"{p}*", {"prefix": {"content": p}})),
+        st.sampled_from(["s?rt", "pa*e"]).map(lambda w: (w, {"wildcard": {"content": w}})),
+    )
+
+
+def qs_combine(op, a, b):
+    (sa, da), (sb, db) = a, b
+    if op == "AND":
+        return (f"({sa} AND {sb})", {"bool": {"must": [da, db]}})
+    if op == "OR":
+        return (f"({sa} OR {sb})", {"bool": {"should": [da, db]}})
+    return (f"({sa} NOT {sb})", {"bool": {"must": [da], "must_not": [db]}})
+
+
+qs_strategy = st.recursive(
+    qs_leaf_strategy(),
+    lambda c: st.builds(qs_combine, st.sampled_from(["AND", "OR", "NOT"]), c, c),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=qs_strategy)
+def test_query_string_matches_brute_force(dsl_env, pair):
+    eng, docs = dsl_env
+    s, dsl = pair
+    got = set(eng.execute_filter({"query_string": {"query": s}}).tolist())
+    assert got == brute_eval(dsl, docs), s
+
+
+def sqs_combine(op, a, b):
+    (sa, da), (sb, db) = a, b
+    if op == "+":
+        return (f"({sa} + {sb})", {"bool": {"must": [da, db]}})
+    if op == "|":
+        return (f"({sa} | {sb})", {"bool": {"should": [da, db]}})
+    return (f"({sa} + -{sb})", {"bool": {"must": [da], "must_not": [db]}})
+
+
+sqs_strategy = st.recursive(
+    qs_leaf_strategy().filter(lambda p: ":" not in p[0]),  # no field scoping in sqs
+    lambda c: st.builds(sqs_combine, st.sampled_from(["+", "|", "-"]), c, c),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=sqs_strategy)
+def test_simple_query_string_matches_brute_force(dsl_env, pair):
+    eng, docs = dsl_env
+    s, dsl = pair
+    got = set(eng.execute_filter({"simple_query_string": {"query": s}}).tolist())
+    assert got == brute_eval(dsl, docs), s

@@ -729,3 +729,105 @@ def test_search_sub_aggregations(eng):
         search(e, {"query": {"match_all": {}}, "aggs": {
             "x": {"terms": {"field": "lang"},
                   "aggs": {"inner": {"terms": {"field": "lang"}}}}}})
+
+
+def test_query_string_precedence_and_leaves(eng):
+    """Lucene string syntax: AND binds tighter than OR, juxtaposition =
+    default_operator, 'a NOT b' excludes conjunctively, field scoping
+    routes to docmap columns, trailing * = prefix, ~ = fuzzy, quoted =
+    phrase, strict mode rejects bad syntax / unknown fields."""
+    e, df, oracle = eng
+
+    def run(q, **body):
+        return set(e.execute_filter({"query_string": {"query": q, **body}}).tolist())
+
+    merge = set(oracle.postings.get("merge", ()))
+    sort = set(oracle.postings.get("sort", ()))
+    parse = set(oracle.postings.get("parse", ()))
+    alldocs = set(df["doc_id"])
+
+    # AND > OR precedence (unparenthesized)
+    assert run("merge OR sort AND parse") == merge | (sort & parse)
+    assert run("(merge OR sort) AND parse") == (merge | sort) & parse
+    # juxtaposition = default_operator
+    assert run("merge sort") == merge | sort
+    assert run("merge sort", default_operator="and") == merge & sort
+    # NOT excludes from the conjunction regardless of default_operator
+    assert run("merge NOT sort") == merge - sort
+    assert run("merge NOT sort", default_operator="and") == merge - sort
+    assert run("merge OR NOT sort") == merge | (alldocs - sort)
+    assert run("NOT sort") == alldocs - sort
+    # field scoping → docmap column; numeric coercion on doc_id
+    java = set(df[df["lang"] == "java"]["doc_id"])
+    assert run("lang:java AND merge") == java & merge
+    some_id = int(df["doc_id"].iloc[5])
+    assert run(f"doc_id:{some_id}") == {some_id}
+    # trailing * → prefix, embedded wildcard → wildcard
+    pa_docs = set(e.execute_filter({"prefix": {"content": "pa"}}).tolist())
+    assert run("pa*") == pa_docs
+    wild = set(e.execute_filter({"wildcard": {"content": "s?rt"}}).tolist())
+    assert run("s?rt") == wild
+    # quoted phrase (with slop) → match_phrase lowering (this fixture's
+    # index has no positional sidecar; phrase EXECUTION is covered by
+    # test_index.py — assert the parse here)
+    from anomaly_detection_ray.index.querystring import parse_query_string
+    assert parse_query_string('"merge sort"', "content") == \
+        {"match_phrase": {"content": "merge sort"}}
+    assert parse_query_string('"merge sort"~2', "content") == \
+        {"match_phrase": {"content": {"query": "merge sort", "slop": 2}}}
+    # fuzzy ~
+    fz = set(e.execute_filter({"fuzzy": {"content": {"value": "mergz",
+                                                     "fuzziness": 1}}}).tolist())
+    assert run("mergz~1") == fz
+    # strict mode: syntax + unknown-field errors
+    from anomaly_detection_ray.index.querystring import QueryStringSyntaxError
+    for bad in ("merge AND", "(merge", "zzfield:x", ""):
+        with pytest.raises((QueryStringSyntaxError, ValueError)):
+            run(bad)
+
+
+def test_simple_query_string_lenient(eng):
+    """simple_query_string NEVER errors: + | - ( ) " operators, and any
+    malformed input degrades to a bag of terms."""
+    e, df, oracle = eng
+
+    def run(q, **body):
+        return set(e.execute_filter(
+            {"simple_query_string": {"query": q, **body}}).tolist())
+
+    merge = set(oracle.postings.get("merge", ()))
+    sort = set(oracle.postings.get("sort", ()))
+    alldocs = set(df["doc_id"])
+    assert run("merge + sort") == merge & sort
+    assert run("merge | sort") == merge | sort
+    assert run("merge -sort") == merge - sort
+    assert run("merge + (sort | parse)") == merge & (sort | set(oracle.postings.get("parse", ())))
+    # malformed → bag of terms with default_operator (never raises)
+    assert run("merge AND ((") == merge | set(oracle.postings.get("and", ()))
+    assert run("((") == set()
+    assert run("") == set()
+    # whitespace juxtaposition honors default_operator
+    assert run("merge sort", default_operator="and") == merge & sort
+
+
+def test_query_string_scoring_through_search(eng):
+    """A query_string lowers to the structured DSL before the envelope
+    splits scoring clauses — 'merge OR sort' scores like the equivalent
+    bool-should of matches, 'lang:java AND merge' like a filtered match."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    r_qs = search(e, {"query": {"query_string": {"query": "merge sort"}}, "size": 25})
+    r_bool = search(e, {"query": {"bool": {"should": [
+        {"match": {"content": "merge"}}, {"match": {"content": "sort"}}]}}, "size": 25})
+    assert [(h["_id"], h["_score"]) for h in r_qs["hits"]["hits"]] == \
+        [(h["_id"], h["_score"]) for h in r_bool["hits"]["hits"]]
+    assert r_qs["hits"]["total"] == r_bool["hits"]["total"]
+
+    r_f = search(e, {"query": {"query_string": {"query": "lang:java AND merge"}},
+                     "size": 25})
+    r_expl = search(e, {"query": {"bool": {"must": [{"match": {"content": "merge"}}],
+                                           "filter": [{"term": {"lang": "java"}}]}},
+                        "size": 25})
+    assert [(h["_id"], h["_score"]) for h in r_f["hits"]["hits"]] == \
+        [(h["_id"], h["_score"]) for h in r_expl["hits"]["hits"]]
