@@ -410,6 +410,60 @@ ORDER BY d.doc_id
 """
 
 
+def _pii_redact_sql() -> str:
+    """Twin of ``q_pii_redact``: the deterministic PII injection is
+    recomputed from doc_id in SQL, then the SAME RE2 patterns redact
+    (DuckDB regexp_* is RE2, like Arrow's kernels — byte parity)."""
+    from anomaly_detection_ray.stages.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    sql = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com from 10.0.'
+              || (doc_id % 256) || '.' || (doc_id % 100) || ' call 555-'
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           $EMAIL$, '<EMAIL>', 'g'), $IPV4$, '<IP>', 'g'),
+           $PHONE$, '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text, $EMAIL$)) AS n_email,
+       len(regexp_extract_all(text, $IPV4$)) AS n_ipv4,
+       len(regexp_extract_all(text, $PHONE$)) AS n_phone
+FROM aug ORDER BY doc_id
+"""
+    for marker, name in (("$EMAIL$", "email"), ("$IPV4$", "ipv4"), ("$PHONE$", "phone")):
+        sql = sql.replace(marker, "'" + pats[name] + "'")
+    return sql
+
+
+def _repetition_sql() -> str:
+    """Twin of ``q_repetition_signals``: per-doc word counts via
+    unnest+group, bigrams via generate_series over the token list."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+wstats AS (SELECT doc_id, max(c) AS topc, count(*) AS ndist FROM wc GROUP BY doc_id),
+big AS (SELECT doc_id, t, n, unnest(generate_series(1, n - 1)) AS i
+        FROM sized WHERE n >= 2),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b FROM big),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bstats AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id)
+SELECT s.doc_id AS doc_id,
+       s.n AS n_tokens,
+       round(coalesce(w.topc * 1.0 / nullif(s.n, 0), 0.0), 6) AS top_word_frac,
+       round(coalesce((s.n - w.ndist) * 1.0 / nullif(s.n, 0), 0.0), 6) AS dup_word_frac,
+       round(CASE WHEN s.n >= 2 THEN b.topb * 1.0 / (s.n - 1) ELSE 0.0 END, 6)
+           AS top_bigram_frac
+FROM sized s LEFT JOIN wstats w USING (doc_id) LEFT JOIN bstats b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _token_count_bpe_sql() -> str:
     """Twin of ``q_token_count_bpe``: the IDENTICAL BPE pre-tokenizer
     split pattern runs under DuckDB's RE2 (pattern is lookahead-free for
@@ -746,6 +800,8 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """,
         "token_count_bpe": _token_count_bpe_sql(),
+        "repetition_signals": _repetition_sql(),
+        "pii_redact": _pii_redact_sql(),
         "chunk_for_training": """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents

@@ -130,6 +130,45 @@ def quality_flags(texts: list[str], **overrides) -> dict[str, np.ndarray]:
     return out
 
 
+def repetition_signals(texts: list[str]) -> dict[str, np.ndarray]:
+    """Gopher-style REPETITION signals (Rae et al. 2021 appendix A1.2 —
+    the n-gram-repetition filter family), adapted to the simple
+    tokenizer and to COUNT fractions so every signal has an exact SQL
+    twin (the paper's char-weighted variants need only a weight change):
+
+    - ``top_word_frac``   — most frequent token's share of all tokens
+      (the paper's "top 1-gram" signal);
+    - ``dup_word_frac``   — share of tokens that are repeats of an
+      earlier token (1 − distinct/total);
+    - ``top_bigram_frac`` — most frequent word 2-gram's share of all
+      2-grams (the "top 2-gram" signal; 0 when fewer than 2 tokens).
+
+    Per-doc numpy (unique/counts over the token array); stateless, so
+    the Dataset stage is a plain task-pool ``map_batches``."""
+    n = len(texts)
+    out = {
+        "n_tokens": np.zeros(n, dtype=np.int64),
+        "top_word_frac": np.zeros(n, dtype=np.float64),
+        "dup_word_frac": np.zeros(n, dtype=np.float64),
+        "top_bigram_frac": np.zeros(n, dtype=np.float64),
+    }
+    for i, t in enumerate(texts):
+        toks = _simple.tokens(t or "")
+        nt = len(toks)
+        out["n_tokens"][i] = nt
+        if nt == 0:
+            continue
+        arr = np.asarray(toks)
+        _, counts = np.unique(arr, return_counts=True)
+        out["top_word_frac"][i] = counts.max() / nt
+        out["dup_word_frac"][i] = (nt - counts.size) / nt
+        if nt >= 2:
+            bigrams = np.char.add(np.char.add(arr[:-1], " "), arr[1:])
+            _, bc = np.unique(bigrams, return_counts=True)
+            out["top_bigram_frac"][i] = bc.max() / (nt - 1)
+    return out
+
+
 def lang_id(texts: list[str]) -> list[str]:
     """argmax of per-language stopword hit counts (token multiset);
     ties → first profile in LANG_PROFILES order; zero hits → 'und'."""

@@ -842,6 +842,58 @@ def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (top-1-gram / duplicate-word /
+    top-2-gram fractions) per document — the n-gram-repetition quality
+    family beside the Gopher bound filter; value-exact vs an
+    unnest+window SQL twin."""
+    from ..functions.textstats import repetition_signals
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        st = repetition_signals(batch["text"].to_pylist())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(st["n_tokens"]),
+            "top_word_frac": pa.array(np.round(st["top_word_frac"], 6)),
+            "dup_word_frac": pa.array(np.round(st["dup_word_frac"], 6)),
+            "top_bigram_frac": pa.array(np.round(st["top_bigram_frac"], 6)),
+        })
+
+    out = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over the corpus: the synthetic documents carry no
+    natural PII, so a deterministic email/IP/phone is injected from
+    doc_id (recomputed identically in the SQL twin — the
+    temperature_mix precedent), then the Arrow RE2 redaction stage
+    scrubs it; redacted TEXT and per-class counts are value-exact."""
+    from ..stages.pii import redact_pii
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        extra = [
+            f" contact user{i}@mail.example.com from 10.0.{i % 256}.{i % 100}"
+            f" call 555-{(i * 7) % 1000:03d}-{(i * 37) % 10000:04d}"
+            for i in ids
+        ]
+        txt = pc.binary_join_element_wise(batch["text"], pa.array(extra), "")
+        return batch.set_column(batch.column_names.index("text"), "text", txt)
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pyarrow"),
+                     text_col="text").to_pandas()
+    out = out.rename(columns={"text": "redacted"})
+    return (out[["doc_id", "redacted", "n_email", "n_ipv4", "n_phone"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
     """Token-budget counting: whitespace tokens + BPE pre-tokenizer
     pieces (GPT-2-style split regex, identical pattern on the SQL side)
@@ -1561,11 +1613,9 @@ REGISTRY = {
     # driver-green at least every other round.
     "feature_agg_interval": q_feature_agg_interval,
     "tpch_q1": q_tpch_q1,
-    "date_range_agg": q_date_range_agg,
     "top_entities": q_top_entities,
     "decayed_top_entities": q_decayed_top_entities,
     "value_percentile": q_value_percentile,
-    "interval_suggest": q_interval_suggest,
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "search_after_page": q_search_after_page,
@@ -1586,6 +1636,8 @@ REGISTRY = {
     "search_subaggs": q_search_subaggs,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
+    "repetition_signals": q_repetition_signals,
+    "pii_redact": q_pii_redact,
     "doc_nll": q_doc_nll,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_filter": q_quality_filter,
@@ -1614,10 +1666,12 @@ REGISTRY = {
     # search_facets: the terms-agg-over-hits shape is in-window via
     # search_subaggs (same envelope path + nested metrics)
     "search_facets": q_search_facets,
-    # min_max_time: trivial Ray Min/Max aggregate, driver-green every
-    # round since r1; window-agg machinery in-window via
-    # feature_agg_interval + date_range_agg
+    # min_max_time / date_range_agg / interval_suggest: driver-green
+    # every round since r1; window-agg + distinct-gap machinery stays
+    # in-window via feature_agg_interval + shingle_density
     "min_max_time": q_min_max_time,
+    "date_range_agg": q_date_range_agg,
+    "interval_suggest": q_interval_suggest,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

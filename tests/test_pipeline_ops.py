@@ -1041,3 +1041,60 @@ def test_chunk_dedup_planted(ray_session):
     assert d.loc[0, "n_chunks"] == 2 and d.loc[0, "n_kept"] == 2
     assert d.loc[1, "n_kept"] == d.loc[1, "n_chunks"]
     assert d.loc[2, "n_chunks"] == 2 and d.loc[2, "n_kept"] == 0  # both copies lose
+
+
+def test_repetition_signals_hand_case():
+    """Gopher repetition signals against hand counts, incl. the <2-token
+    and empty edges."""
+    from anomaly_detection_ray.functions.textstats import repetition_signals
+
+    out = repetition_signals([
+        "the cat the cat the dog",   # 6 toks: the×3, cat×2, dog; bigrams: 'the cat'×2 of 5
+        "a b c d",                   # all distinct
+        "x",                         # single token → no bigrams
+        "",                          # empty
+    ])
+    assert list(out["n_tokens"]) == [6, 4, 1, 0]
+    assert out["top_word_frac"][0] == pytest.approx(3 / 6)
+    assert out["dup_word_frac"][0] == pytest.approx((6 - 3) / 6)
+    assert out["top_bigram_frac"][0] == pytest.approx(2 / 5)
+    assert out["dup_word_frac"][1] == 0.0 and out["top_word_frac"][1] == pytest.approx(0.25)
+    assert out["top_bigram_frac"][2] == 0.0 and out["top_word_frac"][2] == 1.0
+    assert out["top_word_frac"][3] == 0.0
+
+
+def test_pii_redact_batch_and_duckdb_parity():
+    """RE2 redaction: sequential email→ip→phone replacement + per-class
+    counts on the ORIGINAL text; Arrow kernels byte-identical to
+    DuckDB's regexp_replace/extract_all (both RE2)."""
+    from anomaly_detection_ray.stages.pii import PII_PATTERNS, redact_batch
+
+    texts = [
+        "mail a.b+c@x-y.io now",
+        "ip 10.0.255.1 and 1.2.3.4.",
+        "call 555-012-3456!",
+        "user7@10.0.0.1 oddball",      # not an email (numeric TLD); IP redacts
+        "edge 1234-567-8901 no match",  # no word boundary before 234
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = redact_batch(t)
+    red = out["text"].to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "ip <IP> and <IP>."
+    assert red[2] == "call <PHONE>!"
+    assert red[3] == "user7@<IP> oddball"
+    assert red[4] == "edge 1234-567-8901 no match"
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 0, 0]
+
+    con = duckdb.connect()
+    for txt, expect in zip(texts, red):
+        got = txt
+        for _, pat, rep in PII_PATTERNS:
+            got = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [got, pat, rep]
+            ).fetchone()[0]
+        assert got == expect
