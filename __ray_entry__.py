@@ -694,6 +694,15 @@ GROUP BY event_type ORDER BY event_type
 SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50 FROM events
 GROUP BY event_type ORDER BY event_type
 """,
+        "calendar_week_agg": """
+SELECT event_type,
+       CAST(epoch_ms(date_trunc('week', ts)) AS BIGINT) AS window_start_ms,
+       round(sum(value), 6) AS f_sum,
+       count(value) AS f_count
+FROM events
+GROUP BY event_type, window_start_ms
+ORDER BY event_type, window_start_ms
+""",
         "interval_suggest": """
 WITH s AS (SELECT DISTINCT CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
 d AS (SELECT t - lag(t) OVER (ORDER BY t) AS g FROM s)

@@ -68,6 +68,22 @@ _SUB_METRIC_ARROW = {
 }
 
 
+def _calendar_boundaries(lo_ms: int, hi_ms: int, unit: str) -> np.ndarray:
+    """Every calendar bucket start in [lo_ms, hi_ms] (both are already
+    calendar floors) — the gap-fill enumeration for calendar
+    date_histograms."""
+    from ..stages.window import CALENDAR_UNITS
+
+    u = CALENDAR_UNITS[unit]
+    if u == "W":
+        return np.arange(lo_ms, hi_ms + 1, 7 * 86_400_000, dtype=np.int64)
+    step = {"M": 1, "Q": 3, "Y": 12}[u]
+    m_lo = np.int64(lo_ms).astype("datetime64[ms]").astype("datetime64[M]").astype(np.int64)
+    m_hi = np.int64(hi_ms).astype("datetime64[ms]").astype("datetime64[M]").astype(np.int64)
+    months = np.arange(m_lo, m_hi + 1, step, dtype=np.int64)
+    return months.astype("datetime64[M]").astype("datetime64[ms]").astype(np.int64)
+
+
 def _sub_agg_plan(sub_aggs: dict) -> list[tuple[str, str, str]]:
     """Validate a nested-aggs dict into [(name, op, field)] — metric
     sub-aggregations only (OpenSearch allows bucket-in-bucket nesting;
@@ -1265,6 +1281,42 @@ class QueryEngine:
                  **self._subagg_values(by_key[k], plan)}
                 for k in ks if by_key[k]["doc_id_count"] >= min_doc_count]
 
+    def calendar_histogram_agg(self, filter_query: dict | None, field: str,
+                               calendar_interval: str, min_doc_count: int = 0,
+                               sub_aggs: dict | None = None) -> list[dict]:
+        """date_histogram with a CALENDAR interval (week/month/quarter/
+        year — variable-width UTC calendar buckets, which modulo
+        arithmetic can't express; OpenSearch's ``calendar_interval``).
+        Bucket keys are the epoch-ms calendar floor; gap-fill enumerates
+        calendar boundaries (min_doc_count=0 default). Metric sub-aggs
+        ride the same single Arrow group_by."""
+        import pyarrow.compute as pc
+
+        from ..stages.window import calendar_floor_ms
+
+        plan = _sub_agg_plan(sub_aggs or {})
+        t = self._subagg_table(filter_query, {field, *(f for _, _, f in plan)})
+        t = t.filter(pc.is_valid(t[field]))
+        if t.num_rows == 0:
+            return []
+        vals = t[field].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, _ = calendar_floor_ms(vals, calendar_interval)
+        t = t.append_column("__key", pa.array(keys))
+        rows = self._grouped_subagg_rows(t, plan)
+        by_key = {int(r["__key"]): r for r in rows}
+        ks = sorted(by_key)
+        if min_doc_count <= 0:
+            empty = self._subagg_values({}, plan)
+            return [
+                {"key": int(k), "doc_count": int(by_key[k]["doc_id_count"]),
+                 **self._subagg_values(by_key[k], plan)}
+                if k in by_key else {"key": int(k), "doc_count": 0, **empty}
+                for k in _calendar_boundaries(ks[0], ks[-1], calendar_interval)
+            ]
+        return [{"key": k, "doc_count": int(by_key[k]["doc_id_count"]),
+                 **self._subagg_values(by_key[k], plan)}
+                for k in ks if by_key[k]["doc_id_count"] >= min_doc_count]
+
     def range_agg_subs(self, filter_query: dict | None, field: str,
                        ranges: list[dict], sub_aggs: dict) -> list[dict]:
         """Range buckets ([from, to) half-open, overlap allowed) with
@@ -1818,8 +1870,14 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                 continue
             if "date_histogram" in spec:
                 dh = spec["date_histogram"]
-                ms = float(_parse_fixed_interval_ms(dh["fixed_interval"]))
                 mdc = int(dh.get("min_doc_count", 0))
+                if "calendar_interval" in dh:
+                    out["aggregations"][name] = {
+                        "buckets": engine.calendar_histogram_agg(
+                            query, dh["field"], dh["calendar_interval"],
+                            min_doc_count=mdc, sub_aggs=sub)}
+                    continue
+                ms = float(_parse_fixed_interval_ms(dh["fixed_interval"]))
                 out["aggregations"][name] = {"buckets": (
                     engine.histogram_agg_subs(query, dh["field"], ms, sub,
                                               min_doc_count=mdc)

@@ -589,6 +589,32 @@ def q_feature_agg_interval(sf_dir: str) -> pd.DataFrame:
     return _round(out, {"f_min": 6, "f_max": 6, "f_sum": 6, "f_avg": 6})
 
 
+def q_calendar_week_agg(sf_dir: str) -> pd.DataFrame:
+    """date_histogram with a CALENDAR interval: per-(entity, ISO week)
+    metric aggs — variable-width UTC calendar buckets, which fixed-ms
+    windows can't express (OpenSearch ``calendar_interval``; weeks start
+    Monday, DuckDB ``date_trunc('week')`` parity)."""
+    cfg = DetectorConfig(
+        config_id="qw",
+        interval_s=600,  # unused when calendar_interval is given
+        category_fields=("event_type",),
+        features=(
+            FeatureSpec("f_sum", "value", "sum"),
+            FeatureSpec("f_count", "value", "value_count"),
+        ),
+    )
+    from ..stages.window import window_aggregate
+    from .detector import needed_columns
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=needed_columns(cfg))
+    out = window_aggregate(ds, cfg, ts_col="ts", calendar_interval="1w").to_pandas()
+    out = out.sort_values(["event_type", "window_start_ms"]).reset_index(drop=True)
+    out["f_count"] = out["f_count"].astype("int64")
+    out = out.drop(columns=["window_end_ms"])
+    return _round(out, {"f_sum": 6})
+
+
 FAF_FILTER = {
     "bool": {
         "filter": [{"range": {"value": {"lt": 100}}}],
@@ -1612,8 +1638,8 @@ REGISTRY = {
     # every prior round green] OUT), so every oracle-backed entry gets
     # driver-green at least every other round.
     "feature_agg_interval": q_feature_agg_interval,
+    "calendar_week_agg": q_calendar_week_agg,
     "tpch_q1": q_tpch_q1,
-    "top_entities": q_top_entities,
     "decayed_top_entities": q_decayed_top_entities,
     "value_percentile": q_value_percentile,
     "shingle_density": q_shingle_density,
@@ -1666,12 +1692,15 @@ REGISTRY = {
     # search_facets: the terms-agg-over-hits shape is in-window via
     # search_subaggs (same envelope path + nested metrics)
     "search_facets": q_search_facets,
-    # min_max_time / date_range_agg / interval_suggest: driver-green
-    # every round since r1; window-agg + distinct-gap machinery stays
-    # in-window via feature_agg_interval + shingle_density
+    # min_max_time / date_range_agg / interval_suggest / top_entities:
+    # driver-green every round since r1; window-agg, distinct-gap and
+    # groupby-count-sort-limit machinery stays in-window via
+    # feature_agg_interval, calendar_week_agg, shingle_density and
+    # decayed_top_entities
     "min_max_time": q_min_max_time,
     "date_range_agg": q_date_range_agg,
     "interval_suggest": q_interval_suggest,
+    "top_entities": q_top_entities,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -37,9 +37,9 @@ _BUILTIN_AGGS = {"min", "max", "sum", "avg", "value_count", "cardinality", "perc
 SKETCH_AGGS = {"cardinality_hll", "percentile_tdigest"}
 
 
-def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Table:
-    """Vectorized tumbling-window assignment (B2 time alignment:
-    ``dataStart -= dataStart % interval``, ``ADBatchTaskRunner.java:989-991``)."""
+def _ts_ms_numpy(batch: pa.Table, ts_col: str) -> np.ndarray:
+    """Timestamp column → int64 epoch-ms numpy array (normalizing the
+    parquet type's native unit)."""
     ts = batch[ts_col]
     if pa.types.is_timestamp(ts.type):
         # timestamp → int64 yields the type's native unit; normalize to ms
@@ -57,10 +57,66 @@ def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Tab
             raise ValueError(f"unsupported timestamp unit {unit!r} on column {ts_col!r}")
     else:
         ts_ms = pc.cast(ts, pa.int64())
-    ts_np = ts_ms.to_numpy() if hasattr(ts_ms, "to_numpy") else ts_ms.combine_chunks().to_numpy()
+    return ts_ms.to_numpy() if hasattr(ts_ms, "to_numpy") else ts_ms.combine_chunks().to_numpy()
+
+
+def add_window_columns(batch: pa.Table, ts_col: str, interval_ms: int) -> pa.Table:
+    """Vectorized tumbling-window assignment (B2 time alignment:
+    ``dataStart -= dataStart % interval``, ``ADBatchTaskRunner.java:989-991``)."""
+    ts_np = _ts_ms_numpy(batch, ts_col)
     start_np = ts_np - ts_np % np.int64(interval_ms)
     batch = batch.append_column("window_start_ms", pa.array(start_np))
     return batch.append_column("window_end_ms", pa.array(start_np + np.int64(interval_ms)))
+
+
+# OpenSearch date_histogram calendar_interval units this engine floors
+# (UTC calendar; fixed intervals go through add_window_columns instead).
+CALENDAR_UNITS = {"1w": "W", "week": "W", "1M": "M", "month": "M",
+                  "1q": "Q", "quarter": "Q", "1y": "Y", "year": "Y"}
+
+_DAY_MS = 86_400_000
+
+
+def calendar_floor_ms(ts_np: np.ndarray, unit: str) -> tuple[np.ndarray, np.ndarray]:
+    """(window_start_ms, window_end_ms) of the UTC calendar bucket each
+    epoch-ms timestamp falls in — vectorized numpy datetime64 calendar
+    arithmetic (months/years are variable-width, so modulo arithmetic
+    can't express them; OpenSearch's calendar_interval semantics).
+    Weeks start Monday (ISO / OpenSearch / DuckDB date_trunc parity)."""
+    u = CALENDAR_UNITS.get(unit)
+    if u is None:
+        raise ValueError(
+            f"unsupported calendar_interval {unit!r} (one of {sorted(CALENDAR_UNITS)})"
+        )
+    if u == "W":
+        day = ts_np // _DAY_MS
+        dow = (day + 3) % 7  # 1970-01-01 was a Thursday; Monday ≡ 0
+        start_day = day - dow
+        return start_day * _DAY_MS, (start_day + 7) * _DAY_MS
+    months = ts_np.astype("datetime64[ms]").astype("datetime64[M]").astype(np.int64)
+    if u == "Q":
+        months = (months // 3) * 3
+        nxt = months + 3
+    elif u == "Y":
+        months = (months // 12) * 12
+        nxt = months + 12
+    else:  # M
+        nxt = months + 1
+
+    def to_ms(m):
+        return m.astype("datetime64[M]").astype("datetime64[ms]").astype(np.int64)
+
+    return to_ms(months), to_ms(nxt)
+
+
+def add_calendar_window_columns(batch: pa.Table, ts_col: str, calendar_interval: str) -> pa.Table:
+    """Calendar-interval sibling of :meth:`add_window_columns`
+    (date_histogram with ``calendar_interval`` — week/month/quarter/year
+    tumbling windows aligned to the UTC calendar)."""
+    ts_np = _ts_ms_numpy(batch, ts_col)
+    start, end = calendar_floor_ms(ts_np, calendar_interval)
+    batch = batch.append_column("window_start_ms", pa.array(start))
+    return batch.append_column("window_end_ms", pa.array(end))
 
 
 def _agg_for(spec: FeatureSpec):
@@ -90,8 +146,14 @@ def window_aggregate(
     config: DetectorConfig,
     ts_col: str = "ts",
     time_range_ms: tuple[int, int] | None = None,
+    calendar_interval: str | None = None,
 ):
-    """events Dataset → one row per (entities…, window) with feature columns."""
+    """events Dataset → one row per (entities…, window) with feature
+    columns. ``calendar_interval`` (week/month/quarter/year) switches
+    the tumbling windows from fixed-width to UTC-calendar buckets
+    (OpenSearch date_histogram's calendar_interval)."""
+    if calendar_interval is not None and any(f.agg in SKETCH_AGGS for f in config.features):
+        raise ValueError("calendar_interval is not supported with sketch aggregations")
     if any(f.agg in SKETCH_AGGS for f in config.features):
         # sketch aggs have no Ray builtin: run the mergeable-partial plan
         # (combiner → shuffle of window-level sketch rows → merge) — the
@@ -103,8 +165,12 @@ def window_aggregate(
     interval_ms = config.interval_s * 1000
     needed = {ts_col, *config.category_fields, *(f.column for f in config.features)}
     ds = ds.select_columns([c for c in ds.schema().names if c in needed])
+    if calendar_interval is not None:
+        win_fn = lambda b: add_calendar_window_columns(b, ts_col, calendar_interval)  # noqa: E731
+    else:
+        win_fn = lambda b: add_window_columns(b, ts_col, interval_ms)  # noqa: E731
     ds = ds.map_batches(
-        lambda b: add_window_columns(b, ts_col, interval_ms),
+        win_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -151,3 +151,32 @@ def test_bm25_math():
     dids = np.array([9, 7, 3, 1])
     order = topk_order(scores, dids, 3)
     assert list(dids[order]) == [3, 7, 9]  # tie → lower doc_id first
+
+
+def test_calendar_floor_matches_duckdb_date_trunc():
+    """Calendar-interval window floors (week/month/quarter/year) agree
+    with DuckDB date_trunc across five decades of random timestamps —
+    the parity the calendar_week_agg oracle twin rides on (weeks start
+    Monday; ends are the next calendar boundary)."""
+    import duckdb
+    import numpy as np
+
+    from anomaly_detection_ray.stages.window import calendar_floor_ms
+
+    rng = np.random.default_rng(7)
+    ms = rng.integers(0, 2_000_000_000_000, 200)  # 1970..2033
+    con = duckdb.connect()
+    for unit, trunc in [("1w", "week"), ("1M", "month"),
+                        ("1q", "quarter"), ("1y", "year")]:
+        starts, ends = calendar_floor_ms(ms, unit)
+        exp = [con.execute(
+            f"SELECT CAST(epoch_ms(date_trunc('{trunc}', "
+            f"make_timestamp({int(m)} * 1000))) AS BIGINT)").fetchone()[0]
+            for m in ms]
+        assert list(starts) == exp, unit
+        assert (ends > starts).all()
+        # each end is the NEXT bucket's start
+        s2, _ = calendar_floor_ms(ends, unit)
+        assert (s2 == ends).all()
+    with pytest.raises(ValueError, match="calendar_interval"):
+        calendar_floor_ms(ms, "1fortnight")

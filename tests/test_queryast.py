@@ -831,3 +831,30 @@ def test_query_string_scoring_through_search(eng):
                         "size": 25})
     assert [(h["_id"], h["_score"]) for h in r_f["hits"]["hits"]] == \
         [(h["_id"], h["_score"]) for h in r_expl["hits"]["hits"]]
+
+
+def test_search_calendar_date_histogram(eng):
+    """date_histogram with calendar_interval: variable-width UTC
+    calendar buckets (doc_id stands in for an epoch-ms column — the
+    values land in 1970, i.e. one weekly bucket), gap-fill across
+    calendar boundaries, metric sub-aggs ride along."""
+    from anomaly_detection_ray.index.query import search
+    from anomaly_detection_ray.stages.window import calendar_floor_ms
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "w": {"date_histogram": {"field": "doc_id", "calendar_interval": "1w"},
+              "aggs": {"sum_id": {"sum": {"field": "doc_id"}}}}}})
+    buckets = r["aggregations"]["w"]["buckets"]
+    starts, _ = calendar_floor_ms(sub["doc_id"].to_numpy(), "1w")
+    exp = sub.groupby(starts)["doc_id"]
+    assert {b["key"] for b in buckets} >= {int(k) for k in exp.groups}
+    for b in buckets:
+        if b["key"] in exp.groups:
+            g = exp.get_group(b["key"])
+            assert b["doc_count"] == len(g)
+            assert b["sum_id"]["value"] == float(g.sum())
+        else:
+            assert b["doc_count"] == 0 and b["sum_id"]["value"] == 0.0
