@@ -84,6 +84,63 @@ def _calendar_boundaries(lo_ms: int, hi_ms: int, unit: str) -> np.ndarray:
     return months.astype("datetime64[M]").astype("datetime64[ms]").astype(np.int64)
 
 
+def _terms_order_key(order: dict | None, plan: list[tuple[str, str, str]]):
+    """Bucket sort key for the OpenSearch terms-agg ``order`` option:
+    ``_count`` (default, desc) / ``_key`` / a metric sub-agg name / a
+    dotted ``name.metric`` path into a stats sub-agg. Ties break on
+    (key asc), like OpenSearch's total ordering."""
+    if not order:
+        return lambda b: (-b["doc_count"], b["key"])
+    if len(order) != 1:
+        raise ValueError("terms order must name exactly one sort target")
+    ((target, direction),) = order.items()
+    sign = 1 if str(direction).lower() == "asc" else -1
+    if target == "_key":
+        # _key ordering is total already; honor direction via reverse
+        # sort on the key alone (keys are unique per bucket)
+        if sign == 1:
+            return lambda b: b["key"]
+        return lambda b: _Reversed(b["key"])
+    if target == "_count":
+        return lambda b: (sign * b["doc_count"], b["key"])
+    name, dot, stat = target.partition(".")
+    names = {n for n, _, _ in plan}
+    if name not in names:
+        raise ValueError(f"terms order references unknown sub-aggregation {target!r}")
+    op = next(o for n, o, _ in plan if n == name)
+    if op == "stats":
+        if not dot:
+            raise ValueError(f"ordering on stats agg {name!r} needs a dotted path (e.g. {name}.avg)")
+        get = lambda b: b[name][stat]  # noqa: E731
+    else:
+        if dot:
+            raise ValueError(f"sub-aggregation {name!r} is single-valued; drop the .{stat}")
+        get = lambda b: b[name]["value"]  # noqa: E731
+    # null metric values (empty buckets) sort last either direction,
+    # matching OpenSearch's missing-bucket treatment
+    def key(b):
+        v = get(b)
+        return (v is None, (sign * v) if v is not None else 0.0, b["key"])
+
+    return key
+
+
+class _Reversed:
+    """Inverts comparison for descending _key ordering of arbitrary
+    (string or numeric) bucket keys."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def _sub_agg_plan(sub_aggs: dict) -> list[tuple[str, str, str]]:
     """Validate a nested-aggs dict into [(name, op, field)] — metric
     sub-aggregations only (OpenSearch allows bucket-in-bucket nesting;
@@ -1229,14 +1286,19 @@ class QueryEngine:
         return out
 
     def terms_agg_subs(self, filter_query: dict | None, field: str,
-                       size: int, sub_aggs: dict) -> list[dict]:
+                       size: int, sub_aggs: dict,
+                       order: dict | None = None) -> list[dict]:
         """Terms aggregation with nested METRIC SUB-AGGREGATIONS — the
         reference's central agg composition (a terms/composite bucket per
         entity wrapping per-feature metric aggs, the shape
         ``AbstractRetriever.parseBucket`` consumes and ParseUtils
-        generates): top-``size`` buckets by (doc_count desc, key asc),
-        each carrying its nested metric values keyed by sub-agg name.
-        One column-pruned scan + one Arrow group_by for ALL metrics."""
+        generates): top-``size`` buckets, each carrying its nested
+        metric values keyed by sub-agg name. ``order`` follows
+        OpenSearch terms-agg ordering: ``{"_count": "desc"}`` (default),
+        ``{"_key": "asc"}``, a sub-agg name, or a dotted
+        ``"name.avg"`` path into a stats sub-agg; (key asc) breaks
+        ties. One column-pruned scan + one Arrow group_by for ALL
+        metrics."""
         import pyarrow.compute as pc
 
         plan = _sub_agg_plan(sub_aggs)
@@ -1244,9 +1306,10 @@ class QueryEngine:
         t = t.filter(pc.is_valid(t[field]))
         t = t.append_column("__key", t[field])
         rows = self._grouped_subagg_rows(t, plan)
-        rows.sort(key=lambda r: (-r["doc_id_count"], r["__key"]))
-        return [{"key": r["__key"], "doc_count": int(r["doc_id_count"]),
-                 **self._subagg_values(r, plan)} for r in rows[:size]]
+        buckets = [{"key": r["__key"], "doc_count": int(r["doc_id_count"]),
+                    **self._subagg_values(r, plan)} for r in rows]
+        buckets.sort(key=_terms_order_key(order, plan))
+        return buckets[:size]
 
     def histogram_agg_subs(self, filter_query: dict | None, field: str,
                            interval: float, sub_aggs: dict,
@@ -1834,9 +1897,11 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             if "terms" in spec:
                 field = spec["terms"]["field"]
                 k = int(spec["terms"].get("size", 10))
-                if sub:
+                torder = spec["terms"].get("order")
+                if sub or torder:
                     out["aggregations"][name] = {
-                        "buckets": engine.terms_agg_subs(query, field, k, sub)}
+                        "buckets": engine.terms_agg_subs(query, field, k,
+                                                         sub or {}, order=torder)}
                     continue
                 buckets = engine.facets(query, field, k=k)
                 out["aggregations"][name] = {

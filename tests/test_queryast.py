@@ -858,3 +858,52 @@ def test_search_calendar_date_histogram(eng):
             assert b["sum_id"]["value"] == float(g.sum())
         else:
             assert b["doc_count"] == 0 and b["sum_id"]["value"] == 0.0
+
+
+def test_terms_agg_order_by_subagg(eng):
+    """OpenSearch terms-agg `order`: by _count/_key or by a metric
+    sub-agg's value (dotted path into stats), ties on key asc; empty
+    metric values sort last."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+    body = lambda order: {"query": {"match": {"content": "merge"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 100, "order": order},
+                             "aggs": {"m": {"avg": {"field": "doc_id"}},
+                                      "st": {"stats": {"field": "doc_id"}}}}}}
+
+    g = sub.groupby("lang")["doc_id"]
+
+    r = search(e, body({"m": "asc"}))
+    keys = [b["key"] for b in r["aggregations"]["by_lang"]["buckets"]]
+    exp = sorted(g.mean().items(), key=lambda kv: (kv[1], kv[0]))
+    assert keys == [k for k, _ in exp]
+
+    r = search(e, body({"st.max": "desc"}))
+    keys = [b["key"] for b in r["aggregations"]["by_lang"]["buckets"]]
+    exp = sorted(g.max().items(), key=lambda kv: (-kv[1], kv[0]))
+    assert keys == [k for k, _ in exp]
+
+    r = search(e, body({"_key": "desc"}))
+    keys = [b["key"] for b in r["aggregations"]["by_lang"]["buckets"]]
+    assert keys == sorted(g.groups, reverse=True)
+
+    r = search(e, body({"_count": "asc"}))
+    keys = [b["key"] for b in r["aggregations"]["by_lang"]["buckets"]]
+    exp = sorted(g.count().items(), key=lambda kv: (kv[1], kv[0]))
+    assert keys == [k for k, _ in exp]
+
+    # order without sub-aggs works through the same path
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0,
+                   "aggs": {"l": {"terms": {"field": "lang", "size": 2,
+                                            "order": {"_key": "asc"}}}}})
+    assert [b["key"] for b in r["aggregations"]["l"]["buckets"]] == \
+        sorted(g.groups)[:2]
+
+    # unknown order target errors loudly
+    with pytest.raises(ValueError, match="unknown sub-aggregation"):
+        search(e, body({"nope": "desc"}))
+    with pytest.raises(ValueError, match="dotted path"):
+        search(e, body({"st": "desc"}))
