@@ -784,6 +784,16 @@ FROM documents
 WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "composite_page": f"""
+SELECT lang, source,
+       count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE list_contains({TOKS}, 'data')
+GROUP BY lang, source
+ORDER BY lang, source
+LIMIT 7 OFFSET 7
+""",
         "query_string_search": f"""
 WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
 SELECT doc_id FROM t

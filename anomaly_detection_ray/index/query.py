@@ -1241,16 +1241,17 @@ class QueryEngine:
             t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
         return t
 
-    def _grouped_subagg_rows(self, t, plan: list[tuple[str, str, str]]):
-        """One Arrow ``group_by("__key")`` pass computing doc_count plus
+    def _grouped_subagg_rows(self, t, plan: list[tuple[str, str, str]],
+                             keys: tuple[str, ...] = ("__key",)):
+        """One Arrow ``group_by(keys)`` pass computing doc_count plus
         every distinct (field, kernel) the sub-agg plan needs; returns
-        the raw group rows (key + named aggregate columns)."""
+        the raw group rows (key columns + named aggregate columns)."""
         aggs = {("doc_id", "count")}
         for _, op, f in plan:
             for o in (("count", "min", "max", "mean", "sum")
                       if op == "stats" else (_SUB_METRIC_ARROW[op],)):
                 aggs.add((f, o))
-        g = t.group_by("__key").aggregate(sorted(aggs))
+        g = t.group_by(list(keys)).aggregate(sorted(aggs))
         return g.to_pylist()
 
     @staticmethod
@@ -1379,6 +1380,57 @@ class QueryEngine:
         return [{"key": k, "doc_count": int(by_key[k]["doc_id_count"]),
                  **self._subagg_values(by_key[k], plan)}
                 for k in ks if by_key[k]["doc_id_count"] >= min_doc_count]
+
+    def composite_agg(self, filter_query: dict | None, sources: list[dict],
+                      size: int = 10, after: dict | None = None,
+                      sub_aggs: dict | None = None) -> dict:
+        """Composite aggregation with after-key pagination — THE agg the
+        reference drives HC detection with (``CompositeRetriever`` pages
+        (entity…) buckets with per-feature metric sub-aggs,
+        ``CompositeAggregationBuilder`` + afterKey). ``sources`` is the
+        OpenSearch list-of-single-source-terms shape
+        ``[{name: {"terms": {"field": f}}}, …]``; buckets come back in
+        the total (source₁, source₂, …) ascending key order, ``after``
+        resumes strictly past that key, and the response carries
+        ``after_key`` = the last returned bucket's key (absent on the
+        final page, like OpenSearch). Missing-value rows drop out
+        (missing_bucket=false default). One pruned scan + one Arrow
+        group_by serves every page request."""
+        import pyarrow.compute as pc
+
+        if not sources:
+            raise ValueError("composite needs at least one source")
+        names, fields = [], []
+        for s in sources:
+            ((name, spec),) = s.items()
+            if "terms" not in spec:
+                raise ValueError("composite sources support terms on a docmap column")
+            names.append(name)
+            fields.append(spec["terms"]["field"])
+        plan = _sub_agg_plan(sub_aggs or {})
+        t = self._subagg_table(filter_query, {*fields, *(f for _, _, f in plan)})
+        for f in fields:
+            t = t.filter(pc.is_valid(t[f]))
+        rows = self._grouped_subagg_rows(t, plan, keys=tuple(fields))
+
+        def key_tuple(r):
+            return tuple(r[f] for f in fields)
+
+        rows.sort(key=key_tuple)
+        if after is not None:
+            cursor = tuple(after[n] for n in names)
+            rows = [r for r in rows if key_tuple(r) > cursor]
+        page = rows[:size]
+        buckets = []
+        for r in page:
+            kt = key_tuple(r)
+            buckets.append({"key": dict(zip(names, kt)),
+                            "doc_count": int(r["doc_id_count"]),
+                            **self._subagg_values(r, plan)})
+        out = {"buckets": buckets}
+        if buckets and len(rows) > size:
+            out["after_key"] = dict(buckets[-1]["key"])
+        return out
 
     def range_agg_subs(self, filter_query: dict | None, field: str,
                        ranges: list[dict], sub_aggs: dict) -> list[dict]:
@@ -1932,6 +1984,13 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                     engine.range_agg_subs(query, r["field"], list(r["ranges"]), sub)
                     if sub else
                     engine.range_agg(query, r["field"], list(r["ranges"])))}
+                continue
+            if "composite" in spec:
+                c = spec["composite"]
+                out["aggregations"][name] = engine.composite_agg(
+                    query, list(c.get("sources", ())),
+                    size=int(c.get("size", 10)),
+                    after=c.get("after"), sub_aggs=sub)
                 continue
             if "date_histogram" in spec:
                 dh = spec["date_histogram"]

@@ -201,6 +201,42 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+COMPOSITE_PAGE_SIZE = 7
+
+
+def q_composite_page(sf_dir: str) -> pd.DataFrame:
+    """Composite aggregation with after-key pagination — the
+    CompositeRetriever shape (``CompositeAggregationBuilder`` paging
+    (entity…) buckets with per-feature metric sub-aggs): page TWO of
+    (lang, source) buckets over the docs matching 'data', resumed via
+    page one's after_key; doc_count + sum(n_chars) per bucket,
+    value-exact vs a GROUP BY … LIMIT/OFFSET twin."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    q = {"bool": {"filter": [{"term": {"text": "data"}}]}}
+
+    def page(after=None):
+        comp = {"sources": [{"lang": {"terms": {"field": "lang"}}},
+                            {"source": {"terms": {"field": "source"}}}],
+                "size": COMPOSITE_PAGE_SIZE}
+        if after is not None:
+            comp["after"] = after
+        r = search(eng, {"query": q, "size": 0, "aggs": {
+            "c": {"composite": comp,
+                  "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}})
+        return r["aggregations"]["c"]
+
+    second = page(after=page()["after_key"])
+    b = second["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"]["lang"] for x in b],
+        "source": [x["key"]["source"] for x in b],
+        "doc_count": np.asarray([x["doc_count"] for x in b], dtype=np.int64),
+        "sum_chars": np.asarray([x["sum_chars"]["value"] for x in b], dtype=np.int64),
+    })
+
+
 QUERY_STRING = "lang:en AND (data OR merge) NOT sl*"
 
 
@@ -1641,7 +1677,6 @@ REGISTRY = {
     "calendar_week_agg": q_calendar_week_agg,
     "tpch_q1": q_tpch_q1,
     "decayed_top_entities": q_decayed_top_entities,
-    "value_percentile": q_value_percentile,
     "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "search_after_page": q_search_after_page,
@@ -1660,6 +1695,7 @@ REGISTRY = {
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
     "search_subaggs": q_search_subaggs,
+    "composite_page": q_composite_page,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "repetition_signals": q_repetition_signals,
@@ -1701,6 +1737,9 @@ REGISTRY = {
     "date_range_agg": q_date_range_agg,
     "interval_suggest": q_interval_suggest,
     "top_entities": q_top_entities,
+    # value_percentile: green r1-r4; exact Quantile path also asserted
+    # by the envelope percentiles pytest and the t-digest error bound
+    "value_percentile": q_value_percentile,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

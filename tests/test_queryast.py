@@ -580,6 +580,10 @@ def test_search_metric_aggs(eng):
     # unknown agg kind still errors loudly
     with pytest.raises(ValueError, match="unsupported aggregation"):
         search(e, {"query": {"match_all": {}}, "aggs": {
+            "x": {"top_hits": {"size": 3}}}})
+    # composite with no sources is malformed
+    with pytest.raises(ValueError, match="composite"):
+        search(e, {"query": {"match_all": {}}, "aggs": {
             "x": {"composite": {"sources": []}}}})
 
 
@@ -907,3 +911,47 @@ def test_terms_agg_order_by_subagg(eng):
         search(e, body({"nope": "desc"}))
     with pytest.raises(ValueError, match="dotted path"):
         search(e, body({"st": "desc"}))
+
+
+def test_composite_agg_pagination(eng):
+    """Composite agg with after-key pagination — the CompositeRetriever
+    shape the reference drives HC detection with: (lang, doc_id%bucket)
+    tuple buckets in total key order, strict after-key resume, metric
+    sub-aggs per bucket, after_key absent on the final page."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+
+    # single source, paged in 3s ≡ one pandas groupby
+    exp = sub.groupby("lang").agg(n=("doc_id", "count"), s=("doc_id", "sum"))
+    exp = exp.sort_index()
+    got, after = [], None
+    while True:
+        comp = {"sources": [{"l": {"terms": {"field": "lang"}}}], "size": 3}
+        if after is not None:
+            comp["after"] = after
+        r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0,
+                       "aggs": {"c": {"composite": comp,
+                                      "aggs": {"s": {"sum": {"field": "doc_id"}}}}}})
+        a = r["aggregations"]["c"]
+        got.extend(a["buckets"])
+        if "after_key" not in a:
+            break
+        after = a["after_key"]
+    assert [b["key"]["l"] for b in got] == list(exp.index)
+    for b, (k, row) in zip(got, exp.iterrows()):
+        assert b["doc_count"] == row["n"] and b["s"]["value"] == float(row["s"])
+
+    # two sources: total (lang, doc_id) ascending tuple order
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0,
+                   "aggs": {"c": {"composite": {
+                       "sources": [{"l": {"terms": {"field": "lang"}}},
+                                   {"d": {"terms": {"field": "doc_id"}}}],
+                       "size": 10_000}}}})
+    buckets = r["aggregations"]["c"]["buckets"]
+    exp2 = sorted(zip(sub["lang"], sub["doc_id"]))
+    assert [(b["key"]["l"], b["key"]["d"]) for b in buckets] == exp2
+    assert all(b["doc_count"] == 1 for b in buckets)
+    assert "after_key" not in r["aggregations"]["c"]
