@@ -105,8 +105,15 @@ def corpus_clean(
     bench_ds=None,
     decontam_k: int = 8,
     min_overlap: int = 1,
+    redact: bool = False,
 ):
     """→ Dataset (doc_id, status, group_id) — one row per input doc.
+
+    ``redact=True`` prepends the PII scrub (``stages/pii.py``) so
+    quality metrics and dedup hashes see the REDACTED text — two docs
+    differing only in an email/IP/phone become exact duplicates, the
+    standard scrub-before-dedup order of the C4/RefinedWeb recipes (one
+    stateless stage; no extra scan or shuffle).
 
     ``bounds`` overrides individual Gopher rule bounds (see
     ``textstats.GOPHER_BOUNDS``); ``threshold``/``k``/``max_shingle_df``
@@ -129,6 +136,10 @@ def corpus_clean(
     from ..functions.textstats import quality_flags
 
     bounds = bounds or {}
+    if redact:
+        from ..stages.pii import redact_pii
+
+        ds = redact_pii(ds, text_col=text_col, counts=False)
     contam_ids = None  # Dataset of contaminated doc ids (bench_ds only)
 
     if bench_ds is not None:
@@ -372,6 +383,12 @@ def clean_and_write(ds, out_dir: str, text_col: str = "text", id_col: str = "doc
     import pyarrow.compute as pc
 
     statuses = corpus_clean(ds, text_col, id_col, **clean_kwargs).materialize()
+    if clean_kwargs.get("redact"):
+        # the written corpus must carry the SAME scrubbed text the
+        # dispositions were computed over
+        from ..stages.pii import redact_pii
+
+        ds = redact_pii(ds, text_col=text_col, counts=False)
     n_total = statuses.count()
 
     def kept_leg(batch: pa.Table) -> pa.Table:

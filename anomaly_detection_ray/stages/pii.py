@@ -40,15 +40,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def redact_batch(batch: pa.Table, text_col: str = "text",
-                 out_col: str | None = None) -> pa.Table:
+                 out_col: str | None = None, counts: bool = True) -> pa.Table:
     """Redact one Arrow batch: adds ``n_<name>`` match-count columns
-    (counted on the original text) and replaces/adds the text column
-    with the sequentially redacted value."""
+    (counted on the original text; ``counts=False`` skips them for
+    schema-stable composition inside other pipelines) and replaces/adds
+    the text column with the sequentially redacted value."""
     col = batch[text_col]
-    for name, pat, _ in PII_PATTERNS:
-        batch = batch.append_column(
-            f"n_{name}", pc.cast(pc.count_substring_regex(col, pattern=pat), pa.int64())
-        )
+    if counts:
+        for name, pat, _ in PII_PATTERNS:
+            batch = batch.append_column(
+                f"n_{name}", pc.cast(pc.count_substring_regex(col, pattern=pat), pa.int64())
+            )
     red = col
     for _, pat, rep in PII_PATTERNS:
         red = pc.replace_substring_regex(red, pattern=pat, replacement=rep)
@@ -60,10 +62,11 @@ def redact_batch(batch: pa.Table, text_col: str = "text",
     return batch
 
 
-def redact_pii(ds, text_col: str = "text", out_col: str | None = None):
+def redact_pii(ds, text_col: str = "text", out_col: str | None = None,
+               counts: bool = True):
     """Dataset → Dataset with the text column redacted and per-class
     match counts appended. Stateless task pool, Arrow batches."""
     return ds.map_batches(
-        lambda b: redact_batch(b, text_col=text_col, out_col=out_col),
+        lambda b: redact_batch(b, text_col=text_col, out_col=out_col, counts=counts),
         batch_format="pyarrow",
     )

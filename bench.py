@@ -254,6 +254,7 @@ def bench_suite() -> dict:
     timed("dedup_exact", lambda: Q.q_dedup_exact(SF_DIR))
     timed("ann_cosine_topk", lambda: Q.q_ann_cosine_topk(SF_DIR))
     timed("minhash_near_dup", lambda: Q.q_minhash_near_dup(SF_DIR))
+    timed("pii_redact", lambda: Q.q_pii_redact(SF_DIR))
     timed("corpus_clean", lambda: Q.q_corpus_clean(SF_DIR))
     det = timed("detect_anomalies", lambda: Q.q_detect_anomalies(SF_DIR))
     timed("forecast_events", lambda: Q.q_forecast_events(SF_DIR))

@@ -1098,3 +1098,48 @@ def test_pii_redact_batch_and_duckdb_parity():
                 "SELECT regexp_replace(?, ?, ?, 'g')", [got, pat, rep]
             ).fetchone()[0]
         assert got == expect
+
+
+def test_corpus_clean_redact_merges_pii_only_dups(ray_session, tmp_path):
+    """redact=True scrubs PII BEFORE quality/dedup (the C4/RefinedWeb
+    order): two docs differing only in an email become exact duplicates
+    and the written corpus carries the scrubbed text."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.clean import clean_and_write, corpus_clean
+
+    base = ("the quick brown fox jumps over the lazy dog and then returns home "
+            "to rest for a while before it is time to jump again in the field")
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            base + " contact alice@example.com",
+            base + " contact bob@other.org",
+            "a completely different document about streams windows and batch engines "
+            "that keeps itself distinct from the fox story in every shingle it has",
+        ]),
+    })
+    bounds = dict(min_tokens=5, min_stopword_hits=0, max_symbol_ratio=1.0,
+                  min_mean_len=1.0, min_distinct_ratio=0.1)
+
+    # unredacted, the emails differ → not EXACT dups (the shared prose
+    # still makes them near-dups, which is the clustering stage's job)
+    plain = corpus_clean(rd.from_arrow(docs), bounds=bounds).to_pandas()
+    assert "exact_dup" not in set(plain["status"])
+
+    red = (corpus_clean(rd.from_arrow(docs), bounds=bounds, redact=True)
+           .to_pandas().set_index("doc_id"))
+    assert red.loc[0, "status"] == "kept"
+    assert red.loc[1, "status"] == "exact_dup"
+    assert red.loc[2, "status"] == "kept"
+
+    out = str(tmp_path / "cleaned")
+    res = clean_and_write(rd.from_arrow(docs), out, bounds=bounds,
+                          redact=True, n_shards=4)
+    assert res == {"kept": 2, "total": 3}
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert sorted(written["doc_id"]) == [0, 2]
+    t0 = written.set_index("doc_id").loc[0, "text"]
+    assert "<EMAIL>" in t0 and "@" not in t0.replace("<EMAIL>", "")
