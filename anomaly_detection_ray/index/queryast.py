@@ -16,6 +16,9 @@ exactly that surface as a JSON-dict AST compiled against a built index:
     {"match_phrase": {"<f>": {"query": "a b", "slop": n}}}  # in-order proximity
                                               # (window ≤ k-1+slop; Lucene's
                                               # reorder-at-cost-2 NOT matched)
+    {"match_bool_prefix": {"<f>": "a b pre"}} # every term a term query, the last
+                                              # a prefix, combined per operator
+                                              # (default or) — unordered autocomplete
     {"prefix": {"<field>": "val"}}            # dictionary range scan / starts_with
     {"wildcard": {"<field>": "v?l*"}}         # dictionary scan, RE2-compiled pattern
     {"regexp":   {"<field>": "v[ae]l.*"}}     # anchored RE2 over dictionary / column
@@ -207,6 +210,29 @@ class QueryCompiler:
         if kind == "match_phrase_prefix":
             ((_field, text),) = body.items()
             return np.asarray(self.engine.phrase_prefix(str(text)), dtype=np.int64)
+        if kind == "match_bool_prefix":
+            # OpenSearch match_bool_prefix: every analyzed term as a
+            # term query, the LAST as a prefix, combined per operator
+            # (default or) — the unordered autocomplete sibling of
+            # match_phrase_prefix
+            ((_field, spec),) = body.items()
+            if not isinstance(spec, dict):
+                spec = {"query": spec}
+            # ORDERED analyzer tokens — the POSITIONALLY last term is the
+            # prefix (query_terms sorts/dedups and would lose it)
+            terms = self.engine.analyzer.tokens(str(spec["query"]))
+            if not terms:
+                return np.empty(0, dtype=np.int64)
+            parts = [self.engine.term_docs(t) for t in terms[:-1]]
+            parts.append(self.engine.prefix_docs(terms[-1]))
+            if spec.get("operator", "or") == "and":
+                out = parts[0]
+                for p in parts[1:]:
+                    out = np.intersect1d(out, p, assume_unique=True)
+                    if out.size == 0:
+                        break
+                return out
+            return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         if kind == "prefix":
             ((field, value),) = body.items()
             if self._is_meta_field(field):

@@ -47,6 +47,15 @@ def leaf_strategy():
             st.sampled_from(TERMS),
         ),
         st.builds(
+            lambda ts, p, op: {
+                "match_bool_prefix": {"content": {"query": " ".join(ts + [p]),
+                                                  "operator": op}}
+            },
+            st.lists(st.sampled_from(TERMS), max_size=2),
+            st.sampled_from(PREFIXES),
+            st.sampled_from(["or", "and"]),
+        ),
+        st.builds(
             lambda ts, op, msm: {
                 "match": {"content": {"query": " ".join(ts), "operator": op,
                                       "minimum_should_match": msm}}
@@ -124,6 +133,18 @@ def brute_eval(query, docs) -> set:
         for c in body.get("queries", ()):
             out |= brute_eval(c, docs)
         return out
+    if kind == "match_bool_prefix":
+        ((_, spec),) = body.items()
+        spec = spec if isinstance(spec, dict) else {"query": spec}
+        words = spec["query"].split()
+        rest, last = words[:-1], words[-1]
+
+        def hit(d):
+            parts = [w in d["tokens"] for w in rest]
+            parts.append(any(t.startswith(last) for t in d["tokens"]))
+            return all(parts) if spec.get("operator", "or") == "and" else any(parts)
+
+        return {d["doc_id"] for d in docs if hit(d)}
     if kind == "match":
         ((_, spec),) = body.items()
         terms = set(spec["query"].split())
