@@ -43,6 +43,22 @@ def test_scatter_gather_matches_single_engine(served, tiny_corpus):
     bodies = [{"query": {"match": {"content": q}}, "size": 3,
                "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}}}
               for q in queries[:4]]
+    # the r5 envelope surface serves identically: query_string lowering,
+    # metric sub-aggs, terms ordering, composite paging, calendar buckets
+    bodies += [
+        {"query": {"query_string": {"query": "merge AND (sort OR lang:python) NOT zz*"}},
+         "size": 5},
+        {"query": {"simple_query_string": {"query": "merge + sort | parse"}}, "size": 5},
+        {"query": {"match": {"content": "merge"}}, "size": 0,
+         "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5,
+                                        "order": {"m": "desc"}},
+                              "aggs": {"m": {"avg": {"field": "doc_id"}}}},
+                  "c": {"composite": {"sources": [{"l": {"terms": {"field": "lang"}}}],
+                                      "size": 2},
+                        "aggs": {"s": {"sum": {"field": "doc_id"}}}},
+                  "w": {"date_histogram": {"field": "doc_id",
+                                           "calendar_interval": "1w"}}}},
+    ]
     got_env = svc.search(bodies)
     for b, env in zip(bodies, got_env):
         assert env == search(eng, b)
