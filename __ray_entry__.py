@@ -847,6 +847,21 @@ SELECT doc_id, round(-avg(ln(c * 1.0 / (SELECT t FROM tot))), 6) AS nll_nats
 FROM toks JOIN freq USING (term)
 GROUP BY doc_id ORDER BY doc_id
 """,
+        "ccnet_buckets": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM freq),
+nll AS (SELECT doc_id, round(-avg(ln(c * 1.0 / (SELECT t FROM tot))), 6) AS nll_r
+        FROM toks JOIN freq USING (term) GROUP BY doc_id),
+r AS (SELECT doc_id, nll_r,
+             row_number() OVER (ORDER BY nll_r, doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM nll)
+SELECT doc_id, nll_r,
+       CASE least(2, (3 * rk) // n)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id
+""",
         "tfidf_keywords": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -9,6 +9,8 @@ machinery this repo already implements):
 
     field:value  AND/OR/NOT/&&/||  (...)  "a phrase"~slop
     wild*card  fuzz~1  prefix*  term^boost  +required  -excluded
+    field:[a TO b]  field:{a TO b}  field:[* TO b}   (bracket ranges,
+    inclusive/exclusive mixable, * = open end, [* TO *] = exists)
 
 ``simple_query_string`` (lenient — NEVER raises; unparseable input
 degrades to a bag of terms)::
@@ -51,6 +53,7 @@ _QS_TOKEN = re.compile(
         (?P<lparen>\() | (?P<rparen>\)) |
         (?:(?P<field>[A-Za-z_][\w.\-]*):)?
         (?: "(?P<phrase>[^"]*)" (?:~(?P<slop>\d+))?
+          | (?P<rlo>[\[{])\s*(?P<rfrom>[^\s\]}]+)\s+TO\s+(?P<rto>[^\s\]}]+)\s*(?P<rhi>[\]}])
           | (?P<bare>[^\s()"]+)
         )
     )""",
@@ -83,6 +86,12 @@ def _tokenize_qs(q: str) -> list[tuple]:
         elif m.group("phrase") is not None:
             slop = int(m.group("slop") or 0)
             out.append(("phrase", (m.group("field"), m.group("phrase"), slop)))
+        elif m.group("rlo") is not None:
+            # Lucene range syntax: [a TO b] inclusive / {a TO b}
+            # exclusive, mixable, * = open end
+            out.append(("range", (m.group("field"), m.group("rlo") == "[",
+                                  m.group("rfrom"), m.group("rto"),
+                                  m.group("rhi") == "]")))
         else:
             bare = m.group("bare")
             if m.group("field") is None and bare in _OPERATORS:
@@ -117,7 +126,7 @@ class _Parser:
             if kind == "op" and val == "or":
                 self.i += 1
                 parts.append(self._and())
-            elif self.default_op == "or" and kind in ("term", "phrase", "lparen"):
+            elif self.default_op == "or" and kind in ("term", "phrase", "range", "lparen"):
                 parts.append(self._and())
             else:
                 break
@@ -135,7 +144,7 @@ class _Parser:
                 # conjunction ("a NOT b" ≡ a AND NOT b — Lucene), never
                 # an OR-combined complement; "a OR NOT b" spells it out
                 parts.append(self._unary())
-            elif self.default_op == "and" and kind in ("term", "phrase", "lparen"):
+            elif self.default_op == "and" and kind in ("term", "phrase", "range", "lparen"):
                 parts.append(self._unary())
             else:
                 break
@@ -169,7 +178,7 @@ class _Parser:
                 raise QueryStringSyntaxError("unbalanced parentheses")
             self.i += 1
             return node
-        if kind in ("term", "phrase"):
+        if kind in ("term", "phrase", "range"):
             self.i += 1
             return self.leaf(kind, val)
         raise QueryStringSyntaxError(
@@ -182,6 +191,22 @@ def _make_leaf(default_field: str, is_meta: Callable[[str], bool], strict: bool)
     fuzzy ~, wildcards, field routing (text vs docmap column)."""
 
     def leaf(kind: str, payload) -> dict:
+        if kind == "range":
+            field, lo_incl, frm, to, hi_incl = payload
+            f = field or default_field
+            if not is_meta(f):
+                if strict:
+                    raise QueryStringSyntaxError(
+                        f"range syntax needs a metadata field, got {f!r}")
+                return {"ids": {"values": []}}
+            conds = {}
+            if frm != "*":
+                conds["gte" if lo_incl else "gt"] = _coerce(frm)
+            if to != "*":
+                conds["lte" if hi_incl else "lt"] = _coerce(to)
+            if not conds:  # [* TO *] ≡ the field exists
+                return {"exists": {"field": f}}
+            return {"range": {f: conds}}
         if kind == "phrase":
             field, text, slop = payload
             f = field or default_field

@@ -1018,6 +1018,20 @@ def q_doc_nll(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style quality bucketing: head/middle/tail thirds by
+    unigram-LM NLL rank (rounded-score + doc_id total order, so the
+    rank-window SQL twin is value-exact); the sorted corpus splits via
+    split_at_indices — no second shuffle."""
+    from ..stages.lmscore import ccnet_quality_buckets
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    out = ccnet_quality_buckets(ds).to_pandas()
+    return (out[["doc_id", "nll_r", "bucket"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     """Top-3 tf·idf keywords per document (idf = ln(N/df), ties by term
     ascending) — deterministic corpus tagging; value-exact vs a
@@ -1701,6 +1715,7 @@ REGISTRY = {
     "repetition_signals": q_repetition_signals,
     "pii_redact": q_pii_redact,
     "doc_nll": q_doc_nll,
+    "ccnet_buckets": q_ccnet_buckets,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
@@ -1712,7 +1727,6 @@ REGISTRY = {
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
-    "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "near_dup_groups": q_near_dup_groups,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1740,6 +1754,9 @@ REGISTRY = {
     # value_percentile: green r1-r4; exact Quantile path also asserted
     # by the envelope percentiles pytest and the t-digest error bound
     "value_percentile": q_value_percentile,
+    # dedup_exact: green r1-r4; the exact-dedup disposition is verified
+    # in-window INSIDE corpus_clean's multi-stage twin (status=exact_dup)
+    "dedup_exact": q_dedup_exact,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

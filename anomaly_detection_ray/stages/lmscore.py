@@ -195,3 +195,52 @@ def tfidf_keywords(ds, n_docs: int | None = None, k: int = 3,
                                    id_col=id_col, k=k),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=pool(concurrency),
     )
+
+
+def ccnet_quality_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
+                          concurrency=None):
+    """CCNet-style quality BUCKETING (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    public recipe): score every doc with the unigram-LM NLL, then split
+    the corpus into equal-size head / middle / tail thirds by score rank
+    (head = lowest NLL = most in-distribution). The standard use is
+    keeping head+middle (or sampling tail at a reduced rate) for LM
+    pretraining.
+
+    → Dataset (doc_id, nll_r, bucket) with bucket ∈ head/middle/tail.
+
+    Rank semantics are exact and deterministic: order by (nll rounded to
+    6 dp, doc_id) — the rounding makes the SQL twin's sort key identical
+    despite summation-order float drift, the id tie-break makes the
+    split reproducible. Distributed shape: the one unavoidable global
+    exchange is the sort (CCNet's split is a corpus-wide quantile by
+    definition); the split itself is ``split_at_indices`` — a
+    metadata-level slice of the sorted blocks, no second shuffle, no
+    driver materialization. At extreme scale the thresholds could come
+    from a sample instead; this exact path keeps the oracle twin
+    value-exact."""
+    import pyarrow.compute as pc
+
+    nll = doc_nll(ds, text_col, id_col, concurrency=concurrency)
+    nll = nll.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("nll_nats"), "nll_r",
+            pc.round(b["nll_nats"], ndigits=6)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    s = nll.sort(["nll_r", id_col])
+    n = s.count()
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3  # = |{rk: 3rk//n == 0}|, <= 1
+    parts = s.split_at_indices([k1, k2])
+
+    def lab(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("bucket", pa.array([name] * b.num_rows))
+        return f
+
+    labeled = [p.map_batches(lab(nm), batch_format="pyarrow")
+               for p, nm in zip(parts, ("head", "middle", "tail"))]
+    out = labeled[0]
+    for p in labeled[1:]:
+        out = out.union(p)
+    return out

@@ -1143,3 +1143,27 @@ def test_corpus_clean_redact_merges_pii_only_dups(ray_session, tmp_path):
     assert sorted(written["doc_id"]) == [0, 2]
     t0 = written.set_index("doc_id").loc[0, "text"]
     assert "<EMAIL>" in t0 and "@" not in t0.replace("<EMAIL>", "")
+
+
+def test_ccnet_quality_buckets(ray_session):
+    """Head/middle/tail thirds by NLL rank: equal-size (±1) buckets,
+    every head score <= every middle score <= every tail score, all
+    docs present exactly once."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.lmscore import ccnet_quality_buckets
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(20, 60)))
+             for _ in range(100)]
+    docs = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                     "text": pa.array(texts)})
+    out = ccnet_quality_buckets(rd.from_arrow(docs)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(100))
+    sizes = out["bucket"].value_counts()
+    assert sizes["head"] == 34 and sizes["middle"] == 33 and sizes["tail"] == 33
+    h = out[out["bucket"] == "head"]["nll_r"]
+    m = out[out["bucket"] == "middle"]["nll_r"]
+    t = out[out["bucket"] == "tail"]["nll_r"]
+    assert h.max() <= m.min() + 1e-12 and m.max() <= t.min() + 1e-12

@@ -783,9 +783,17 @@ def test_query_string_precedence_and_leaves(eng):
     fz = set(e.execute_filter({"fuzzy": {"content": {"value": "mergz",
                                                      "fuzziness": 1}}}).tolist())
     assert run("mergz~1") == fz
-    # strict mode: syntax + unknown-field errors
+    # Lucene bracket ranges: [incl TO incl] / {excl TO excl} / * open
+    assert run("doc_id:[50 TO 120}") == set(
+        df[(df["doc_id"] >= 50) & (df["doc_id"] < 120)]["doc_id"])
+    assert run("doc_id:{50 TO 120]") == set(
+        df[(df["doc_id"] > 50) & (df["doc_id"] <= 120)]["doc_id"])
+    assert run("doc_id:[* TO 30} AND merge") == \
+        set(df[df["doc_id"] < 30]["doc_id"]) & merge
+    assert run("doc_id:[* TO *]") == alldocs
+    # strict mode: syntax + unknown-field errors (+ range on text)
     from anomaly_detection_ray.index.querystring import QueryStringSyntaxError
-    for bad in ("merge AND", "(merge", "zzfield:x", ""):
+    for bad in ("merge AND", "(merge", "zzfield:x", "", "content:[a TO b]"):
         with pytest.raises((QueryStringSyntaxError, ValueError)):
             run(bad)
 
