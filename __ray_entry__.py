@@ -784,6 +784,23 @@ FROM documents
 WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "significant_langs": f"""
+WITH fg AS (SELECT lang, count(*) AS fg_n FROM documents
+            WHERE list_contains({TOKS}, 'data') AND lang IS NOT NULL GROUP BY lang),
+fgt AS (SELECT CAST(sum(fg_n) AS DOUBLE) AS n FROM fg),
+bg AS (SELECT lang, count(*) AS bg_n FROM documents
+       WHERE lang IS NOT NULL GROUP BY lang),
+bgt AS (SELECT CAST(sum(bg_n) AS DOUBLE) AS n FROM bg),
+s AS (SELECT f.lang, f.fg_n, b.bg_n,
+             f.fg_n / (SELECT n FROM fgt) AS fgp,
+             b.bg_n / (SELECT n FROM bgt) AS bgp
+      FROM fg f JOIN bg b USING (lang))
+SELECT lang, fg_n AS doc_count, bg_n AS bg_count,
+       round((fgp - bgp) * (fgp / bgp), 6) AS score_r
+FROM s WHERE fgp > bgp
+ORDER BY (fgp - bgp) * (fgp / bgp) DESC, lang
+LIMIT 10
+""",
         "composite_page": f"""
 SELECT lang, source,
        count(*) AS doc_count,

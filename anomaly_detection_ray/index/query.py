@@ -1226,6 +1226,72 @@ class QueryEngine:
         qs = np.percentile(vals, list(percents))
         return {"values": {f"{float(p)}": float(v) for p, v in zip(percents, qs)}}
 
+    def percentile_ranks_agg(self, filter_query: dict | None, field: str,
+                             values) -> dict:
+        """percentile_ranks aggregation: for each given value, the
+        percentage of the matching docs' column at or below it —
+        OpenSearch's inverse-percentiles response shape
+        ({"values": {"500.0": 55.1}}). EXACT where OpenSearch serves a
+        t-digest approximation (same documented difference as
+        :meth:`percentiles_agg`)."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        if docs.size < t.num_rows:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+        col = t[field]
+        vals = t.filter(pc.is_valid(col))[field].to_numpy(zero_copy_only=False)
+        vals = np.sort(vals.astype(np.float64))
+        out = {}
+        for v in values:
+            if vals.size == 0:
+                out[f"{float(v)}"] = None
+            else:
+                out[f"{float(v)}"] = float(
+                    np.searchsorted(vals, float(v), side="right") / vals.size * 100.0
+                )
+        return {"values": out}
+
+    def significant_terms_agg(self, filter_query: dict | None, field: str,
+                              size: int = 10) -> list[dict]:
+        """significant_terms over a keyword docmap column: terms
+        overrepresented in the MATCHING docs (foreground) vs the whole
+        live index (background), scored with OpenSearch's default JLH
+        heuristic — (fg% − bg%) × (fg%/bg%), terms with fg% ≤ bg%
+        dropped — top ``size`` by (score desc, key asc). Buckets carry
+        doc_count (foreground), bg_count and score. One docmap scan and
+        two Arrow value_counts serve the request."""
+        import pyarrow.compute as pc
+
+        docs = self.execute_filter(filter_query)
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = self.live_docmap(columns=cols)
+        bg_valid = t.filter(pc.is_valid(t[field]))
+        bg_total = bg_valid.num_rows
+        bg_counts = {d["values"]: d["counts"]
+                     for d in pc.value_counts(bg_valid[field]).to_pylist()}
+        fg = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs))) \
+            if docs.size < t.num_rows else t
+        fg = fg.filter(pc.is_valid(fg[field]))
+        fg_total = fg.num_rows
+        if fg_total == 0 or bg_total == 0:
+            return []
+        buckets = []
+        for d in pc.value_counts(fg[field]).to_pylist():
+            term, fg_n = d["values"], d["counts"]
+            bg_n = bg_counts[term]  # fg ⊆ bg, always present
+            fg_pct = fg_n / fg_total
+            bg_pct = bg_n / bg_total
+            if fg_pct <= bg_pct:
+                continue  # JLH keeps only overrepresented terms
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+            buckets.append({"key": term, "doc_count": int(fg_n),
+                            "bg_count": int(bg_n), "score": float(score)})
+        buckets.sort(key=lambda b: (-b["score"], b["key"]))
+        return buckets[:size]
+
     # -------------------------------------------------- sub-aggregations
 
     def _subagg_table(self, filter_query: dict | None, fields: set[str]):
@@ -1966,6 +2032,16 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                     query, p_spec["field"],
                     percents=tuple(p_spec.get("percents", (1, 5, 25, 50, 75, 95, 99))),
                 )
+                continue
+            if "percentile_ranks" in spec:
+                pr = spec["percentile_ranks"]
+                out["aggregations"][name] = engine.percentile_ranks_agg(
+                    query, pr["field"], list(pr["values"]))
+                continue
+            if "significant_terms" in spec:
+                sg = spec["significant_terms"]
+                out["aggregations"][name] = {"buckets": engine.significant_terms_agg(
+                    query, sg["field"], size=int(sg.get("size", 10)))}
                 continue
             if "histogram" in spec:
                 h = spec["histogram"]

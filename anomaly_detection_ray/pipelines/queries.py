@@ -201,6 +201,29 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_significant_langs(sf_dir: str) -> pd.DataFrame:
+    """significant_terms (JLH): keyword values overrepresented in the
+    docs matching 'data' vs the whole corpus — foreground/background
+    percentages and the (fg%−bg%)×(fg%/bg%) score recomputed exactly in
+    SQL, ordered by the unrounded score (identical IEEE expression both
+    sides)."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+        "size": 0,
+        "aggs": {"sig": {"significant_terms": {"field": "lang", "size": 10}}},
+    })
+    b = r["aggregations"]["sig"]["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"] for x in b],
+        "doc_count": np.asarray([x["doc_count"] for x in b], dtype=np.int64),
+        "bg_count": np.asarray([x["bg_count"] for x in b], dtype=np.int64),
+        "score_r": np.round([x["score"] for x in b], 6),
+    })
+
+
 COMPOSITE_PAGE_SIZE = 7
 
 
@@ -1697,7 +1720,6 @@ REGISTRY = {
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
     "wildcard_search": q_wildcard_search,
-    "bool_msm_search": q_bool_msm_search,
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
     "update_search": q_update_search,
@@ -1710,6 +1732,7 @@ REGISTRY = {
     "search_stats_agg": q_search_stats_agg,
     "search_subaggs": q_search_subaggs,
     "composite_page": q_composite_page,
+    "significant_langs": q_significant_langs,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "repetition_signals": q_repetition_signals,
@@ -1757,6 +1780,10 @@ REGISTRY = {
     # dedup_exact: green r1-r4; the exact-dedup disposition is verified
     # in-window INSIDE corpus_clean's multi-stage twin (status=exact_dup)
     "dedup_exact": q_dedup_exact,
+    # bool_msm_search: green r3/r4; the >=n-of-should counting is
+    # hypothesis-property-tested and bool set algebra is in-window via
+    # query_string_search / filtered_search
+    "bool_msm_search": q_bool_msm_search,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -963,3 +963,44 @@ def test_composite_agg_pagination(eng):
     assert [(b["key"]["l"], b["key"]["d"]) for b in buckets] == exp2
     assert all(b["doc_count"] == 1 for b in buckets)
     assert "after_key" not in r["aggregations"]["c"]
+
+
+def test_percentile_ranks_and_significant_terms(eng):
+    """percentile_ranks = exact inverse percentiles (% of values <= v);
+    significant_terms = JLH-scored overrepresented keyword values in the
+    hit set vs the whole index."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "pr": {"percentile_ranks": {"field": "doc_id", "values": [50, 150, 10_000]}}}})
+    vals = r["aggregations"]["pr"]["values"]
+    ids = sub["doc_id"].to_numpy(dtype=float)
+    for v in (50, 150, 10_000):
+        assert vals[f"{float(v)}"] == pytest.approx((ids <= v).mean() * 100.0)
+    assert vals["10000.0"] == 100.0
+
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "sig": {"significant_terms": {"field": "lang", "size": 100}}}})
+    buckets = r["aggregations"]["sig"]["buckets"]
+    fg = sub["lang"].value_counts()
+    bg = df["lang"].value_counts()
+    exp = []
+    for term, fg_n in fg.items():
+        fg_pct, bg_pct = fg_n / len(sub), bg[term] / len(df)
+        if fg_pct <= bg_pct:
+            continue
+        exp.append((term, int(fg_n), int(bg[term]),
+                    (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+    exp.sort(key=lambda t: (-t[3], t[0]))
+    assert [(b["key"], b["doc_count"], b["bg_count"]) for b in buckets] == \
+        [(t, n, b_) for t, n, b_, _ in exp]
+    for b, (_, _, _, s) in zip(buckets, exp):
+        assert b["score"] == pytest.approx(s)
+    # match_all foreground == background → nothing is significant
+    r0 = search(e, {"query": {"match_all": {}}, "size": 0, "aggs": {
+        "sig": {"significant_terms": {"field": "lang"}}}})
+    assert r0["aggregations"]["sig"]["buckets"] == []
