@@ -176,6 +176,84 @@ class MultiFieldEngine:
         np.add.at(total, inv, scores)
         return _topk_with_ties(uniq, total, k)
 
+    def query_string_docs(self, q: str, fields: list[str] | None = None,
+                          default_operator: str = "or") -> np.ndarray:
+        """Multi-field ``query_string`` in FILTER context (Lucene's
+        MultiFieldQueryParser rewrite): every unscoped text leaf expands
+        to the union of its per-field evaluations — ``"a AND b"`` over
+        fields [f1, f2] matches docs where a appears in ANY field and b
+        appears in ANY field — while ``field:leaf`` scoping pins a leaf
+        to one field; the boolean structure (AND/OR/NOT, parens,
+        precedence) is preserved across the expansion. Phrases,
+        prefixes, wildcards and fuzzy leaves expand the same way (each
+        per-field engine evaluates its own positional/dictionary
+        machinery). Scoring context is served by :meth:`multi_match`;
+        this is the filter-context evaluator the DSL embeds."""
+        from .querystring import parse_query_string
+
+        fields = list(fields) if fields is not None else list(self.fields)
+        sentinel = "\x00default"
+        ast = parse_query_string(q, sentinel, default_operator=default_operator,
+                                 text_fields=frozenset(self.fields))
+        return self._eval_multi(ast, fields, sentinel)
+
+    _QS_LEAF_KINDS = ("match", "term", "prefix", "wildcard", "fuzzy",
+                      "match_phrase", "match_bool_prefix")
+
+    def _eval_multi(self, node: dict, fields: list[str], sentinel: str) -> np.ndarray:
+        kind, body = next(iter(node.items()))
+        if kind == "bool":
+            result = None
+            for clause in body.get("must", ()):
+                docs = self._eval_multi(clause, fields, sentinel)
+                result = docs if result is None else np.intersect1d(
+                    result, docs, assume_unique=True)
+                if result.size == 0:
+                    break
+            shoulds = body.get("should", ())
+            if shoulds and (result is None or result.size):
+                per = [self._eval_multi(c, fields, sentinel) for c in shoulds]
+                matched = np.unique(np.concatenate(per)) if per else \
+                    np.empty(0, dtype=np.int64)
+                result = matched if result is None else np.intersect1d(
+                    result, matched, assume_unique=True)
+            if result is None:
+                result = self._all_docs(fields)
+            for clause in body.get("must_not", ()):
+                result = np.setdiff1d(
+                    result, self._eval_multi(clause, fields, sentinel),
+                    assume_unique=True)
+                if result.size == 0:
+                    break
+            return result
+        if kind == "ids":
+            values = [int(v) for v in body["values"]]
+            if not values:
+                return np.empty(0, dtype=np.int64)
+            alld = self._all_docs(fields)
+            return alld[np.isin(alld, np.asarray(values, dtype=np.int64))]
+        if kind == "exists":
+            f = body["field"]
+            return self._all_docs([f] if f in self.fields else fields) \
+                if (f in self.fields or f == sentinel) else np.empty(0, np.int64)
+        if kind in self._QS_LEAF_KINDS:
+            ((f, spec),) = body.items()
+            targets = fields if f == sentinel else [f]
+            parts = []
+            for t in targets:
+                eng = self.engine(t)
+                docs = eng.execute_filter({kind: {t: spec}})
+                if docs.size:
+                    parts.append(docs)
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(parts))
+        raise ValueError(f"multi-field query_string does not support {kind!r}")
+
+    def _all_docs(self, fields: list[str]) -> np.ndarray:
+        # every per-field index covers the same documents
+        return self.engine(fields[0]).execute_filter({"match_all": {}})
+
     def match_any_docs(self, query: str, fields: list[str] | None = None) -> np.ndarray:
         """Filter-context multi_match (operator=or): docs where ANY
         query term matches ANY of the fields."""

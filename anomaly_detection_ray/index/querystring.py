@@ -186,9 +186,14 @@ class _Parser:
         )
 
 
-def _make_leaf(default_field: str, is_meta: Callable[[str], bool], strict: bool):
+def _make_leaf(default_field: str, is_meta: Callable[[str], bool], strict: bool,
+               text_fields: frozenset = frozenset()):
     """Leaf lowering shared by both modes: prefixes (+/-), boosts,
-    fuzzy ~, wildcards, field routing (text vs docmap column)."""
+    fuzzy ~, wildcards, field routing (text vs docmap column).
+    ``text_fields`` names ADDITIONAL text fields (the multi-field
+    engine's per-field indexes): a leaf scoped to one keeps full text
+    semantics (match/phrase/prefix) on that field instead of keyword
+    equality."""
 
     def leaf(kind: str, payload) -> dict:
         if kind == "range":
@@ -210,7 +215,7 @@ def _make_leaf(default_field: str, is_meta: Callable[[str], bool], strict: bool)
         if kind == "phrase":
             field, text, slop = payload
             f = field or default_field
-            if f != default_field:
+            if f != default_field and f not in text_fields:
                 if is_meta(f):
                     # exact keyword equality — phrases don't tokenize
                     # against a docmap column
@@ -246,7 +251,7 @@ def _make_leaf(default_field: str, is_meta: Callable[[str], bool], strict: bool)
             raise QueryStringSyntaxError("empty term")
 
         f = field or default_field
-        on_text = f == default_field
+        on_text = f == default_field or f in text_fields
         if not on_text and not is_meta(f):
             if strict:
                 raise QueryStringSyntaxError(f"unknown field {f!r}")
@@ -291,6 +296,7 @@ def parse_query_string(
     default_field: str,
     is_meta: Callable[[str], bool] = lambda f: False,
     default_operator: str = "or",
+    text_fields: frozenset = frozenset(),
 ) -> dict:
     """Strict Lucene-syntax parse → query-DSL dict. Raises
     :class:`QueryStringSyntaxError` on malformed input (OpenSearch's
@@ -298,7 +304,7 @@ def parse_query_string(
     toks = _tokenize_qs(q)
     if not toks:
         raise QueryStringSyntaxError("empty query_string")
-    leaf = _make_leaf(default_field, is_meta, strict=True)
+    leaf = _make_leaf(default_field, is_meta, strict=True, text_fields=text_fields)
     return _Parser(toks, leaf, default_operator).parse()
 
 
@@ -388,8 +394,9 @@ def lower_query_string(engine, query: dict) -> dict:
         if fields:
             if len(fields) != 1:
                 raise ValueError(
-                    f"{kind} over multiple fields needs a MultiFieldEngine; "
-                    "pass exactly one field here"
+                    f"{kind} over multiple fields needs a MultiFieldEngine "
+                    "(MultiFieldEngine.query_string_docs); pass exactly one "
+                    "field on a single-field engine"
                 )
             default_field = fields[0]
         else:

@@ -134,3 +134,42 @@ def test_cross_fields_vs_brute(mf):
         assert [d for d, _ in got] == [d for d, _ in exp], q
         for (_, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_multifield_query_string(mf):
+    """Multi-field query_string filter context: unscoped leaves union
+    across fields (MultiFieldQueryParser rewrite), field: scoping pins a
+    leaf, boolean structure survives the expansion."""
+    eng, oracles, table = mf
+    all_ids = set(table["doc_id"].to_pylist())
+
+    def docs_with(field, term):
+        return set(oracles[field].postings.get(term, ()))
+
+    def anyfield(term):
+        return docs_with("content", term) | docs_with("path", term)
+
+    run = lambda q, **kw: set(eng.query_string_docs(q, **kw).tolist())
+
+    # unscoped leaf = union across fields
+    assert run("merge") == anyfield("merge")
+    # AND distributes per leaf, not per whole-query field
+    assert run("merge AND src") == anyfield("merge") & anyfield("src")
+    # field scoping pins the leaf
+    assert run("content:merge") == docs_with("content", "merge")
+    assert run("path:merge OR content:merge") == \
+        docs_with("path", "merge") | docs_with("content", "merge")
+    # NOT against the shared doc universe
+    assert run("merge NOT path:src") == anyfield("merge") - docs_with("path", "src")
+    assert run("NOT merge") == all_ids - anyfield("merge")
+    # prefix expansion across fields
+    pref = {d for f in ("content", "path")
+            for t, ds in oracles[f].postings.items() if t.startswith("pk")
+            for d in ds}
+    assert run("pk*") == pref
+    # restricting fields= narrows the default expansion
+    assert run("merge", fields=["path"]) == docs_with("path", "merge")
+    # unknown scoped field is a strict error
+    from anomaly_detection_ray.index.querystring import QueryStringSyntaxError
+    with pytest.raises((QueryStringSyntaxError, ValueError)):
+        run("zzfield:x")
