@@ -784,6 +784,15 @@ FROM documents
 WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "sorted_search": f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+       n_chars
+FROM documents
+WHERE list_contains({TOKS}, 'data')
+ORDER BY n_chars DESC, doc_id
+LIMIT 15
+""",
         "significant_langs": f"""
 WITH fg AS (SELECT lang, count(*) AS fg_n FROM documents
             WHERE list_contains({TOKS}, 'data') AND lang IS NOT NULL GROUP BY lang),

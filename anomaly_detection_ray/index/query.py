@@ -1887,6 +1887,12 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         # OpenSearch rejects from>0 combined with search_after — a
         # malformed request must error, not return a silently-wrong page
         raise ValueError("`from` parameter must be set to 0 when `search_after` is used")
+    if body.get("sort"):
+        if body.get("search_after") is not None:
+            raise ValueError("field sort with search_after is not supported; "
+                             "page with from/size")
+        return _search_sorted(engine, body, source_files=source_files,
+                              text_col=text_col)
     query = body.get("query")
     if query and next(iter(query)) in ("query_string", "simple_query_string"):
         # Lucene string syntax lowers to the structured DSL first, so
@@ -1982,16 +1988,7 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             const = float(query["constant_score"].get("boost", 1.0))
         hits = [{"_id": int(d), "_score": const} for d in docs[frm:frm + size]]
 
-    # _source from the docmap (metadata + lineage hash; text lives in the
-    # source parquet by design)
-    if hits and engine._docmap is not None:
-        ids = [h["_id"] for h in hits]
-        t = engine.live_docmap(filter=pc.field("doc_id").isin(ids))
-        rows = {r["doc_id"]: r for r in t.to_pylist()}
-        for h in hits:
-            src = dict(rows.get(h["_id"], {}))
-            src.pop("doc_id", None)
-            h["_source"] = src
+    _attach_source(engine, hits)
 
     if body.get("highlight") and text is not None:
         if not source_files:
@@ -2006,6 +2003,26 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             h["highlight"] = {text_col: [s["snippet"]]}
 
     out = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
+    _apply_aggs(engine, body, query, out)
+    return out
+
+
+def _attach_source(engine: QueryEngine, hits: list[dict]) -> None:
+    """_source from the docmap (metadata + lineage hash; text lives in
+    the source parquet by design)."""
+    import pyarrow.compute as pc
+
+    if hits and engine._docmap is not None:
+        ids = [h["_id"] for h in hits]
+        t = engine.live_docmap(filter=pc.field("doc_id").isin(ids))
+        rows = {r["doc_id"]: r for r in t.to_pylist()}
+        for h in hits:
+            src = dict(rows.get(h["_id"], {}))
+            src.pop("doc_id", None)
+            h["_source"] = src
+
+
+def _apply_aggs(engine: QueryEngine, body: dict, query: dict | None, out: dict) -> None:
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         out["aggregations"] = {}
@@ -2093,4 +2110,69 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
                 )
             v = engine.metric_agg(query, spec[op]["field"], op)
             out["aggregations"][name] = v if op == "stats" else {"value": v}
+
+
+def _search_sorted(engine: QueryEngine, body: dict,
+                   source_files: list[str] | None = None,
+                   text_col: str = "content") -> dict:
+    """Field-sorted ``_search`` (``"sort": [{field: "asc"|"desc"}, …]`` —
+    the shape the reference uses everywhere it reads results back, e.g.
+    execution_end_time desc in the top-anomaly queries): hits come back
+    in the metadata sort order with missing values LAST either direction
+    and a doc_id ascending tie-break; ``_score`` is null, OpenSearch's
+    track_scores=false behavior. Aggregations still run over the full
+    matching set. Deep sorts charge linearly in the matching-set size,
+    exactly like OpenSearch."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    query = body.get("query")
+    if query and next(iter(query)) in ("query_string", "simple_query_string"):
+        from .querystring import lower_query_string
+
+        query = lower_query_string(engine, query)
+    spec = body["sort"]
+    if isinstance(spec, (str, dict)):
+        spec = [spec]
+    keys: list[tuple[str, bool]] = []
+    for s in spec:
+        if isinstance(s, str):
+            keys.append((s, True))
+        else:
+            ((f, d),) = s.items()
+            order = d.get("order", "asc") if isinstance(d, dict) else d
+            keys.append((f, str(order).lower() != "desc"))
+    if any(f == "_score" for f, _ in keys):
+        raise ValueError("sort by _score is the default ranking; omit `sort`")
+
+    docs = engine.execute_filter(query)
+    total = int(docs.size)
+    fields = sorted({f for f, _ in keys if f != "doc_id"})
+    t = engine.live_docmap(columns=["doc_id", *fields])
+    if docs.size < t.num_rows:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(docs)))
+    df = t.to_pandas()
+    df = df.sort_values(by=[f for f, _ in keys] + ["doc_id"],
+                        ascending=[a for _, a in keys] + [True],
+                        na_position="last", kind="mergesort")
+    page = df.iloc[frm:frm + size]
+
+    def _py(v):
+        if v is None or pd.isna(v):
+            return None
+        return v.item() if hasattr(v, "item") else v
+
+    hits = [
+        {"_id": int(rec["doc_id"]), "_score": None,
+         "sort": [_py(rec[f]) for f, _ in keys]}
+        for rec in page.to_dict("records")
+    ]
+    _attach_source(engine, hits)
+    if body.get("highlight"):
+        raise ValueError("highlight with a field sort is not supported; "
+                         "use the relevance-ranked form")
+    out = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
+    _apply_aggs(engine, body, query, out)
     return out

@@ -201,6 +201,24 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_sorted_search(sf_dir: str) -> pd.DataFrame:
+    """_search with a FIELD sort (the reference reads results back
+    ordered by metadata everywhere — execution_end_time desc etc.):
+    docs matching 'data' by n_chars desc with the doc_id tie-break,
+    value-exact vs an ORDER BY … LIMIT twin."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {"query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+                     "sort": [{"n_chars": "desc"}], "size": 15})
+    h = r["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.asarray([x["_id"] for x in h], dtype=np.int64),
+        "rank": np.arange(1, len(h) + 1, dtype=np.int64),
+        "n_chars": np.asarray([x["sort"][0] for x in h], dtype=np.int64),
+    })
+
+
 def q_significant_langs(sf_dir: str) -> pd.DataFrame:
     """significant_terms (JLH): keyword values overrepresented in the
     docs matching 'data' vs the whole corpus — foreground/background
@@ -1722,7 +1740,6 @@ REGISTRY = {
     "wildcard_search": q_wildcard_search,
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
-    "update_search": q_update_search,
     "multi_match_search": q_multi_match_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
@@ -1733,6 +1750,7 @@ REGISTRY = {
     "search_subaggs": q_search_subaggs,
     "composite_page": q_composite_page,
     "significant_langs": q_significant_langs,
+    "sorted_search": q_sorted_search,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "repetition_signals": q_repetition_signals,
@@ -1784,6 +1802,10 @@ REGISTRY = {
     # hypothesis-property-tested and bool set algebra is in-window via
     # query_string_search / filtered_search
     "bool_msm_search": q_bool_msm_search,
+    # update_search: green r3/r4; slice-scoped tombstone machinery
+    # in-window via delete_search + compacted_bm25, plus the full
+    # lifecycle pytest suite
+    "update_search": q_update_search,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

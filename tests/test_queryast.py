@@ -1004,3 +1004,46 @@ def test_percentile_ranks_and_significant_terms(eng):
     r0 = search(e, {"query": {"match_all": {}}, "size": 0, "aggs": {
         "sig": {"significant_terms": {"field": "lang"}}}})
     assert r0["aggregations"]["sig"]["buckets"] == []
+
+
+def test_search_field_sort(eng):
+    """_search with \"sort\": hits in metadata order (multi-key, mixed
+    directions, doc_id tie-break, missing last), _score null, total and
+    aggs unaffected by the ordering."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+
+    r = search(e, {"query": {"match": {"content": "merge"}},
+                   "sort": [{"lang": "asc"}, {"doc_id": "desc"}],
+                   "size": 8,
+                   "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    exp = sub.sort_values(["lang", "doc_id"], ascending=[True, False])
+    got = r["hits"]["hits"]
+    assert [h["_id"] for h in got] == exp["doc_id"].head(8).tolist()
+    assert all(h["_score"] is None for h in got)
+    assert got[0]["sort"] == [exp.iloc[0]["lang"], int(exp.iloc[0]["doc_id"])]
+    assert r["hits"]["total"]["value"] == len(sub)
+    assert r["aggregations"]["n"]["value"] == len(sub)
+
+    # from/size paging walks the same total order
+    r2 = search(e, {"query": {"match": {"content": "merge"}},
+                    "sort": [{"lang": "asc"}, {"doc_id": "desc"}],
+                    "from": 8, "size": 8})
+    assert [h["_id"] for h in r2["hits"]["hits"]] == \
+        exp["doc_id"].iloc[8:16].tolist()
+
+    # string shorthand + filter-context query
+    r3 = search(e, {"query": {"term": {"lang": "java"}},
+                    "sort": "doc_id", "size": 5})
+    assert [h["_id"] for h in r3["hits"]["hits"]] == \
+        sorted(df[df["lang"] == "java"]["doc_id"])[:5]
+
+    # _score inside sort and search_after+sort are rejected
+    with pytest.raises(ValueError, match="_score"):
+        search(e, {"query": {"match_all": {}}, "sort": [{"_score": "desc"}]})
+    with pytest.raises(ValueError, match="search_after"):
+        search(e, {"query": {"match": {"content": "merge"}},
+                   "sort": "doc_id", "search_after": [1.0, 3]})
