@@ -784,6 +784,16 @@ FROM documents
 WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "top_hits_by_lang": f"""
+WITH hits AS (SELECT doc_id, lang, n_chars FROM documents
+              WHERE list_contains({TOKS}, 'data') AND lang IS NOT NULL),
+rk AS (SELECT lang, doc_id, n_chars,
+              CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+       FROM hits)
+SELECT lang, rank, doc_id, n_chars FROM rk WHERE rank <= 3
+ORDER BY lang, rank
+""",
         "sorted_search": f"""
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,

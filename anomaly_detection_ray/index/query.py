@@ -84,6 +84,37 @@ def _calendar_boundaries(lo_ms: int, hi_ms: int, unit: str) -> np.ndarray:
     return months.astype("datetime64[M]").astype("datetime64[ms]").astype(np.int64)
 
 
+def _parse_sort_keys(spec) -> list[tuple[str, bool]]:
+    """OpenSearch sort spec → [(field, ascending)]: a string, a dict,
+    or a list of either; dict values are "asc"/"desc" or {"order": …}."""
+    if not spec:
+        return []
+    if isinstance(spec, (str, dict)):
+        spec = [spec]
+    keys = []
+    for s in spec:
+        if isinstance(s, str):
+            keys.append((s, True))
+        else:
+            ((f, d),) = s.items()
+            order = d.get("order", "asc") if isinstance(d, dict) else d
+            keys.append((f, str(order).lower() != "desc"))
+    return keys
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _py_scalar(v):
+    return v.item() if hasattr(v, "item") else v
+
+
 def _terms_order_key(order: dict | None, plan: list[tuple[str, str, str]]):
     """Bucket sort key for the OpenSearch terms-agg ``order`` option:
     ``_count`` (default, desc) / ``_key`` / a metric sub-agg name / a
@@ -1368,15 +1399,62 @@ class QueryEngine:
         metrics."""
         import pyarrow.compute as pc
 
-        plan = _sub_agg_plan(sub_aggs)
-        t = self._subagg_table(filter_query, {field, *(f for _, _, f in plan)})
+        top_hits = {n: s["top_hits"] for n, s in sub_aggs.items()
+                    if isinstance(s, dict) and "top_hits" in s}
+        metrics = {n: s for n, s in sub_aggs.items() if n not in top_hits}
+        plan = _sub_agg_plan(metrics)
+        th_fields = {f for th in top_hits.values()
+                     for f, _ in _parse_sort_keys(th.get("sort"))}
+        t = self._subagg_table(
+            filter_query, {field, *(f for _, _, f in plan), *th_fields})
         t = t.filter(pc.is_valid(t[field]))
         t = t.append_column("__key", t[field])
         rows = self._grouped_subagg_rows(t, plan)
         buckets = [{"key": r["__key"], "doc_count": int(r["doc_id_count"]),
                     **self._subagg_values(r, plan)} for r in rows]
         buckets.sort(key=_terms_order_key(order, plan))
-        return buckets[:size]
+        buckets = buckets[:size]
+        if top_hits:
+            self._attach_top_hits(t, field, buckets, top_hits)
+        return buckets
+
+    @staticmethod
+    def _attach_top_hits(t, field: str, buckets: list[dict],
+                         top_hits: dict[str, dict]) -> None:
+        """Restricted ``top_hits`` sub-aggregation: the top-N docs of
+        each bucket by a FIELD sort (missing-last, doc_id tie-break; no
+        sort → doc_id asc, the score-less filter-context order). One
+        pandas sort + groupby-head serves all buckets."""
+        import pandas as pd  # noqa: F401 (to_pandas())
+
+        df_all = t.to_pandas()
+        keys = {b["key"] for b in buckets}
+        df_all = df_all[df_all["__key"].isin(keys)]
+        for name, th in top_hits.items():
+            n = int(th.get("size", 3))
+            sort_keys = _parse_sort_keys(th.get("sort"))
+            by = [f for f, _ in sort_keys] + ["doc_id"]
+            asc = [a for _, a in sort_keys] + [True]
+            d = df_all.sort_values(by=by, ascending=asc,
+                                   na_position="last", kind="mergesort")
+            groups = d.groupby("__key", sort=False)
+            per_key: dict = {}
+            for key, g in groups:
+                hits = []
+                for rec in g.head(n).to_dict("records"):
+                    h = {"_id": int(rec["doc_id"])}
+                    if sort_keys:
+                        h["sort"] = [
+                            None if pd_isna(rec[f]) else _py_scalar(rec[f])
+                            for f, _ in sort_keys
+                        ]
+                    hits.append(h)
+                per_key[key] = hits
+            for b in buckets:
+                b[name] = {"hits": {
+                    "total": {"value": b["doc_count"], "relation": "eq"},
+                    "hits": per_key.get(b["key"], []),
+                }}
 
     def histogram_agg_subs(self, filter_query: dict | None, field: str,
                            interval: float, sub_aggs: dict,
@@ -2133,17 +2211,7 @@ def _search_sorted(engine: QueryEngine, body: dict,
         from .querystring import lower_query_string
 
         query = lower_query_string(engine, query)
-    spec = body["sort"]
-    if isinstance(spec, (str, dict)):
-        spec = [spec]
-    keys: list[tuple[str, bool]] = []
-    for s in spec:
-        if isinstance(s, str):
-            keys.append((s, True))
-        else:
-            ((f, d),) = s.items()
-            order = d.get("order", "asc") if isinstance(d, dict) else d
-            keys.append((f, str(order).lower() != "desc"))
+    keys = _parse_sort_keys(body["sort"])
     if any(f == "_score" for f, _ in keys):
         raise ValueError("sort by _score is the default ranking; omit `sort`")
 

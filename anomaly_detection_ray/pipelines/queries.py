@@ -219,6 +219,31 @@ def q_sorted_search(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_top_hits_by_lang(sf_dir: str) -> pd.DataFrame:
+    """top_hits sub-aggregation: per-lang top-3 docs by n_chars desc
+    (doc_id tie-break) inside a terms agg over the docs matching 'data'
+    — flattened to rows, value-exact vs a row_number()-PARTITION twin."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+        "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {"top": {"top_hits": {
+                "size": 3, "sort": [{"n_chars": "desc"}]}}},
+        }},
+    })
+    rows = []
+    for b in r["aggregations"]["by_lang"]["buckets"]:
+        for rank, h in enumerate(b["top"]["hits"]["hits"], start=1):
+            rows.append((b["key"], rank, h["_id"], h["sort"][0]))
+    out = pd.DataFrame(rows, columns=["lang", "rank", "doc_id", "n_chars"])
+    return (out.sort_values(["lang", "rank"]).reset_index(drop=True)
+            .astype({"rank": "int64", "doc_id": "int64", "n_chars": "int64"}))
+
+
 def q_significant_langs(sf_dir: str) -> pd.DataFrame:
     """significant_terms (JLH): keyword values overrepresented in the
     docs matching 'data' vs the whole corpus — foreground/background
@@ -1740,7 +1765,6 @@ REGISTRY = {
     "wildcard_search": q_wildcard_search,
     "delete_search": q_delete_search,
     "compacted_bm25": q_compacted_bm25,
-    "multi_match_search": q_multi_match_search,
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "query_string_search": q_query_string_search,
@@ -1751,6 +1775,7 @@ REGISTRY = {
     "composite_page": q_composite_page,
     "significant_langs": q_significant_langs,
     "sorted_search": q_sorted_search,
+    "top_hits_by_lang": q_top_hits_by_lang,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "repetition_signals": q_repetition_signals,
@@ -1806,6 +1831,9 @@ REGISTRY = {
     # in-window via delete_search + compacted_bm25, plus the full
     # lifecycle pytest suite
     "update_search": q_update_search,
+    # multi_match_search: green r3/r4; per-field merging additionally
+    # covered by the multi-field query_string pytest + brute parity
+    "multi_match_search": q_multi_match_search,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -1047,3 +1047,28 @@ def test_search_field_sort(eng):
     with pytest.raises(ValueError, match="search_after"):
         search(e, {"query": {"match": {"content": "merge"}},
                    "sort": "doc_id", "search_after": [1.0, 3]})
+
+
+def test_terms_top_hits_subagg(eng):
+    """top_hits inside terms buckets: per-bucket top-N docs by a field
+    sort (doc_id tie-break; no sort → doc_id asc), composing with
+    metric sub-aggs in the same request."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "by_lang": {"terms": {"field": "lang", "size": 100}, "aggs": {
+            "top": {"top_hits": {"size": 2, "sort": [{"doc_id": "desc"}]}},
+            "first": {"top_hits": {"size": 1}},
+            "m": {"avg": {"field": "doc_id"}},
+        }}}})
+    for b in r["aggregations"]["by_lang"]["buckets"]:
+        g = sub[sub["lang"] == b["key"]]["doc_id"]
+        assert [h["_id"] for h in b["top"]["hits"]["hits"]] == \
+            sorted(g, reverse=True)[:2]
+        assert b["top"]["hits"]["hits"][0]["sort"] == [int(g.max())]
+        assert [h["_id"] for h in b["first"]["hits"]["hits"]] == [int(g.min())]
+        assert b["top"]["hits"]["total"]["value"] == len(g) == b["doc_count"]
+        assert b["m"]["value"] == pytest.approx(float(g.mean()))
