@@ -49,10 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(REGISTRY)
 
 
-def _bm25_sql(where: str = "", rank_lo: int = 1, rank_hi: int = 10) -> str:
-    """``where`` restricts the corpus (e.g. to live docs after a delete
-    + compaction — stats and scores then come from the subset only);
-    ``rank_lo``/``rank_hi`` select a pagination window."""
+def _bm25_scores_cte(where: str = "") -> str:
+    """Shared WITH-chain computing BM25 ``scores(doc_id, score)`` for
+    BM25_QUERY over ``documents {where}`` — composed by the ranked,
+    paginated and collapsed twins."""
     terms = sorted(set(Analyzer("simple").tokens(BM25_QUERY)))
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -67,12 +67,38 @@ scores AS (
          sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (s.total * 1.0 / s.n_docs))) ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+def _bm25_sql(where: str = "", rank_lo: int = 1, rank_hi: int = 10) -> str:
+    """``where`` restricts the corpus (e.g. to live docs after a delete
+    + compaction — stats and scores then come from the subset only);
+    ``rank_lo``/``rank_hi`` select a pagination window."""
+    return f"""{_bm25_scores_cte(where)}
 SELECT doc_id, rank, score_r FROM (
   SELECT doc_id, round(score, 6) AS score_r,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM scores) t
 WHERE rank BETWEEN {rank_lo} AND {rank_hi} ORDER BY rank
+"""
+
+
+def _collapse_sql(k: int = 10) -> str:
+    """Twin of ``q_collapsed_search``: the BM25 ranking keeping only the
+    best-scoring doc per lang (score desc, doc_id tie-break), re-ranked
+    and cut at k."""
+    return f"""{_bm25_scores_cte()},
+j AS (SELECT s.doc_id, s.score, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+c AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM j)
+SELECT lang, doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       round(score, 6) AS score_r
+FROM c WHERE rn = 1
+ORDER BY rank LIMIT {k}
 """
 
 
@@ -746,6 +772,7 @@ WHERE list_contains({TOKS}, 'data')
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
         "search_after_page": _bm25_sql(rank_lo=11, rank_hi=20),
+        "collapsed_search": _collapse_sql(),
         "multi_match_search": _multi_match_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents

@@ -1985,6 +1985,13 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
         # invalidate the scale-invariant ranking shortcuts below
         raise ValueError(f"boost must be positive, got {text_boost}")
 
+    if body.get("collapse") is not None:
+        if body.get("search_after") is not None:
+            raise ValueError("collapse with search_after is not supported")
+        kind0 = next(iter(query)) if query else None
+        if text is None or optional or kind0 == "dis_max":
+            raise ValueError("collapse supports single-match (optionally "
+                             "filtered) queries")
     if query and next(iter(query)) == "dis_max":
         # Lucene DisjunctionMaxQuery: hit set = union of sub-queries,
         # score = best + tie_breaker × rest (text/optional are already
@@ -2009,7 +2016,11 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
             matched = engine.union_docs(engine.query_terms(text))
             total = int(matched.size)
         elif not optional:
-            if residual is None:
+            collapse = body.get("collapse")
+            if collapse:
+                page = _collapse_page(engine, text, residual,
+                                      collapse["field"], frm, size)
+            elif residual is None:
                 page = engine.bm25_topk(text, k=frm + size, prune=False)[frm:]
             else:
                 page = engine.bm25_topk_filtered(text, residual, k=frm + size)[frm:]
@@ -2190,6 +2201,34 @@ def _apply_aggs(engine: QueryEngine, body: dict, query: dict | None, out: dict) 
             out["aggregations"][name] = v if op == "stats" else {"value": v}
 
 
+def _collapse_page(engine: QueryEngine, text: str, residual: dict | None,
+                   field: str, frm: int, size: int) -> list[tuple[int, float]]:
+    """Field collapsing (OpenSearch ``collapse``): the BM25 ranking with
+    only the BEST-scoring doc of each ``field`` value kept (first in
+    (score desc, doc_id asc) order; null values form one group), then
+    from/size paged. ``hits.total`` stays the UNCOLLAPSED count, like
+    OpenSearch. Charges linearly in the matching-set size — collapse
+    cannot be pruned, same as the engine it mirrors."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    uniq, sc = engine.bm25_scores(text)
+    if residual is not None:
+        allowed = engine.execute_filter(residual)
+        keep = np.isin(uniq, allowed, assume_unique=True)
+        uniq, sc = uniq[keep], sc[keep]
+    if uniq.size == 0:
+        return []
+    t = engine.live_docmap(columns=["doc_id", field])
+    t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(uniq)))
+    dmap = t.to_pandas().set_index("doc_id")[field]
+    order = np.lexsort((uniq, -sc))
+    vals = dmap.reindex(uniq[order])
+    first = ~pd.Series(vals.to_numpy()).duplicated().to_numpy()
+    idx = order[first][frm:frm + size]
+    return [(int(d), float(s)) for d, s in zip(uniq[idx], sc[idx])]
+
+
 def _search_sorted(engine: QueryEngine, body: dict,
                    source_files: list[str] | None = None,
                    text_col: str = "content") -> dict:
@@ -2211,6 +2250,8 @@ def _search_sorted(engine: QueryEngine, body: dict,
         from .querystring import lower_query_string
 
         query = lower_query_string(engine, query)
+    if body.get("collapse") is not None:
+        raise ValueError("collapse with a field sort is not supported")
     keys = _parse_sort_keys(body["sort"])
     if any(f == "_score" for f, _ in keys):
         raise ValueError("sort by _score is the default ranking; omit `sort`")

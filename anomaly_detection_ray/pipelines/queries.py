@@ -201,6 +201,24 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_collapsed_search(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing: the BM25 ranking keeping one best-scoring doc
+    per lang, value-exact (ranks + scores) vs a PARTITION-BY row_number
+    twin over the identical BM25 arithmetic."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {"query": {"match": {"text": BM25_QUERY}},
+                     "collapse": {"field": "lang"}, "size": 10})
+    h = r["hits"]["hits"]
+    return pd.DataFrame({
+        "lang": [x["_source"]["lang"] for x in h],
+        "doc_id": np.asarray([x["_id"] for x in h], dtype=np.int64),
+        "rank": np.arange(1, len(h) + 1, dtype=np.int64),
+        "score_r": np.round([x["_score"] for x in h], 6),
+    })
+
+
 def q_sorted_search(sf_dir: str) -> pd.DataFrame:
     """_search with a FIELD sort (the reference reads results back
     ordered by metadata everywhere — execution_end_time desc etc.):
@@ -1776,6 +1794,7 @@ REGISTRY = {
     "significant_langs": q_significant_langs,
     "sorted_search": q_sorted_search,
     "top_hits_by_lang": q_top_hits_by_lang,
+    "collapsed_search": q_collapsed_search,
     "chunk_for_training": q_chunk_for_training,
     "token_count_bpe": q_token_count_bpe,
     "repetition_signals": q_repetition_signals,
@@ -1792,7 +1811,6 @@ REGISTRY = {
     "more_like_this": q_more_like_this,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
-    "lang_id": q_lang_id,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "near_dup_groups": q_near_dup_groups,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1834,6 +1852,9 @@ REGISTRY = {
     # multi_match_search: green r3/r4; per-field merging additionally
     # covered by the multi-field query_string pytest + brute parity
     "multi_match_search": q_multi_match_search,
+    # lang_id: green r2-r4; pure stateless profile-count function with
+    # hand-labeled unit tests, no distributed machinery of its own
+    "lang_id": q_lang_id,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

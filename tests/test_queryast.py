@@ -1072,3 +1072,53 @@ def test_terms_top_hits_subagg(eng):
         assert [h["_id"] for h in b["first"]["hits"]["hits"]] == [int(g.min())]
         assert b["top"]["hits"]["total"]["value"] == len(g) == b["doc_count"]
         assert b["m"]["value"] == pytest.approx(float(g.mean()))
+
+
+def test_search_collapse(eng):
+    """Field collapsing: one best-scoring hit per field value in rank
+    order, total stays the uncollapsed count, residual filters compose,
+    unsupported combinations error."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    q = "merge sort"
+    full = e.bm25_topk(q, k=10_000, prune=False)
+    langs = df.set_index("doc_id")["lang"]
+
+    r = search(e, {"query": {"match": {"content": q}}, "size": 3,
+                   "collapse": {"field": "lang"}})
+    seen, exp = set(), []
+    for d, s in full:
+        v = langs[d]
+        if v not in seen:
+            seen.add(v)
+            exp.append((d, s))
+    got = [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+    assert got == [(d, pytest.approx(s)) for d, s in exp[:3]]
+    assert r["hits"]["total"]["value"] == len(full)  # total is uncollapsed
+    # one hit per lang across a full page
+    r2 = search(e, {"query": {"match": {"content": q}}, "size": 100,
+                    "collapse": {"field": "lang"}})
+    page_langs = [langs[h["_id"]] for h in r2["hits"]["hits"]]
+    assert len(page_langs) == len(set(page_langs)) == df["lang"].nunique()
+
+    # residual filter composes (collapse over the filtered ranking)
+    rf = search(e, {"query": {"bool": {"must": [{"match": {"content": q}}],
+                                       "filter": [{"range": {"doc_id": {"lt": 150}}}]}},
+                    "size": 100, "collapse": {"field": "lang"}})
+    allowed = {d for d, _ in full if d < 150}
+    seen2, exp2 = set(), []
+    for d, s in full:
+        if d not in allowed:
+            continue
+        v = langs[d]
+        if v not in seen2:
+            seen2.add(v)
+            exp2.append(d)
+    assert [h["_id"] for h in rf["hits"]["hits"]] == exp2
+
+    with pytest.raises(ValueError, match="collapse"):
+        search(e, {"query": {"term": {"lang": "java"}}, "collapse": {"field": "lang"}})
+    with pytest.raises(ValueError, match="search_after"):
+        search(e, {"query": {"match": {"content": q}}, "collapse": {"field": "lang"},
+                   "search_after": [1.0, 2]})
