@@ -910,6 +910,19 @@ SELECT doc_id, round(-avg(ln(c * 1.0 / (SELECT t FROM tot))), 6) AS nll_nats
 FROM toks JOIN freq USING (term)
 GROUP BY doc_id ORDER BY doc_id
 """,
+        "duplicate_spans": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, n - 8 + 1)) AS i FROM sized),
+grams AS (SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS g FROM pos),
+gc AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(CASE WHEN c > 1 THEN 1 END) AS n_dup_spans,
+       round(count(CASE WHEN c > 1 THEN 1 END) * 1.0 / count(*), 6) AS dup_frac
+FROM grams JOIN gc USING (g)
+GROUP BY doc_id ORDER BY doc_id
+""",
         "ccnet_buckets": f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),

@@ -1102,6 +1102,21 @@ def q_doc_nll(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring duplication signal (Lee et al. suffix-array
+    outcome at stride 1): per doc, how many 8-token sliding spans occur
+    anywhere else in the corpus — value-exact vs a generate_series
+    k-gram twin."""
+    from ..stages.dedup import duplicate_span_stats
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    out = duplicate_span_stats(ds, span_tokens=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_spans": "int64",
+                       "n_dup_spans": "int64"})
+
+
 def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality bucketing: head/middle/tail thirds by
     unigram-LM NLL rank (rounded-score + doc_id total order, so the
@@ -1801,6 +1816,7 @@ REGISTRY = {
     "pii_redact": q_pii_redact,
     "doc_nll": q_doc_nll,
     "ccnet_buckets": q_ccnet_buckets,
+    "duplicate_spans": q_duplicate_spans,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_filter": q_quality_filter,
     "corpus_clean": q_corpus_clean,
@@ -1811,7 +1827,6 @@ REGISTRY = {
     "more_like_this": q_more_like_this,
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "decontaminate": q_decontaminate,
-    "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "near_dup_groups": q_near_dup_groups,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1855,6 +1870,9 @@ REGISTRY = {
     # lang_id: green r2-r4; pure stateless profile-count function with
     # hand-labeled unit tests, no distributed machinery of its own
     "lang_id": q_lang_id,
+    # ngram_jaccard_dup: green r2-r4; the shingle-pair machinery is
+    # in-window transitively via near_dup_groups' recursive-CTE twin
+    "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

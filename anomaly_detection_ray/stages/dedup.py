@@ -1062,3 +1062,75 @@ def chunk_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_chunks"), Sum("kept", alias_name="n_kept"))
     )
+
+
+def duplicate_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                         span_tokens: int = 8, n_rows: int | None = None):
+    """Exact-substring duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array method's per-doc outcome): every STRIDE-1 sliding
+    ``span_tokens``-token window of every doc, marked duplicated when
+    the identical token span occurs anywhere else in the corpus.
+
+    → Dataset (doc_id, n_spans, n_dup_spans, dup_frac) over docs with at
+    least ``span_tokens`` tokens (shorter docs have no spans — same rule
+    as the SQL twin). The suffix array itself is obsoleted by the
+    shuffle: span identity is a 2×64-bit hash, so only
+    (h1, h2, doc_id) rows move — the text never ships — coarse-keyed on
+    the span hash (bounded reducer groups), and the per-doc rollup is a
+    native partial-combined aggregate. Same scale shape as
+    :func:`chunk_dedup_stats`, at stride-1 row volume (n_tokens rows per
+    doc — the method's inherent cost)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import hash_strings
+
+    analyzer = Analyzer("simple")
+    k = int(span_tokens)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        toks = analyzer.tokens_batch([t or "" for t in batch[text_col].to_pylist()])
+        out_id, spans = [], []
+        for did, tl in zip(ids, toks):
+            for i in range(len(tl) - k + 1):
+                out_id.append(did)
+                spans.append(" ".join(tl[i:i + k]))
+        if not spans:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        arr = np.asarray(spans, dtype=object)
+        h1 = hash_strings(arr).astype(np.int64)
+        h2 = hash_strings(np.char.add(np.asarray(spans), "\x1e")).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.asarray(out_id, np.int64)),
+                         "h1": pa.array(h1), "h2": pa.array(h2)})
+
+    n_all = n_rows if n_rows is not None else ds.count()
+    n_coarse = max(32, n_all // 5_000)
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        ck = (b["h1"].to_numpy().astype(np.uint64) % np.uint64(n_coarse)).astype(np.int64)
+        return b.append_column("ckey", pa.array(ck))
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of one (h1, h2) land in this coarse group
+        c = g.groupby(["h1", "h2"])["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "dup": (c > 1).to_numpy().astype(np.int64)})
+
+    per_doc = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ckey")
+        .map_groups(mark_dups, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_spans"), Sum("dup", alias_name="n_dup_spans"))
+    )
+
+    def frac(b: pa.Table) -> pa.Table:
+        n = b["n_spans"].to_numpy().astype(np.float64)
+        d = b["n_dup_spans"].to_numpy().astype(np.float64)
+        return b.append_column("dup_frac", pa.array(np.round(d / n, 6)))
+
+    return per_doc.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)

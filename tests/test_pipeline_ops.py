@@ -1167,3 +1167,36 @@ def test_ccnet_quality_buckets(ray_session):
     m = out[out["bucket"] == "middle"]["nll_r"]
     t = out[out["bucket"] == "tail"]["nll_r"]
     assert h.max() <= m.min() + 1e-12 and m.max() <= t.min() + 1e-12
+
+
+def test_duplicate_span_stats_planted(ray_session):
+    """Stride-1 exact-substring duplication: a copied doc is 100%
+    duplicated, a doc sharing only a k-token prefix shows exactly the
+    prefix's spans as dups, short docs emit nothing."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.dedup import duplicate_span_stats
+
+    k = 8
+    base = " ".join(f"w{i}" for i in range(20))           # 20 tokens
+    prefix = " ".join(f"w{i}" for i in range(k))          # first 8 tokens
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            base,                                          # original
+            base,                                          # full copy
+            prefix + " zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7",   # shares ONLY the prefix span
+            "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",               # unique
+            "tiny doc",                                    # < k tokens → no spans
+        ]),
+    })
+    out = (duplicate_span_stats(rd.from_arrow(docs), span_tokens=k)
+           .to_pandas().set_index("doc_id"))
+    assert sorted(out.index) == [0, 1, 2, 3]  # doc 4 has no spans
+    n = 20 - k + 1
+    assert out.loc[0, "n_spans"] == n and out.loc[0, "n_dup_spans"] == n
+    assert out.loc[1, "n_dup_spans"] == n and out.loc[1, "dup_frac"] == 1.0
+    # doc 2: 16 tokens → 9 spans; only span at position 0 (the shared
+    # prefix) also occurs in docs 0/1
+    assert out.loc[2, "n_spans"] == 9 and out.loc[2, "n_dup_spans"] == 1
+    assert out.loc[3, "n_dup_spans"] == 0 and out.loc[3, "dup_frac"] == 0.0
