@@ -773,6 +773,23 @@ GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
         "search_after_page": _bm25_sql(rank_lo=11, rank_hi=20),
         "collapsed_search": _collapse_sql(),
+        "term_suggest": f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+c1 AS (SELECT 'mergs' AS token, term, levenshtein(term, 'mergs') AS distance, df
+       FROM stats WHERE term LIKE 'm%' AND term != 'mergs'
+         AND levenshtein(term, 'mergs') <= 2),
+c2 AS (SELECT 'windoww' AS token, term, levenshtein(term, 'windoww') AS distance, df
+       FROM stats WHERE term LIKE 'w%' AND term != 'windoww'
+         AND levenshtein(term, 'windoww') <= 2),
+u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+r AS (SELECT token, term, distance, df,
+             CAST(row_number() OVER (PARTITION BY token
+                  ORDER BY distance, df DESC, term) AS BIGINT) AS rank
+      FROM u)
+SELECT token, rank, term AS suggestion, distance, df AS freq
+FROM r WHERE rank <= 5 ORDER BY token, rank
+""",
         "multi_match_search": _multi_match_sql(),
         "term_filter_conjunctive": f"""
 SELECT doc_id FROM documents

@@ -1257,6 +1257,45 @@ class QueryEngine:
         qs = np.percentile(vals, list(percents))
         return {"values": {f"{float(p)}": float(v) for p, v in zip(percents, qs)}}
 
+    def suggest_terms(self, text: str, size: int = 5, max_edits: int = 2,
+                      prefix_length: int = 1,
+                      suggest_mode: str = "missing") -> list[dict]:
+        """OpenSearch TERM SUGGESTER (the ``"suggest"`` envelope
+        section): per analyzed token, dictionary terms within
+        ``max_edits`` Levenshtein edits sharing the first
+        ``prefix_length`` characters, ordered by (edit distance asc,
+        doc freq desc, term asc) — OpenSearch's score-then-frequency
+        default. ``suggest_mode="missing"`` (the default) suggests only
+        for tokens absent from the index; ``"always"`` suggests for
+        every token (the candidate never includes the token itself).
+        Candidates come from the dictionary's prefix range scan, so the
+        lazy 10⁹-vocab mode prunes the same row groups a prefix query
+        would."""
+        from .termscan import levenshtein_batch
+
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(f"unsupported suggest_mode {suggest_mode!r}")
+        out = []
+        for tok in self.analyzer.tokens(text):
+            present = self.df(tok) > 0
+            entry = {"text": tok, "options": []}
+            if not (suggest_mode == "missing" and present):
+                cands = [t for t in self.prefix_terms(tok[:prefix_length])
+                         if t != tok]
+                if cands:
+                    dists = levenshtein_batch(tok, cands)
+                    keep = [(int(d), c) for d, c in zip(dists, cands)
+                            if d <= max_edits]
+                    scored = sorted(
+                        ((d, -self.df(c), c) for d, c in keep),
+                    )
+                    entry["options"] = [
+                        {"text": c, "distance": d, "freq": -negdf}
+                        for d, negdf, c in scored[:size]
+                    ]
+            out.append(entry)
+        return out
+
     def percentile_ranks_agg(self, filter_query: dict | None, field: str,
                              values) -> dict:
         """percentile_ranks aggregation: for each given value, the
@@ -2093,7 +2132,28 @@ def search(engine: QueryEngine, body: dict, source_files: list[str] | None = Non
 
     out = {"hits": {"total": {"value": total, "relation": "eq"}, "hits": hits}}
     _apply_aggs(engine, body, query, out)
+    _apply_suggest(engine, body, out)
     return out
+
+
+def _apply_suggest(engine: QueryEngine, body: dict, out: dict) -> None:
+    """The ``"suggest"`` envelope section: named term suggesters
+    ({name: {"text": …, "term": {…}}}) → {name: [per-token entries]}."""
+    suggest = body.get("suggest")
+    if not suggest:
+        return
+    out["suggest"] = {}
+    for name, spec in suggest.items():
+        term = spec.get("term")
+        if term is None:
+            raise ValueError(f"suggester {name!r}: only the term suggester is supported")
+        out["suggest"][name] = engine.suggest_terms(
+            str(spec["text"]),
+            size=int(term.get("size", 5)),
+            max_edits=int(term.get("max_edits", 2)),
+            prefix_length=int(term.get("prefix_length", 1)),
+            suggest_mode=term.get("suggest_mode", "missing"),
+        )
 
 
 def _attach_source(engine: QueryEngine, hits: list[dict]) -> None:

@@ -201,6 +201,30 @@ def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     })
 
 
+SUGGEST_TEXT = "mergs windoww"  # both absent from the corpus vocabulary
+
+
+def q_term_suggest(sf_dir: str) -> pd.DataFrame:
+    """Term suggester: per misspelled token, dictionary candidates
+    within 2 edits sharing the first character, (distance, doc-freq
+    desc, term) order — value-exact vs the DuckDB levenshtein twin
+    (the same edit-distance equality the fuzzy_search twin rides)."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {"query": {"match_all": {}}, "size": 0,
+                     "suggest": {"fix": {"text": SUGGEST_TEXT,
+                                         "term": {"field": "text", "size": 5}}}})
+    rows = []
+    for entry in r["suggest"]["fix"]:
+        for rank, o in enumerate(entry["options"], start=1):
+            rows.append((entry["text"], rank, o["text"], o["distance"], o["freq"]))
+    return (pd.DataFrame(rows, columns=["token", "rank", "suggestion",
+                                        "distance", "freq"])
+            .astype({"rank": "int64", "distance": "int64", "freq": "int64"})
+            .sort_values(["token", "rank"]).reset_index(drop=True))
+
+
 def q_collapsed_search(sf_dir: str) -> pd.DataFrame:
     """Field collapsing: the BM25 ranking keeping one best-scoring doc
     per lang, value-exact (ranks + scores) vs a PARTITION-BY row_number
@@ -1801,7 +1825,7 @@ REGISTRY = {
     "term_filter_conjunctive": q_term_filter_conjunctive,
     "filtered_search": q_filtered_search,
     "query_string_search": q_query_string_search,
-    "term_stats": q_term_stats,
+    "term_suggest": q_term_suggest,
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
     "search_subaggs": q_search_subaggs,
@@ -1873,6 +1897,9 @@ REGISTRY = {
     # ngram_jaccard_dup: green r2-r4; the shingle-pair machinery is
     # in-window transitively via near_dup_groups' recursive-CTE twin
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
+    # term_stats: green r1-r4; per-term df verified in-window through
+    # term_suggest's freq column and BM25's df-dependent scores
+    "term_stats": q_term_stats,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -1122,3 +1122,40 @@ def test_search_collapse(eng):
     with pytest.raises(ValueError, match="search_after"):
         search(e, {"query": {"match": {"content": q}}, "collapse": {"field": "lang"},
                    "search_after": [1.0, 2]})
+
+
+def test_term_suggester(eng):
+    """Term suggester: per analyzed token, dictionary candidates within
+    max_edits sharing the prefix, (distance, freq desc, term) order,
+    suggest_mode missing vs always."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    vocab = {t: len(ds) for t, ds in oracle.postings.items()}
+    assert "merge" in vocab and "mergz" not in vocab
+
+    r = search(e, {"query": {"match_all": {}}, "size": 0,
+                   "suggest": {"fix": {"text": "mergz sort",
+                                       "term": {"field": "content", "size": 3}}}})
+    entries = r["suggest"]["fix"]
+    assert [en["text"] for en in entries] == ["mergz", "sort"]
+    # expected candidates for 'mergz': same first char, lev <= 2
+    from anomaly_detection_ray.index.termscan import levenshtein_batch
+    cands = [t for t in vocab if t.startswith("m") and t != "mergz"]
+    dists = levenshtein_batch("mergz", cands)
+    exp = sorted((int(d), -vocab[c], c) for d, c in zip(dists, cands) if d <= 2)
+    assert [(o["text"], o["distance"], o["freq"]) for o in entries[0]["options"]] == \
+        [(c, d, -negdf) for d, negdf, c in exp[:3]]
+    # present token + suggest_mode=missing → no options
+    assert entries[1]["options"] == []
+    # always mode suggests even for present tokens, never itself
+    r2 = search(e, {"query": {"match_all": {}}, "size": 0,
+                    "suggest": {"fix": {"text": "sort",
+                                        "term": {"field": "content",
+                                                 "suggest_mode": "always"}}}})
+    opts = r2["suggest"]["fix"][0]["options"]
+    assert opts and all(o["text"] != "sort" for o in opts)
+    # only the term suggester exists
+    with pytest.raises(ValueError, match="term suggester"):
+        search(e, {"query": {"match_all": {}},
+                   "suggest": {"x": {"text": "a", "phrase": {}}}})
