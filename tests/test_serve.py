@@ -58,6 +58,13 @@ def test_scatter_gather_matches_single_engine(served, tiny_corpus):
                         "aggs": {"s": {"sum": {"field": "doc_id"}}}},
                   "w": {"date_histogram": {"field": "doc_id",
                                            "calendar_interval": "1w"}}}},
+        {"query": {"match": {"content": "merge"}}, "size": 4,
+         "collapse": {"field": "lang"}},
+        {"query": {"term": {"lang": "java"}}, "size": 5,
+         "sort": [{"doc_id": "desc"}]},
+        {"query": {"match_all": {}}, "size": 0,
+         "suggest": {"fix": {"text": "mergz",
+                             "term": {"field": "content", "size": 3}}}},
     ]
     got_env = svc.search(bodies)
     for b, env in zip(bodies, got_env):
