@@ -278,3 +278,62 @@ def test_simple_query_string_matches_brute_force(dsl_env, pair):
     s, dsl = pair
     got = set(eng.execute_filter({"simple_query_string": {"query": s}}).tolist())
     assert got == brute_eval(dsl, docs), s
+
+
+# ---- _search envelope internal-consistency fuzz ----
+# Random supported bodies must never crash, and every response must
+# satisfy the envelope invariants regardless of the query shape.
+
+def envelope_body_strategy():
+    q = st.one_of(
+        st.sampled_from(TERMS).map(lambda t: {"match": {"content": t}}),
+        st.lists(st.sampled_from(TERMS), min_size=1, max_size=2, unique=True).map(
+            lambda ts: {"bool": {"should": [{"match": {"content": t}} for t in ts]}}),
+        st.sampled_from(LANGS).map(lambda v: {"term": {"lang": v}}),
+        st.sampled_from(TERMS).map(
+            lambda t: {"query_string": {"query": f"{t} OR lang:python"}}),
+        st.just({"match_all": {}}),
+    )
+    aggs = st.one_of(
+        st.none(),
+        st.just({"l": {"terms": {"field": "lang", "size": 3}}}),
+        st.just({"s": {"stats": {"field": "doc_id"}},
+                 "h": {"histogram": {"field": "doc_id", "interval": 64}}}),
+        st.just({"c": {"composite": {"sources": [{"l": {"terms": {"field": "lang"}}}],
+                                     "size": 3},
+                       "aggs": {"m": {"avg": {"field": "doc_id"}}}}}),
+    )
+    return st.builds(
+        lambda query, frm, size, a: {
+            "query": query, "from": frm, "size": size,
+            **({"aggs": a} if a else {}),
+        },
+        q, st.integers(0, 5), st.integers(0, 7), aggs,
+    )
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(body=envelope_body_strategy())
+def test_search_envelope_invariants(dsl_env, body):
+    from anomaly_detection_ray.index.query import search
+
+    eng, docs = dsl_env
+    r = search(eng, body)
+    hits = r["hits"]["hits"]
+    total = r["hits"]["total"]["value"]
+    # page never exceeds size; ids are valid and unique
+    assert len(hits) <= body["size"]
+    ids = [h["_id"] for h in hits]
+    assert len(set(ids)) == len(ids)
+    alld = {d["doc_id"] for d in docs}
+    assert set(ids) <= alld
+    assert 0 <= total <= len(alld)
+    # scores are non-increasing when present
+    scores = [h["_score"] for h in hits]
+    if scores and scores[0] is not None:
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # from+size paging never exceeds the total
+    assert body["from"] + len(hits) <= max(total, body["from"])
+    # aggregations exist iff requested
+    assert ("aggregations" in r) == ("aggs" in body)
