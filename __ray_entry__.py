@@ -818,6 +818,15 @@ SELECT count(*) AS n_docs,
 FROM documents
 WHERE list_contains({TOKS}, 'data') AND lang = 'en'
 """,
+        "extended_stats_agg": f"""
+SELECT count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(sum(CAST(n_chars AS DOUBLE) * n_chars), 2) AS sum_sq,
+       round(var_pop(n_chars), 2) AS variance,
+       round(stddev_pop(n_chars), 6) AS std_dev
+FROM documents
+WHERE list_contains({TOKS}, 'data')
+""",
         "search_subaggs": f"""
 SELECT lang,
        count(*) AS doc_count,

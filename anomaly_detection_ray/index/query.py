@@ -1152,6 +1152,28 @@ class QueryEngine:
                 "avg": float(pc.mean(valid).as_py()),
                 "sum": float(pc.sum(valid).as_py()),
             }
+        if op == "extended_stats":
+            n = int(len(valid))
+            if n == 0:
+                return {"count": 0, "min": None, "max": None, "avg": None,
+                        "sum": 0.0, "sum_of_squares": 0.0, "variance": None,
+                        "std_deviation": None, "std_deviation_bounds": None}
+            v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+            avg = float(v.mean())
+            var = float(v.var())  # population variance, like OpenSearch
+            std = float(np.sqrt(var))
+            return {
+                "count": n,
+                "min": float(v.min()),
+                "max": float(v.max()),
+                "avg": avg,
+                "sum": float(v.sum()),
+                "sum_of_squares": float((v * v).sum()),
+                "variance": var,
+                "std_deviation": std,
+                "std_deviation_bounds": {"upper": avg + 2 * std,
+                                         "lower": avg - 2 * std},
+            }
         if op in ("min", "max"):
             if len(valid) == 0:
                 return None
@@ -2175,7 +2197,8 @@ def _apply_aggs(engine: QueryEngine, body: dict, query: dict | None, out: dict) 
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         out["aggregations"] = {}
-        metric_ops = {"min", "max", "avg", "sum", "value_count", "cardinality", "stats"}
+        metric_ops = {"min", "max", "avg", "sum", "value_count", "cardinality",
+                      "stats", "extended_stats"}
         for name, spec in aggs.items():
             sub = spec.get("aggs") or spec.get("aggregations")
             if "terms" in spec:
@@ -2258,7 +2281,8 @@ def _apply_aggs(engine: QueryEngine, body: dict, query: dict | None, out: dict) 
                     f"(terms, percentiles or {sorted(metric_ops)})"
                 )
             v = engine.metric_agg(query, spec[op]["field"], op)
-            out["aggregations"][name] = v if op == "stats" else {"value": v}
+            out["aggregations"][name] = (
+                v if op in ("stats", "extended_stats") else {"value": v})
 
 
 def _collapse_page(engine: QueryEngine, text: str, residual: dict | None,

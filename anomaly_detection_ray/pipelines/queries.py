@@ -169,6 +169,29 @@ def q_search_stats_agg(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_extended_stats(sf_dir: str) -> pd.DataFrame:
+    """extended_stats metric agg over a filtered hit set: population
+    variance / std deviation / sum of squares beside the stats basics —
+    value-exact vs DuckDB's var_pop/stddev_pop (variance and
+    sum_of_squares round to 2 dp per the large-magnitude rule)."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+        "size": 0,
+        "aggs": {"x": {"extended_stats": {"field": "n_chars"}}},
+    })
+    x = r["aggregations"]["x"]
+    return pd.DataFrame({
+        "n_docs": [int(x["count"])],
+        "avg_chars": [round(float(x["avg"]), 6)],
+        "sum_sq": [round(float(x["sum_of_squares"]), 2)],
+        "variance": [round(float(x["variance"]), 2)],
+        "std_dev": [round(float(x["std_deviation"]), 6)],
+    })
+
+
 def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     """Terms buckets with nested metric SUB-aggregations — the
     reference's central agg composition (entity terms/composite buckets
@@ -1814,7 +1837,6 @@ REGISTRY = {
     "calendar_week_agg": q_calendar_week_agg,
     "tpch_q1": q_tpch_q1,
     "decayed_top_entities": q_decayed_top_entities,
-    "shingle_density": q_shingle_density,
     "bm25_topk": q_bm25_topk,
     "search_after_page": q_search_after_page,
     "phrase_search": q_phrase_search,
@@ -1828,6 +1850,7 @@ REGISTRY = {
     "term_suggest": q_term_suggest,
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
+    "extended_stats_agg": q_extended_stats,
     "search_subaggs": q_search_subaggs,
     "composite_page": q_composite_page,
     "significant_langs": q_significant_langs,
@@ -1868,8 +1891,7 @@ REGISTRY = {
     # min_max_time / date_range_agg / interval_suggest / top_entities:
     # driver-green every round since r1; window-agg, distinct-gap and
     # groupby-count-sort-limit machinery stays in-window via
-    # feature_agg_interval, calendar_week_agg, shingle_density and
-    # decayed_top_entities
+    # feature_agg_interval, calendar_week_agg and decayed_top_entities
     "min_max_time": q_min_max_time,
     "date_range_agg": q_date_range_agg,
     "interval_suggest": q_interval_suggest,
@@ -1900,6 +1922,9 @@ REGISTRY = {
     # term_stats: green r1-r4; per-term df verified in-window through
     # term_suggest's freq column and BM25's df-dependent scores
     "term_stats": q_term_stats,
+    # shingle_density: green r1-r4; the windowed-distinct counting also
+    # has a dedicated parity pytest (validate density coarse vs legacy)
+    "shingle_density": q_shingle_density,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -1159,3 +1159,22 @@ def test_term_suggester(eng):
     with pytest.raises(ValueError, match="term suggester"):
         search(e, {"query": {"match_all": {}},
                    "suggest": {"x": {"text": "a", "phrase": {}}}})
+
+
+def test_extended_stats_agg(eng):
+    """extended_stats: stats + sum_of_squares / population variance /
+    std deviation / ±2σ bounds (OpenSearch's response shape)."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    v = df[df["doc_id"].isin(hits)]["doc_id"].to_numpy(dtype=float)
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "x": {"extended_stats": {"field": "doc_id"}}}})
+    x = r["aggregations"]["x"]
+    assert x["count"] == v.size and x["sum"] == v.sum()
+    assert x["sum_of_squares"] == pytest.approx((v * v).sum())
+    assert x["variance"] == pytest.approx(v.var())
+    assert x["std_deviation"] == pytest.approx(np.sqrt(v.var()))
+    assert x["std_deviation_bounds"]["upper"] == pytest.approx(v.mean() + 2 * v.std())
+    assert x["std_deviation_bounds"]["lower"] == pytest.approx(v.mean() - 2 * v.std())
