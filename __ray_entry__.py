@@ -818,6 +818,13 @@ SELECT count(*) AS n_docs,
 FROM documents
 WHERE list_contains({TOKS}, 'data') AND lang = 'en'
 """,
+        "filters_agg": f"""
+SELECT count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       count(CASE WHEN n_chars < 300 THEN 1 END) AS n_short,
+       count(CASE WHEN lang = 'en' AND n_chars < 300 THEN 1 END) AS n_en_short
+FROM documents
+WHERE list_contains({TOKS}, 'data')
+""",
         "extended_stats_agg": f"""
 SELECT count(*) AS n_docs,
        round(avg(n_chars), 6) AS avg_chars,

@@ -2257,6 +2257,19 @@ def _apply_aggs(engine: QueryEngine, body: dict, query: dict | None, out: dict) 
                     size=int(c.get("size", 10)),
                     after=c.get("after"), sub_aggs=sub)
                 continue
+            if "filters" in spec:
+                # named filter buckets: each inner query intersects the
+                # main matching set independently (OpenSearch's filters
+                # agg; buckets keep the request's key order)
+                named = spec["filters"]["filters"]
+                matched = engine.execute_filter(query)
+                buckets = {}
+                for key, fq in named.items():
+                    docs = engine.execute_filter(fq)
+                    buckets[key] = {"doc_count": int(
+                        np.intersect1d(matched, docs, assume_unique=True).size)}
+                out["aggregations"][name] = {"buckets": buckets}
+                continue
             if "date_histogram" in spec:
                 dh = spec["date_histogram"]
                 mdc = int(dh.get("min_doc_count", 0))

@@ -192,6 +192,33 @@ def q_extended_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_filters_agg(sf_dir: str) -> pd.DataFrame:
+    """filters aggregation: three named filter buckets over the docs
+    matching 'data' (keyword term / numeric range / their conjunction),
+    each intersected with the hit set independently — value-exact vs
+    conditional-count SQL."""
+    from ..index.query import search
+
+    eng = index_for(sf_dir)
+    r = search(eng, {
+        "query": {"bool": {"filter": [{"term": {"text": "data"}}]}},
+        "size": 0,
+        "aggs": {"f": {"filters": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "short": {"range": {"n_chars": {"lt": 300}}},
+            "en_short": {"bool": {"filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"lt": 300}}}]}},
+        }}}},
+    })
+    b = r["aggregations"]["f"]["buckets"]
+    return pd.DataFrame({
+        "n_en": [int(b["en"]["doc_count"])],
+        "n_short": [int(b["short"]["doc_count"])],
+        "n_en_short": [int(b["en_short"]["doc_count"])],
+    })
+
+
 def q_search_subaggs(sf_dir: str) -> pd.DataFrame:
     """Terms buckets with nested metric SUB-aggregations — the
     reference's central agg composition (entity terms/composite buckets
@@ -1851,6 +1878,7 @@ REGISTRY = {
     "ids_search": q_ids_search,
     "search_stats_agg": q_search_stats_agg,
     "extended_stats_agg": q_extended_stats,
+    "filters_agg": q_filters_agg,
     "search_subaggs": q_search_subaggs,
     "composite_page": q_composite_page,
     "significant_langs": q_significant_langs,
@@ -1878,7 +1906,6 @@ REGISTRY = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    "impute_linear": q_impute_linear,
     # --- flagship rows-only (driver-visible) ---
     "detect_anomalies": q_detect_anomalies,
     "detect_hc": q_detect_hc,
@@ -1925,6 +1952,10 @@ REGISTRY = {
     # shingle_density: green r1-r4; the windowed-distinct counting also
     # has a dedicated parity pytest (validate density coarse vs legacy)
     "shingle_density": q_shingle_density,
+    # impute_linear: green r1-r4; the imputation function carries
+    # reference-exact integer-sensitive unit tests and the stride
+    # sampling rides the same hash family as stratified_sample (in-window)
+    "impute_linear": q_impute_linear,
     "feature_agg_filtered": q_feature_agg_filtered,
     "doc_token_stats": q_doc_token_stats,
     "phrase_prefix_search": q_phrase_prefix_search,

@@ -1178,3 +1178,26 @@ def test_extended_stats_agg(eng):
     assert x["std_deviation"] == pytest.approx(np.sqrt(v.var()))
     assert x["std_deviation_bounds"]["upper"] == pytest.approx(v.mean() + 2 * v.std())
     assert x["std_deviation_bounds"]["lower"] == pytest.approx(v.mean() - 2 * v.std())
+
+
+def test_filters_agg(eng):
+    """filters agg: named buckets, each inner filter intersected with
+    the main query's matching set independently."""
+    from anomaly_detection_ray.index.query import search
+
+    e, df, oracle = eng
+    hits = set(oracle.postings.get("merge", ()))
+    sub = df[df["doc_id"].isin(hits)]
+    r = search(e, {"query": {"match": {"content": "merge"}}, "size": 0, "aggs": {
+        "f": {"filters": {"filters": {
+            "java": {"term": {"lang": "java"}},
+            "low_ids": {"range": {"doc_id": {"gte": 0, "lt": 100}}},
+            "both": {"bool": {"filter": [{"term": {"lang": "java"}},
+                                         {"range": {"doc_id": {"lt": 100}}}]}},
+        }}}}})
+    b = r["aggregations"]["f"]["buckets"]
+    assert b["java"]["doc_count"] == int((sub["lang"] == "java").sum())
+    assert b["low_ids"]["doc_count"] == int((sub["doc_id"] < 100).sum())
+    assert b["both"]["doc_count"] == int(
+        ((sub["lang"] == "java") & (sub["doc_id"] < 100)).sum())
+    assert list(b) == ["java", "low_ids", "both"]  # request key order
